@@ -1,0 +1,145 @@
+"""Snapshot-isolated table catalog.
+
+The reference stores every table (Rdb) as a set of numbered sorted files plus
+an in-memory tree, made durable by write-file-then-mark-readable
+(`RdbDump.cpp:251`, `test/unit/PosdbTest.cpp:18-25` markNewFileReadable) and
+swapped atomically on rebuild (`Rdb::updateToRebuildFiles`, `Rdb.h:227`).
+The modern equivalent is Iceberg's snapshot commit. This module provides that
+contract on whatever is available:
+
+* If an iceberg-spark-runtime jar is present (see session.iceberg_jar), tables
+  live in the ``osse`` hadoop catalog and commits are Iceberg commits.
+* Otherwise (this container), tables are parquet directories under a warehouse
+  root with an atomic JSON manifest pointer: a write lands in a new
+  ``data-<n>-<uuid>`` directory, then a manifest listing ALL live data dirs is
+  written to a temp file and ``os.replace``d over ``_current.json``. Readers
+  resolve ``_current.json`` first, so they always see a complete committed
+  snapshot -- same observable semantics (snapshot isolation, atomic append /
+  overwrite, time-travel by snapshot id) at the granularity we need.
+
+Either way the engine code only calls read_table / write_table / append_table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+CURRENT = "_current.json"
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self.use_iceberg = "spark.sql.catalog.osse" in {
+            k for k, _ in spark.sparkContext.getConf().getAll()
+        }
+
+    # -- parquet-snapshot implementation -----------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), CURRENT)
+
+    def _read_manifest(self, name: str) -> dict | None:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, data_dirs: list[str], parent: dict | None) -> dict:
+        tdir = self._tdir(name)
+        snap = {
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "sequence": (parent["sequence"] + 1) if parent else 0,
+            "committed_at": time.time(),
+            "data_dirs": data_dirs,
+        }
+        tmp = os.path.join(tdir, f"_tmp-{snap['snapshot_id']}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        # keep snapshot history for time-travel / lineage
+        with open(os.path.join(tdir, f"snap-{snap['sequence']:06d}-{snap['snapshot_id']}.json"), "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, self._manifest_path(name))
+        return snap
+
+    # -- public API ----------------------------------------------------------
+    def table_exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(f"osse.db.{name}")
+        return self._read_manifest(name) is not None
+
+    def read_table(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(f"osse.db.{name}")
+        m = self._read_manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        if not m["data_dirs"]:
+            raise FileNotFoundError(f"table {name} is empty")
+        return self.spark.read.parquet(*m["data_dirs"])
+
+    def write_table(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        """mode='overwrite' replaces the snapshot; mode='append' adds files."""
+        if self.use_iceberg:
+            if mode == "overwrite":
+                df.writeTo(f"osse.db.{name}").createOrReplace()
+            else:
+                df.writeTo(f"osse.db.{name}").append()
+            return
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        parent = self._read_manifest(name)
+        seq = (parent["sequence"] + 1) if parent else 0
+        data_dir = os.path.join(tdir, f"data-{seq:06d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = [data_dir]
+        if mode == "append" and parent:
+            dirs = parent["data_dirs"] + dirs
+        self._commit(name, dirs, parent)
+
+    def append_table(self, df: DataFrame, name: str) -> None:
+        self.write_table(df, name, mode="append")
+
+    def snapshot_id(self, name: str) -> str | None:
+        if self.use_iceberg:
+            row = self.spark.sql(
+                f"SELECT snapshot_id FROM osse.db.{name}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            return str(row[0][0]) if row else None
+        m = self._read_manifest(name)
+        return m["snapshot_id"] if m else None
+
+    def data_dirs(self, name: str) -> list[str]:
+        """Live data directories of the current snapshot (parquet mode)."""
+        m = self._read_manifest(name)
+        return list(m["data_dirs"]) if m else []
+
+    def compact(self, name: str, sort_cols: list[str] | None = None) -> int:
+        """Merge all live data dirs into one sorted dir (the RdbMerge analog,
+        `RdbMerge.cpp:53`; Iceberg: rewrite_data_files). Returns fan-in."""
+        if self.use_iceberg:
+            return 0  # iceberg maintenance procedures handle this
+        parent = self._read_manifest(name)
+        if parent is None or len(parent["data_dirs"]) <= 1:
+            return 0
+        fan_in = len(parent["data_dirs"])
+        df = self.spark.read.parquet(*parent["data_dirs"])
+        if sort_cols:
+            df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+        data_dir = os.path.join(
+            self._tdir(name), f"data-{parent['sequence'] + 1:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(data_dir)
+        self._commit(name, [data_dir], parent)
+        return fan_in

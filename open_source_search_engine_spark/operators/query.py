@@ -1,0 +1,218 @@
+"""Query serving: BM25 top-k over the posting blocks (EP1 rebuild, SURVEY.md §3.1).
+
+Reference pipeline: Query::set2 term parse -> Msg3a broadcast to all doc
+shards -> per-shard PosdbTable::intersectLists (rarest-first candidate
+intersection `PosdbTable.cpp:1935`, max-score pruning `:3910-3947`, TopTree
+bounded top-k `TopTree.cpp:185`) -> Msg3a::mergeLists k-way merge with
+score-desc / docid-asc tie-break (`Msg3a.cpp:807-811`).
+
+Spark-first re-expression -- two code paths sharing one formula module:
+
+* ``exact`` path: decode the query terms' blocks (partition-pruned scan on
+  term_id), compute per-(term, doc) contributions JVM-side, aggregate with a
+  CANONICAL accumulation order (contributions sorted by term string inside an
+  ``aggregate(array_sort(collect_list(...)))`` expression -- float64 sums are
+  bit-stable across partitionings, SURVEY.md §7.4.1), then
+  ``ORDER BY score DESC, doc_id ASC LIMIT k`` which Spark executes as
+  TakeOrderedAndProject = partial per-partition top-k + final merge, exactly
+  the reference's TopTree -> Msg3a shape (SURVEY.md A9/T1/T2).
+
+* ``wand`` path (block-max pruning): see wand.py. Selects with upper bounds,
+  scores with the same canonical formula, so results are identical.
+
+AND semantics = doc must match every term group (`PosdbTable.cpp:2049`);
+OR = any term; NOT (-term) = anti-join (`Query.h:191-193`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import Catalog
+from ..functions import codec
+from ..functions.bm25 import BM25Params, idf as bm25_idf
+from ..functions.tokenizer import tokenize
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class QueryResult:
+    df: DataFrame  # (doc_id, score, matched)
+
+
+class SearchEngine:
+    """Serves BM25 queries against a built index (catalog tables)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        params: BM25Params | None = None,
+        tokenizer_mode: str = "unicode",
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.params = params or BM25Params()
+        self.tokenizer_mode = tokenizer_mode
+        row = catalog.read_table("corpus_stats").collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+        self.block_bits = int(row["block_bits"])
+        self._postings = catalog.read_table("postings")
+        self._term_stats = catalog.read_table("term_stats")
+
+    # ------------------------------------------------------------------
+    def plan_terms(self, query_terms: list[str]) -> pd.DataFrame:
+        """Query preamble: resolve terms -> (term, term_id, df, idf).
+
+        The analog of Msg3a::setTermFreqWeights (`Msg3a.cpp:1011-1033`):
+        per-term df is read from term_stats (exact, not the reference's
+        page-map estimate). Duplicate query terms are dropped (`Query.h:137`
+        IGNORE_REPEAT). Returns terms sorted by df ascending (rarest first,
+        `PosdbTable.cpp:1998` -- drives candidate generation order).
+        """
+        terms = sorted(set(query_terms))
+        if not terms:
+            return pd.DataFrame(columns=["term", "term_id", "df", "idf"])
+        rows = (
+            self._term_stats.filter(F.col("term").isin(terms))
+            .select("term", "term_id", "df")
+            .toPandas()
+        )
+        rows["idf"] = bm25_idf(rows["df"].to_numpy(np.float64), self.n_docs)
+        return rows.sort_values(["df", "term"]).reset_index(drop=True)
+
+    def tokenize_query(self, query: str) -> list[str]:
+        return tokenize(query, self.tokenizer_mode)
+
+    # ------------------------------------------------------------------
+    def decoded_postings(self, term_ids: list[int]) -> DataFrame:
+        """Partition-pruned scan of the query terms' blocks, decoded back to
+        (term_id, doc_id, tf, dl) rows via an Arrow UDF (numpy varbyte)."""
+        blocks = self._postings.filter(F.col("term_id").isin(term_ids)).select(
+            "term_id", "doc_ids", "tfs", "dls"
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                outs = []
+                for tid, d, t, l in zip(
+                    b["term_id"].to_numpy(),
+                    b["doc_ids"],
+                    b["tfs"],
+                    b["dls"],
+                ):
+                    ids = codec.decode_doc_ids(bytes(d))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term_id": np.full(ids.size, tid, np.int64),
+                                "doc_id": ids,
+                                "tf": codec.decode_counts(bytes(t)).astype(np.int32),
+                                "dl": codec.decode_counts(bytes(l)).astype(np.int32),
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True)
+
+        return blocks.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+    # ------------------------------------------------------------------
+    def search_terms(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        exclude_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """Exact BM25 top-k. Returns (doc_id, score, matched) DataFrame,
+        ordered score desc / doc_id asc, limited to k."""
+        plan = self.plan_terms(query_terms)
+        n_q = len(set(query_terms))
+        if plan.empty or (mode == "AND" and len(plan) < n_q):
+            # a required term is absent from the corpus -> empty result
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, matched int"
+            )
+        contrib = self._contributions(plan)
+        scored = self._aggregate_scores(contrib)
+        if mode == "AND":
+            scored = scored.filter(F.col("matched") == len(plan))
+        if exclude_terms:
+            ex_plan = self.plan_terms(exclude_terms)
+            if not ex_plan.empty:
+                ex_docs = self.decoded_postings(
+                    [int(t) for t in ex_plan["term_id"]]
+                ).select("doc_id").distinct()
+                scored = scored.join(ex_docs, "doc_id", "left_anti")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
+        """Parse a query string: bare terms, '-term' exclusions
+        (`Query.h:191-193` sign parsing)."""
+        raw = query.split()
+        include, exclude = [], []
+        for w in raw:
+            if w.startswith("-") and len(w) > 1:
+                exclude.extend(self.tokenize_query(w[1:]))
+            else:
+                include.extend(self.tokenize_query(w))
+        return self.search_terms(include, mode=mode, k=k, exclude_terms=exclude)
+
+    # ------------------------------------------------------------------
+    def _contributions(self, plan: pd.DataFrame) -> DataFrame:
+        """(term, doc_id, contrib) with contrib = idf * tf_norm, JVM-side."""
+        term_ids = [int(t) for t in plan["term_id"]]
+        decoded = self.decoded_postings(term_ids)
+        meta = self.spark.createDataFrame(
+            plan[["term_id", "term", "idf"]]
+        )
+        k1, b = self.params.k1, self.params.b
+        return (
+            decoded.join(F.broadcast(meta), "term_id")
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * (
+                    F.col("tf")
+                    * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
+                        )
+                    )
+                ),
+            )
+            .select("doc_id", "term", "contrib")
+        )
+
+    def _aggregate_scores(self, contrib: DataFrame) -> DataFrame:
+        """Canonical-order float64 sum per doc: contributions sorted by term
+        string ascending before summation (bit-stable across partitionings)."""
+        return contrib.groupBy("doc_id").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.contrib)"
+            ).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched"),
+        )
