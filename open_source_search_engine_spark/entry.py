@@ -1,0 +1,543 @@
+"""Driver-contract queries: Spark implementations + ANSI-SQL (DuckDB) oracles.
+
+Each query exists twice: a PySpark program exercising the engine's real code
+paths (index build, posting decode, BM25 scoring, dedup/similarity operators)
+and an equivalent SQL string the driver runs in DuckDB over the same parquet.
+Column names and types are aligned exactly (everything numeric cast to BIGINT
+or DOUBLE; scores rounded to 4 decimals on both sides so engine-internal
+float64 accumulation-order details don't flip a hash).
+
+The SQL tokenizer fragment is mode='ascii' of functions/tokenizer.py --
+RE2 (DuckDB) and java.util.regex (Spark) agree on the class [^a-z0-9_]+.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .functions.bm25 import B_DEFAULT, K1_DEFAULT
+from .operators import dedup, similarity, text_analysis
+from .operators.index_build import IndexConfig, build_index
+from .operators.query import SearchEngine
+
+# --------------------------------------------------------------------------
+# engine cache: build the index once per (process, sf_dir)
+# --------------------------------------------------------------------------
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    key = os.path.abspath(sf_dir)
+    if key not in _ENGINES:
+        wh = os.path.join(
+            "/tmp", "osse-entry-wh", key.strip("/").replace("/", "_")
+        )
+        cat = Catalog(spark, wh)
+        build_index(
+            spark,
+            cat,
+            documents(spark, sf_dir),
+            IndexConfig(tokenizer_mode="ascii"),
+        )
+        _ENGINES[key] = SearchEngine(spark, cat, tokenizer_mode="ascii")
+    return _ENGINES[key]
+
+
+def _ranked(df: DataFrame, k: int) -> DataFrame:
+    """Attach rank over (score desc, doc_id asc) and round the score --
+    the SERP shape (reference outputs ranked docIds+scores,
+    `PageResults.cpp` JSON fields; SURVEY.md §3.1)."""
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("score", F.round("score", 4))
+        .withColumn("matched", F.col("matched").cast("long"))
+        .select("rank", "doc_id", "score", "matched")
+        .orderBy("rank")
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries (name -> callable(spark, sf_dir) -> DataFrame)
+# --------------------------------------------------------------------------
+
+def q_bm25_and(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_terms(["spark", "join"], "AND", 10), 10)
+
+
+def q_bm25_or(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_terms(["vector", "window", "stream"], "OR", 15), 15)
+
+
+def q_bm25_not(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_terms(["spark"], "AND", 10, exclude_terms=["vector"]), 10
+    )
+
+
+def q_bm25_stopwords(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_terms(["the", "a"], "AND", 10), 10)
+
+
+def q_term_stats(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    ts = eng.catalog.read_table("term_stats")
+    return (
+        ts.select(
+            "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(30)
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    cs = eng.catalog.read_table("corpus_stats")
+    return cs.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("avgdl", 6).alias("avgdl"),
+    )
+
+
+def q_term_postings(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    plan = eng.plan_terms(["merge"])
+    dec = eng.decoded_postings([int(t) for t in plan["term_id"]])
+    return (
+        dec.select(
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def q_phrase(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.phrase_docs(["batch", "batch"]).orderBy("doc_id").limit(100)
+
+
+def q_boolean(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return (
+        eng.boolean_docs([["spark", "join", "-vector"], ["window", "stream"]])
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def q_field_sort(spark, sf_dir):
+    # gbsortby: analog (SURVEY.md T3): score := field value
+    return (
+        documents(spark, sf_dir)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_lang_filter_bm25(spark, sf_dir):
+    # site/lang-restricted search (SURVEY.md F6/F7): global stats, result
+    # set restricted -- the reference's whitelist filter shape
+    eng = engine_for(spark, sf_dir)
+    en_docs = documents(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    scored = eng.search_terms(["table"], "AND", 10_000_000)
+    return _ranked(scored.join(en_docs, "doc_id", "left_semi"), 10)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return (
+        dedup.exact_dedup(documents(spark, sf_dir))
+        .select(
+            "content_hash",
+            F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+        .orderBy("keep_doc_id")
+        .limit(100)
+    )
+
+
+def q_minhash(spark, sf_dir):
+    return (
+        dedup.minhash_signatures(documents(spark, sf_dir), num_hashes=4)
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return (
+        dedup.ngram_jaccard_pairs(documents(spark, sf_dir), n=3, threshold=0.25)
+        .select(
+            "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+        .limit(200)
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.cosine_topk(emb, qv, k=10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cosine", F.round("cosine", 4))
+        .select("rank", "vec_id", "cosine")
+        .orderBy("rank")
+    )
+
+
+def q_quality(spark, sf_dir):
+    qf = text_analysis.quality_features(documents(spark, sf_dir))
+    return (
+        qf.select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            F.round("mean_token_len", 4).alias("mean_token_len"),
+            F.round("stopword_ratio", 4).alias("stopword_ratio"),
+            F.round("non_alnum_ratio", 4).alias("non_alnum_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return (
+        text_analysis.lang_id(documents(spark, sf_dir))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("t")
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("t").cast("long").alias("n_distinct"),
+        )
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return (
+        text_analysis.fingerprint(documents(spark, sf_dir), shingle_n=5)
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def q_events_window(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+        .limit(60)
+    )
+
+
+# rows-only checks (no SQL-expressible oracle; driver records row counts)
+def q_lsh_ann(spark, sf_dir):
+    emb = embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.lsh_ann_topk(emb, qv, k=10, n_planes=12, max_hamming=3)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash64(documents(spark, sf_dir)).orderBy("doc_id").limit(100)
+
+
+def q_wand(spark, sf_dir):
+    # placeholder until the block-max WAND path lands; exact path meanwhile
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_terms(["merge", "sort", "hash"], "AND", 10), 10)
+
+
+QUERIES = {
+    "bm25_and": q_bm25_and,
+    "bm25_or": q_bm25_or,
+    "bm25_not": q_bm25_not,
+    "bm25_stopwords": q_bm25_stopwords,
+    "term_stats": q_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "term_postings": q_term_postings,
+    "phrase": q_phrase,
+    "boolean": q_boolean,
+    "field_sort": q_field_sort,
+    "lang_filter_bm25": q_lang_filter_bm25,
+    "dedup_exact": q_dedup_exact,
+    "minhash": q_minhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "cosine_topk": q_cosine_topk,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "events_window": q_events_window,
+    "lsh_ann": q_lsh_ann,
+    "simhash": q_simhash,
+}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+# ascii tokenizer fragment (== functions/tokenizer.py mode='ascii')
+_TOKS = (
+    "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9_]+'), t -> t <> '') AS toks FROM documents)"
+)
+_TOK = "tok AS (SELECT doc_id, unnest(toks) AS term FROM toks)"
+_DL = "dl AS (SELECT doc_id, len(toks) AS dl FROM toks)"
+_CORPUS = "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)"
+
+
+def _bm25_sql(
+    terms: list[str],
+    k: int,
+    mode: str = "AND",
+    exclude: list[str] | None = None,
+    restrict: str | None = None,
+) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1, b = K1_DEFAULT, B_DEFAULT
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "AND" else ""
+    ex = ""
+    if exclude:
+        exlist = ", ".join(f"'{t}'" for t in exclude)
+        ex = (
+            f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term IN ({exlist}))"
+        )
+    rs = f"AND tf.doc_id IN ({restrict})" if restrict else ""
+    return f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tlist}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+              * (tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) ) AS s,
+         count(*) AS matched
+  FROM tf
+  JOIN qdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  WHERE 1=1 {ex} {rs}
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored
+ORDER BY rank
+LIMIT {k}
+"""
+
+
+_SHINGLES3 = (
+    "sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2,0)+1), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM toks)"
+)
+
+ORACLES: dict[str, str] = {
+    "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),
+    "bm25_or": _bm25_sql(["vector", "window", "stream"], 15, "OR"),
+    "bm25_not": _bm25_sql(["spark"], 10, "AND", exclude=["vector"]),
+    "bm25_stopwords": _bm25_sql(["the", "a"], 10, "AND"),
+    "lang_filter_bm25": _bm25_sql(
+        ["table"], 10, "AND",
+        restrict="SELECT doc_id FROM documents WHERE lang = 'en'",
+    ),
+    "term_stats": f"""
+WITH {_TOKS}, {_TOK}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 30
+""",
+    "corpus_stats": f"""
+WITH {_TOKS}, {_DL}
+SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
+""",
+    "term_postings": f"""
+WITH {_TOKS}, {_TOK}, {_DL}
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS tf, CAST(any_value(dl.dl) AS BIGINT) AS dl
+FROM tok t JOIN dl ON dl.doc_id = t.doc_id
+WHERE t.term = 'merge'
+GROUP BY t.doc_id ORDER BY t.doc_id LIMIT 100
+""",
+    "phrase": r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '\bbatch batch\b')
+ORDER BY doc_id LIMIT 100
+""",
+    "boolean": f"""
+WITH {_TOKS}, {_TOK},
+ds AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT DISTINCT d.doc_id FROM documents d
+WHERE (
+  d.doc_id IN (SELECT doc_id FROM ds WHERE term = 'spark')
+  AND d.doc_id IN (SELECT doc_id FROM ds WHERE term = 'join')
+  AND d.doc_id NOT IN (SELECT doc_id FROM ds WHERE term = 'vector')
+) OR (
+  d.doc_id IN (SELECT doc_id FROM ds WHERE term = 'window')
+  AND d.doc_id IN (SELECT doc_id FROM ds WHERE term = 'stream')
+)
+ORDER BY d.doc_id LIMIT 200
+""",
+    "field_sort": """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+""",
+    "dedup_exact": """
+SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY md5(text) ORDER BY keep_doc_id LIMIT 100
+""",
+    "minhash": f"""
+WITH {_TOKS}, {_TOK},
+ds AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT doc_id,
+       min(md5('0:' || term)) AS mh_0,
+       min(md5('1:' || term)) AS mh_1,
+       min(md5('2:' || term)) AS mh_2,
+       min(md5('3:' || term)) AS mh_3
+FROM ds GROUP BY doc_id ORDER BY doc_id LIMIT 50
+""",
+    "jaccard_pairs": f"""
+WITH {_TOKS}, {_SHINGLES3},
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+ORDER BY doc_id_a, doc_id_b LIMIT 200
+""",
+    "cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings CROSS JOIN q
+)
+SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, round(c, 4) AS cosine
+FROM cos ORDER BY rank LIMIT 10
+""",
+    "quality": f"""
+WITH {_TOKS},
+feat AS (
+  SELECT d.doc_id,
+         CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         length(regexp_replace(lower(coalesce(d.text, '')), '[^a-z0-9_]', '', 'g')) AS alnum,
+         len(list_filter(t.toks, x -> list_contains(
+           ['the','and','of','to','in','is','it','that','for','with'], x))) AS n_stop
+  FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN alnum::DOUBLE / n_tokens ELSE 0.0 END, 4) AS mean_token_len,
+       round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN (n_chars - alnum)::DOUBLE / n_chars ELSE 0.0 END, 4) AS non_alnum_ratio
+FROM feat ORDER BY doc_id LIMIT 100
+""",
+    "lang_id": f"""
+WITH {_TOKS},
+hits AS (
+  SELECT d.doc_id, d.text,
+    len(list_filter(t.toks, x -> list_contains(['the','and','of','to','in','is','it','that','for','with'], x))) AS h_en,
+    len(list_filter(t.toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS h_de,
+    len(list_filter(t.toks, x -> list_contains(['el','la','los','las','es','que','de','un','una','por'], x))) AS h_es,
+    len(list_filter(t.toks, x -> list_contains(['le','la','les','est','que','des','un','une','dans','pour'], x))) AS h_fr
+  FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+       WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST(greatest(h_en, h_de, h_es, h_fr) AS BIGINT) AS lang_score
+FROM hits ORDER BY doc_id LIMIT 200
+""",
+    "token_counts": f"""
+WITH {_TOKS}, {_TOK}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+FROM tok GROUP BY doc_id ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
+""",
+    "fingerprint": f"""
+WITH {_TOKS},
+sh AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks)-4, 0)+1),
+                        i -> array_to_string(toks[i:i+4], ' ')) AS shingles
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(shingles) > 0
+            THEN list_aggregate(list_transform(shingles, s -> md5(s)), 'min')
+            ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+FROM sh ORDER BY doc_id LIMIT 100
+""",
+    "events_window": """
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3 ORDER BY user_id, rn LIMIT 60
+""",
+}

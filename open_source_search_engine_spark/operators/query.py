@@ -49,6 +49,11 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+DECODED_POS_SCHEMA = T.StructType(
+    DECODED_SCHEMA.fields
+    + [T.StructField("positions", T.ArrayType(T.IntegerType()), False)]
+)
+
 
 @dataclass
 class QueryResult:
@@ -101,38 +106,39 @@ class SearchEngine:
         return tokenize(query, self.tokenizer_mode)
 
     # ------------------------------------------------------------------
-    def decoded_postings(self, term_ids: list[int]) -> DataFrame:
+    def decoded_postings(
+        self, term_ids: list[int], include_positions: bool = False
+    ) -> DataFrame:
         """Partition-pruned scan of the query terms' blocks, decoded back to
-        (term_id, doc_id, tf, dl) rows via an Arrow UDF (numpy varbyte)."""
-        blocks = self._postings.filter(F.col("term_id").isin(term_ids)).select(
-            "term_id", "doc_ids", "tfs", "dls"
+        (term_id, doc_id, tf, dl[, positions]) rows via an Arrow UDF."""
+        cols = ["term_id", "doc_ids", "tfs", "dls"] + (
+            ["positions"] if include_positions else []
         )
+        blocks = self._postings.filter(F.col("term_id").isin(term_ids)).select(*cols)
+        schema = DECODED_POS_SCHEMA if include_positions else DECODED_SCHEMA
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
                 if len(b) == 0:
                     continue
                 outs = []
-                for tid, d, t, l in zip(
-                    b["term_id"].to_numpy(),
-                    b["doc_ids"],
-                    b["tfs"],
-                    b["dls"],
-                ):
-                    ids = codec.decode_doc_ids(bytes(d))
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "term_id": np.full(ids.size, tid, np.int64),
-                                "doc_id": ids,
-                                "tf": codec.decode_counts(bytes(t)).astype(np.int32),
-                                "dl": codec.decode_counts(bytes(l)).astype(np.int32),
-                            }
-                        )
-                    )
+                for row in b.itertuples(index=False):
+                    ids = codec.decode_doc_ids(bytes(row.doc_ids))
+                    tfs = codec.decode_counts(bytes(row.tfs))
+                    out = {
+                        "term_id": np.full(ids.size, row.term_id, np.int64),
+                        "doc_id": ids,
+                        "tf": tfs.astype(np.int32),
+                        "dl": codec.decode_counts(bytes(row.dls)).astype(np.int32),
+                    }
+                    if include_positions:
+                        flat = codec.decode_positions(tfs, bytes(row.positions))
+                        splits = np.cumsum(tfs)[:-1]
+                        out["positions"] = np.split(flat.astype(np.int32), splits)
+                    outs.append(pd.DataFrame(out))
                 yield pd.concat(outs, ignore_index=True)
 
-        return blocks.mapInPandas(decode, schema=DECODED_SCHEMA)
+        return blocks.mapInPandas(decode, schema=schema)
 
     # ------------------------------------------------------------------
     def search_terms(
@@ -205,6 +211,100 @@ class SearchEngine:
             )
             .select("doc_id", "term", "contrib")
         )
+
+    # ------------------------------------------------------------------
+    def phrase_docs(self, phrase_terms: list[str]) -> DataFrame:
+        """Docs containing the exact phrase (positional adjacency).
+
+        Reference: quoted phrases are verified by positional containment
+        (`Query.h:219-226`, `Matches.cpp:252`; SURVEY.md O5). Declarative
+        re-expression: for phrase slot i with term t_i, emit
+        (doc_id, slot=i, adj_pos = pos - i) from the positional postings;
+        a doc matches iff some adj_pos has ALL slots present --
+        ``groupBy(doc_id, adj_pos) having count(distinct slot) = n``.
+        Handles repeated terms in the phrase naturally (slots are distinct).
+        Returns a (doc_id) DataFrame.
+        """
+        n = len(phrase_terms)
+        if n == 0:
+            return self.spark.createDataFrame([], "doc_id long")
+        plan = self.plan_terms(phrase_terms)
+        if len(plan) < len(set(phrase_terms)):
+            return self.spark.createDataFrame([], "doc_id long")
+        tid_of = dict(zip(plan["term"], plan["term_id"]))
+        decoded = self.decoded_postings(
+            [int(t) for t in plan["term_id"]], include_positions=True
+        ).select("term_id", "doc_id", F.explode("positions").alias("pos"))
+        slot_map = F.array(
+            *[
+                F.struct(
+                    F.lit(int(tid_of[t])).alias("tid"), F.lit(i).alias("slot")
+                )
+                for i, t in enumerate(phrase_terms)
+            ]
+        )
+        slotted = (
+            decoded.withColumn(
+                "slots",
+                F.filter(slot_map, lambda s: s["tid"] == F.col("term_id")),
+            )
+            .select(
+                "doc_id",
+                F.explode("slots").alias("s"),
+                F.col("pos"),
+            )
+            .select(
+                "doc_id",
+                F.col("s.slot").alias("slot"),
+                (F.col("pos") - F.col("s.slot")).alias("adj_pos"),
+            )
+        )
+        return (
+            slotted.groupBy("doc_id", "adj_pos")
+            .agg(F.countDistinct("slot").alias("n_slots"))
+            .filter(F.col("n_slots") == n)
+            .select("doc_id")
+            .distinct()
+        )
+
+    def term_docs(self, term: str) -> DataFrame:
+        """Distinct doc_ids containing ``term`` (one termlist scan)."""
+        plan = self.plan_terms([term])
+        if plan.empty:
+            return self.spark.createDataFrame([], "doc_id long")
+        return (
+            self.decoded_postings([int(plan["term_id"].iloc[0])])
+            .select("doc_id")
+            .distinct()
+        )
+
+    def boolean_docs(self, dnf: list[list[str]]) -> DataFrame:
+        """Boolean retrieval in disjunctive normal form: OR of AND-clauses.
+
+        Reference: boolean grammar evaluated per-doc over termlist bit
+        vectors (`PosdbTable.cpp:5408` makeDocIdVoteBufForBoolQuery,
+        `Expression::isTruth`; SURVEY.md J3/O2). Spark re-expression: each
+        AND clause = chain of semi-joins on doc_id; OR = union + distinct.
+        A '-term' inside a clause is an anti-join (O3).
+        """
+        clause_frames = []
+        for clause in dnf:
+            pos = [t for t in clause if not t.startswith("-")]
+            neg = [t[1:] for t in clause if t.startswith("-")]
+            if not pos:
+                continue
+            frame = self.term_docs(pos[0])
+            for t in pos[1:]:
+                frame = frame.join(self.term_docs(t), "doc_id", "left_semi")
+            for t in neg:
+                frame = frame.join(self.term_docs(t), "doc_id", "left_anti")
+            clause_frames.append(frame)
+        if not clause_frames:
+            return self.spark.createDataFrame([], "doc_id long")
+        out = clause_frames[0]
+        for f in clause_frames[1:]:
+            out = out.unionByName(f)
+        return out.distinct()
 
     def _aggregate_scores(self, contrib: DataFrame) -> DataFrame:
         """Canonical-order float64 sum per doc: contributions sorted by term

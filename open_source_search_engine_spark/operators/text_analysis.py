@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+Generalizes the reference's per-doc text statistics (word counts
+`XmlDoc.cpp` getCountTable; language ID `GbLanguage.cpp:11`; spam/quality
+vectors `XmlDoc.cpp:19206`) into the standard corpus-curation suite:
+token counting, quality scoring, heuristic language ID, and document
+fingerprinting. Everything is JVM-side (split/filter/aggregate higher-order
+functions) so Catalyst keeps it in whole-stage codegen; md5-based pieces are
+oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import ASCII_SPLIT_REGEX
+from .dedup import shingles_expr_from_text, tokens_col
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "los", "las", "es", "que", "de", "un", "una", "por"],
+    "fr": ["le", "la", "les", "est", "que", "des", "un", "une", "dans", "pour"],
+}
+
+
+def token_count_col(text_col: str) -> Column:
+    """Whitespace-free token count (ascii tokenizer spec)."""
+    return F.size(tokens_col(F.col(text_col)))
+
+
+def bpe_ish_token_count_col(text_col: str) -> Column:
+    """BPE-ish token estimate: word tokens + ceil(chars/4) blending, the
+    standard cheap proxy when no tokenizer model is available. Deterministic
+    and SQL-expressible: greatest(words, ceil(length/4))."""
+    words = F.size(tokens_col(F.col(text_col)))
+    return F.greatest(
+        words, F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("int")
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, token count, mean token length,
+    stopword ratio, non-alnum (punct/space) character ratio.
+
+    The analog of the reference's density/spam signals (W3/W5), re-targeted
+    at corpus curation.
+    """
+    toks = tokens_col(F.col(text_col))
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in LANG_MARKERS["en"]) + ")"
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    alnum_chars = F.length(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9_]", "")
+    )
+    n_stop = F.expr(
+        f"size(filter(filter(split(lower({text_col}), '{ASCII_SPLIT_REGEX}'), "
+        f"t -> t <> ''), t -> array_contains({stop_arr}, t)))"
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(n_tokens > 0, (alnum_chars / n_tokens).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        F.when(n_tokens > 0, (n_stop / n_tokens).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        F.when(n_chars > 0, ((n_chars - alnum_chars) / n_chars).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("non_alnum_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword-marker hit
+    counts; 'und' (undetermined) when no marker hits. CJK detection by
+    unicode-range character presence.
+
+    Output: (doc_id, lang_pred, lang_score).
+    """
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "array(" + ",".join(f"'{w}'" for w in markers) + ")"
+        cols.append(
+            F.expr(
+                f"size(filter(filter(split(lower({text_col}), '{ASCII_SPLIT_REGEX}'), "
+                f"t -> t <> ''), t -> array_contains({arr}, t)))"
+            ).alias(f"hits_{lang}")
+        )
+    scored = docs.select("doc_id", F.col(text_col), *cols)
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    best_score = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
+    # priority: CJK chars -> zh; no marker hits -> und; else argmax with
+    # deterministic tie-break (language key ascending)
+    lang_pred = F.when(has_cjk, F.lit("zh")).when(best_score == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):
+        lang_pred = lang_pred.when(
+            F.col(f"hits_{lang}") == best_score, F.lit(lang)
+        )
+    return scored.select(
+        "doc_id",
+        lang_pred.alias("lang_pred"),
+        best_score.cast("long").alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", shingle_n: int = 5) -> DataFrame:
+    """Document fingerprint: min md5 over n-gram shingles (a one-hash MinHash
+    == winnowing's min-in-window for window = whole doc). Identical texts
+    and near-identical long texts collide; md5 makes it oracle-checkable.
+    Output: (doc_id, fingerprint). Docs shorter than n shingle to their full
+    token string.
+    """
+    sh = shingles_expr_from_text(text_col, shingle_n)
+    full = F.concat_ws(" ", tokens_col(F.col(text_col)))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.size(sh) > 0,
+            F.array_min(F.transform(sh, lambda s: F.md5(s))),
+        )
+        .otherwise(F.md5(full))
+        .alias("fingerprint"),
+    )

@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() in DuckDB at sf0.001, compare row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+def test_every_oracle_key_has_a_query():
+    qs = entry_mod.queries()
+    for k in ORACLE_KEYS:
+        assert k in qs
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_spark_matches_duckdb(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        name, len(spark_rows), len(duck_rows)
+    )
+    s = _rows(spark_rows, spark_cols)
+    d = _rows(duck_rows, duck_cols)
+    for i, (a, b) in enumerate(zip(s, d)):
+        assert a == b, (name, i, a, b)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["rank", "doc_id", "score", "matched"]
+
+
+def test_rows_only_queries_run(spark):
+    for name in ("lsh_ann", "simhash"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0
