@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the core capability the north rule names: inverted-index build
+throughput (turns/sec) over a deterministic synthetic transcript corpus
+(sources/transcripts.py) plus BM25 top-k latency against that index.
+Set OSSE_BENCH_TURNS to change corpus size (default 200_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from open_source_search_engine_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+    n_turns = int(os.environ.get("OSSE_BENCH_TURNS", "200000"))
+
+    spark = get_spark("osse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from open_source_search_engine_spark.catalog import Catalog
+    from open_source_search_engine_spark.entry import _ENGINES
+    from open_source_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+        transcripts_to_docs,
+    )
+    from open_source_search_engine_spark.operators.query import SearchEngine
+    from open_source_search_engine_spark.sources.transcripts import synth_transcripts
+
+    queries: dict[str, float] = {}
+    qfns = entry_mod.queries()
+
+    # ---- per-query latency over the driver's sf tables -------------------
+    # First call of any engine-backed query builds the index; time that
+    # separately so per-query numbers reflect serving latency.
+    t0 = time.time()
+    from open_source_search_engine_spark.entry import engine_for
+
+    engine_for(spark, sf_dir)
+    queries["index_build_sf"] = round(time.time() - t0, 4)
+
+    headline = [
+        "bm25_and", "bm25_or", "bm25_not", "bm25_stopwords", "wand",
+        "phrase", "boolean", "lang_filter_bm25", "term_stats",
+        "dedup_exact", "minhash", "jaccard_pairs", "simhash",
+        "cosine_topk", "lsh_ann", "quality", "lang_id", "fingerprint",
+        "token_counts", "events_window",
+    ]
+    for name in headline:
+        if name not in qfns:
+            continue
+        t0 = time.time()
+        qfns[name](spark, sf_dir).collect()
+        queries[name] = round(time.time() - t0, 4)
+
+    # ---- transcript-corpus build throughput (the north-rule metric) ------
+    wh = "/tmp/osse-bench-transcripts-wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = Catalog(spark, wh)
+    tr = synth_transcripts(spark, n_turns)
+    t0 = time.time()
+    build_index(
+        spark, cat, transcripts_to_docs(tr), IndexConfig(tokenizer_mode="ascii")
+    )
+    build_s = time.time() - t0
+    queries["transcript_build"] = round(build_s, 4)
+    turns_per_sec = n_turns / build_s
+
+    eng = SearchEngine(spark, cat, tokenizer_mode="ascii")
+    lat = []
+    for terms, mode in [
+        (["spark", "index"], "AND"),
+        (["query", "merge", "shard"], "AND"),
+        (["vector", "stream", "window"], "OR"),
+        (["the", "score"], "AND"),
+        (["rareterm_xyzzy"], "AND"),
+    ]:
+        t0 = time.time()
+        eng.search_terms(terms, mode, 10).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    queries["bm25_transcript_p50"] = round(p50, 4)
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extras": {
+                    "indexing_turns_per_sec": round(turns_per_sec, 1),
+                    "bench_corpus_turns": n_turns,
+                    "bm25_query_p50_sec": round(p50, 4),
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
