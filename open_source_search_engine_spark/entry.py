@@ -23,6 +23,7 @@ from .functions.bm25 import B_DEFAULT, K1_DEFAULT
 from .operators import dedup, similarity, text_analysis
 from .operators.index_build import IndexConfig, build_index
 from .operators.query import SearchEngine
+from .operators.wand import wand_search
 
 # --------------------------------------------------------------------------
 # engine cache: build the index once per (process, sf_dir)
@@ -286,9 +287,11 @@ def q_simhash(spark, sf_dir):
 
 
 def q_wand(spark, sf_dir):
-    # placeholder until the block-max WAND path lands; exact path meanwhile
+    # block-max WAND path: prunes block groups by upper bound, scores the
+    # survivors with the canonical formula -- rank-identical to the exact
+    # path (operators/wand.py), so it shares the exact path's SQL oracle
     eng = engine_for(spark, sf_dir)
-    return _ranked(eng.search_terms(["merge", "sort", "hash"], "AND", 10), 10)
+    return _ranked(wand_search(eng, ["merge", "sort", "hash"], "AND", 10), 10)
 
 
 QUERIES = {
@@ -314,6 +317,7 @@ QUERIES = {
     "events_window": q_events_window,
     "lsh_ann": q_lsh_ann,
     "simhash": q_simhash,
+    "wand": q_wand,
 }
 
 # --------------------------------------------------------------------------
@@ -390,6 +394,7 @@ ORACLES: dict[str, str] = {
     "bm25_or": _bm25_sql(["vector", "window", "stream"], 15, "OR"),
     "bm25_not": _bm25_sql(["spark"], 10, "AND", exclude=["vector"]),
     "bm25_stopwords": _bm25_sql(["the", "a"], 10, "AND"),
+    "wand": _bm25_sql(["merge", "sort", "hash"], 10, "AND"),
     "lang_filter_bm25": _bm25_sql(
         ["table"], 10, "AND",
         restrict="SELECT doc_id FROM documents WHERE lang = 'en'",

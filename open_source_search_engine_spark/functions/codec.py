@@ -25,12 +25,13 @@ _SEVEN = _U64(7)
 _MASK7 = _U64(0x7F)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of unsigned ints (< 2**64) to varbyte bytes."""
+def _vb_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte core: returns (uint8 output array, per-value byte
+    START offsets). Shared by the single-buffer and grouped encoders."""
     v = np.ascontiguousarray(values, dtype=_U64)
     n = v.size
     if n == 0:
-        return b""
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     # byte length per value: ceil(bitlen/7), minimum 1
     nbits = np.zeros(n, dtype=np.int64)
     tmp = v.copy()
@@ -53,7 +54,49 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     is_last = np.zeros(total, dtype=bool)
     is_last[ends - 1] = True
     out[~is_last] |= 0x80
+    return out, starts
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of unsigned ints (< 2**64) to varbyte bytes."""
+    out, _ = _vb_encode_arr(values)
     return out.tobytes()
+
+
+def varbyte_encode_groups(
+    values: np.ndarray, group_starts: np.ndarray
+) -> list[bytes]:
+    """Encode MANY groups' values in one vectorized pass.
+
+    ``values`` is the concatenation of all groups; ``group_starts`` the index
+    of each group's first value. One varbyte pass over everything, then the
+    byte buffer is sliced at group boundaries -- the per-group Python cost is
+    a single bytes slice (this is what makes posting-block encoding fast with
+    millions of (term, block) groups per build)."""
+    gs = np.asarray(group_starts, dtype=np.int64)
+    out, starts = _vb_encode_arr(values)
+    buf = out.tobytes()
+    if gs.size == 0:
+        return []
+    bounds = np.empty(gs.size + 1, dtype=np.int64)
+    bounds[:-1] = starts[gs] if starts.size else 0
+    bounds[-1] = len(buf)
+    return [buf[bounds[i]: bounds[i + 1]] for i in range(gs.size)]
+
+
+def delta_encode_groups(
+    sorted_values: np.ndarray, group_starts: np.ndarray
+) -> np.ndarray:
+    """Gap-encode concatenated per-group sorted arrays: within each group the
+    first value stays absolute, the rest become deltas."""
+    v = np.ascontiguousarray(sorted_values, dtype=_U64)
+    if v.size == 0:
+        return v
+    gaps = np.empty_like(v)
+    gaps[0] = v[0]
+    gaps[1:] = v[1:] - v[:-1]
+    gaps[group_starts] = v[group_starts]
+    return gaps
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

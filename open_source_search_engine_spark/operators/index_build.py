@@ -56,6 +56,7 @@ TOKENS_SCHEMA = T.StructType(
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
         T.StructField("block_id", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
@@ -166,40 +167,61 @@ def doc_length_col(mode: str = "unicode"):
     return _dl
 
 
-def _encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term_id, block_id) group -> one encoded posting-block row.
+def _encode_sorted_batch(
+    pdf: pd.DataFrame, store_positions: bool
+) -> pd.DataFrame:
+    """Encode MANY complete (term_id, block_id) groups at once.
 
-    The sorted-dump analog (`RdbDump.cpp:251` dumpTree writes key-sorted
-    lists); doc_ids sorted ascending inside the block, everything
-    delta+varbyte packed (codec.py).
+    ``pdf`` must be sorted by (term_id, block_id, doc_id) and contain only
+    whole groups. All per-group reductions are numpy ``reduceat``; all
+    varbyte packing is one shared pass + byte-slicing
+    (codec.varbyte_encode_groups) -- the sorted-dump analog
+    (`RdbDump.cpp:251` dumpTree writes key-sorted lists) with zero per-group
+    Python beyond a bytes slice.
     """
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    if pdf["positions"].iloc[0] is not None:
+    tid = pdf["term_id"].to_numpy(np.int64)
+    bid = pdf["block_id"].to_numpy(np.int64)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+    n = tid.size
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (tid[1:] != tid[:-1]) | (bid[1:] != bid[:-1])
+    gs = np.flatnonzero(new_grp)
+    ge = np.append(gs[1:], n)
+    if store_positions:
+        pos_lists = pdf["positions"].to_numpy()
         flat_pos = (
-            np.concatenate(pdf["positions"].to_numpy())
-            if len(pdf)
+            np.concatenate(pos_lists).astype(np.int64)
+            if n
             else np.empty(0, np.int64)
         )
-        pos_buf = codec.encode_positions(tfs, flat_pos.astype(np.int64))
+        # delta within each doc's position list: doc starts are absolute
+        doc_pos_starts = np.cumsum(tfs) - tfs
+        pos_gaps = codec.delta_encode_groups(flat_pos, doc_pos_starts)
+        # group boundaries in position space
+        pos_group_starts = doc_pos_starts[gs]
+        pos_bufs = codec.varbyte_encode_groups(pos_gaps, pos_group_starts)
     else:
-        pos_buf = b""
+        pos_bufs = [b""] * gs.size
     return pd.DataFrame(
         {
-            "term_id": [int(pdf["term_id"].iloc[0])],
-            "block_id": [int(pdf["block_id"].iloc[0])],
-            "n_docs": [len(pdf)],
-            "first_doc_id": [int(doc_ids[0])],
-            "last_doc_id": [int(doc_ids[-1])],
-            "block_max_tf": [int(tfs.max())],
-            "block_min_dl": [int(dls.min())],
-            "sum_tf": [int(tfs.sum())],
-            "doc_ids": [codec.encode_doc_ids(doc_ids)],
-            "tfs": [codec.encode_counts(tfs)],
-            "dls": [codec.encode_counts(dls)],
-            "positions": [pos_buf],
+            "term_id": tid[gs],
+            "term": pdf["term"].to_numpy()[gs],
+            "block_id": bid[gs],
+            "n_docs": (ge - gs).astype(np.int32),
+            "first_doc_id": doc_ids[gs],
+            "last_doc_id": doc_ids[ge - 1],
+            "block_max_tf": np.maximum.reduceat(tfs, gs).astype(np.int32),
+            "block_min_dl": np.minimum.reduceat(dls, gs).astype(np.int32),
+            "sum_tf": np.add.reduceat(tfs, gs),
+            "doc_ids": codec.varbyte_encode_groups(
+                codec.delta_encode_groups(doc_ids.astype(np.uint64), gs), gs
+            ),
+            "tfs": codec.varbyte_encode_groups(tfs, gs),
+            "dls": codec.varbyte_encode_groups(dls, gs),
+            "positions": pos_bufs,
         }
     )
 
@@ -207,24 +229,59 @@ def _encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
 def encode_postings(
     tokens: DataFrame, block_bits: int, store_positions: bool = True
 ) -> DataFrame:
-    """Token tuples -> compressed posting blocks, shuffled on the block key."""
+    """Token tuples -> compressed posting blocks.
+
+    ONE shuffle: range-repartition on (term_id, block_id) -- the north rule's
+    salted repartitioning: a heavy (stopword) term spans many block_ids, so
+    the range partitioner spreads it across partitions, while each
+    (term, block) group stays whole. Groups are then encoded by a STREAMING
+    mapInPandas over the sorted partition: thousands of groups per Arrow
+    batch, rows of a group that straddle a batch boundary are carried over
+    (partitions are sorted, so groups are contiguous).
+    """
     t = tokens.withColumn("term_id", term_id_col(F.col("term"))).withColumn(
         "block_id", block_id_col(F.col("doc_id"), block_bits)
     )
-    if not store_positions:
-        t = t.withColumn("positions", F.lit(None).cast(TOKENS_SCHEMA["positions"].dataType))
-    return t.groupBy("term_id", "block_id").applyInPandas(
-        _encode_block, schema=POSTINGS_SCHEMA
+    cols = ["term_id", "term", "block_id", "doc_id", "tf", "dl"] + (
+        ["positions"] if store_positions else []
+    )
+    sorted_tokens = (
+        t.select(*cols)
+        .repartitionByRange(F.col("term_id"), F.col("block_id"))
+        .sortWithinPartitions("term_id", "block_id", "doc_id")
     )
 
+    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if len(b) == 0:
+                continue
+            tid = b["term_id"].to_numpy(np.int64)
+            bid = b["block_id"].to_numpy(np.int64)
+            # hold back the (possibly incomplete) last group
+            last_mask = (tid == tid[-1]) & (bid == bid[-1])
+            cut = int(len(b) - last_mask.sum())
+            carry = b.iloc[cut:]
+            if cut:
+                yield _encode_sorted_batch(b.iloc[:cut], store_positions)
+        if carry is not None and len(carry):
+            yield _encode_sorted_batch(carry, store_positions)
 
-def build_term_stats(tokens: DataFrame) -> DataFrame:
-    """Exact document frequency per term (replaces the reference's RdbMap
-    page-count df ESTIMATE, `Posdb.cpp:301-353` getTermFreq; SURVEY.md A3)."""
-    return (
-        tokens.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        .withColumn("term_id", term_id_col(F.col("term")))
+    return sorted_tokens.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
+
+
+def term_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """Exact per-term document frequency from the postings table itself
+    (blocks partition a term's docs, so df = sum of block n_docs). Replaces
+    the reference's RdbMap page-count df ESTIMATE (`Posdb.cpp:301-353`
+    getTermFreq; SURVEY.md A3) with exact counts, and avoids a second
+    tokenize pass over the corpus."""
+    return postings.groupBy("term_id").agg(
+        F.first("term").alias("term"),
+        F.sum("n_docs").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
     )
 
 
@@ -257,19 +314,17 @@ def build_index(
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
     block_bits = pick_block_bits(n_docs, config.target_block_docs)
 
+    # one tokenize pass, one shuffle; postings land already range-partitioned
+    # and sorted by (term_id, block_id); term_stats derives from postings
     tokens = tokenize_docs(docs, config.tokenizer_mode)
-    term_stats = build_term_stats(tokens)
-    catalog.write_table(term_stats, "term_stats")
-
     postings = encode_postings(tokens, block_bits, config.store_positions)
-    catalog.write_table(
-        postings.repartitionByRange(F.col("term_id"), F.col("block_id"))
-        .sortWithinPartitions("term_id", "block_id"),
-        "postings",
-    )
+    catalog.write_table(postings, "postings")
+
+    postings = catalog.read_table("postings")
+    catalog.write_table(term_stats_from_postings(postings), "term_stats")
 
     n_terms = catalog.read_table("term_stats").count()
-    n_blocks = catalog.read_table("postings").count()
+    n_blocks = postings.count()
     corpus = spark.createDataFrame(
         [(n_docs, avgdl, block_bits, n_terms, n_blocks)],
         "n_docs long, avgdl double, block_bits int, n_terms long, n_blocks long",

@@ -1,0 +1,83 @@
+"""Block-max WAND gate: identical results to the exact path on every query
+tier (SURVEY.md §7.2.5 -- "selects with bounds, scores with the same
+canonical formula, so results are identical")."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_source_search_engine_spark.catalog import Catalog
+from open_source_search_engine_spark.operators.index_build import (
+    build_index,
+    transcripts_to_docs,
+)
+from open_source_search_engine_spark.operators.query import SearchEngine
+from open_source_search_engine_spark.operators.wand import (
+    pruning_stats,
+    wand_search,
+)
+from open_source_search_engine_spark.sources.transcripts import synth_transcripts
+
+N_TURNS = 1200
+
+QUERY_TIERS = [
+    (["the"], "OR", 10),
+    (["spark"], "AND", 10),
+    (["rareterm_xyzzy"], "AND", 10),
+    (["zz_not_in_corpus"], "AND", 10),
+    (["spark", "index"], "AND", 10),
+    (["the", "rareterm_xyzzy"], "AND", 10),
+    (["spark", "index", "query", "merge"], "AND", 20),
+    (["spark", "index"], "OR", 10),
+    (["rareterm_xyzzy", "zz_not_in_corpus"], "OR", 10),
+    (["the", "to", "spark"], "OR", 25),
+    (["the", "to", "and", "of", "a"], "AND", 15),
+    (["rareterm_xyzzy"], "OR", 500),
+    (["repeat"], "OR", 10),
+]
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wand-wh"))
+    catalog = Catalog(spark, wh)
+    build_index(spark, catalog, transcripts_to_docs(synth_transcripts(spark, N_TURNS)))
+    return SearchEngine(spark, catalog)
+
+
+@pytest.mark.parametrize("terms,mode,k", QUERY_TIERS)
+def test_wand_matches_exact(eng, terms, mode, k):
+    exact = [
+        (int(r["doc_id"]), float(r["score"]), int(r["matched"]))
+        for r in eng.search_terms(terms, mode=mode, k=k).collect()
+    ]
+    wand = [
+        (int(r["doc_id"]), float(r["score"]), int(r["matched"]))
+        for r in wand_search(eng, terms, mode=mode, k=k).collect()
+    ]
+    assert [w[0] for w in wand] == [e[0] for e in exact]
+    for (wd, ws, wm), (ed, es, em) in zip(wand, exact):
+        assert ws == pytest.approx(es, rel=1e-12, abs=1e-12), (wd, ws, es)
+        assert wm == em
+
+
+def test_wand_with_exclusion(eng):
+    exact = eng.search_terms(
+        ["spark"], "AND", 10, exclude_terms=["index"]
+    ).collect()
+    wand = wand_search(eng, ["spark"], "AND", 10, exclude_terms=["index"]).collect()
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact]
+
+
+def test_wand_small_phase_a(eng):
+    """Tiny phase-A budget forces the theta-pruning path in phase B."""
+    exact = eng.search_terms(["spark", "index"], "AND", 5).collect()
+    wand = wand_search(eng, ["spark", "index"], "AND", 5, phase_a_groups=1).collect()
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact]
+
+
+def test_and_presence_pruning_prunes(eng):
+    """A rare+rare conjunction must drop most block groups before decode."""
+    st = pruning_stats(eng, ["rareterm_xyzzy", "single"], "AND")
+    assert st["groups_total"] > 0
+    assert st["groups_surviving"] < st["groups_total"]
