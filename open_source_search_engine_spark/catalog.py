@@ -111,6 +111,25 @@ class Catalog:
     def append_table(self, df: DataFrame, name: str) -> None:
         self.write_table(df, name, mode="append")
 
+    def commit_data_dirs(
+        self, name: str, data_dirs: list[str], mode: str = "overwrite"
+    ) -> None:
+        """Register externally-written parquet directories as ONE atomic
+        snapshot commit (the RdbDump write-file-then-mark-readable contract,
+        `test/unit/PosdbTest.cpp:18-25`): resumable builds write per-partition
+        segment dirs first, then flip them visible here in a single commit."""
+        if self.use_iceberg:
+            df = self.spark.read.parquet(*data_dirs)
+            self.write_table(df, name, mode=mode)
+            return
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        parent = self._read_manifest(name)
+        dirs = list(data_dirs)
+        if mode == "append" and parent:
+            dirs = parent["data_dirs"] + dirs
+        self._commit(name, dirs, parent)
+
     def snapshot_id(self, name: str) -> str | None:
         if self.use_iceberg:
             row = self.spark.sql(

@@ -88,13 +88,29 @@ def _make_scorer(mode: str, k1: float, b: float, avgdl: float):
     as the exact path's array_sort fold)."""
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        subs = []
+        # decode, merging same-term sub-lists (a segmented/incremental build
+        # can leave several rows per (term, block); doc sets are disjoint, so
+        # a sorted merge is exact -- the posdbMerge_r analog, RdbList.cpp:2159)
+        by_term: dict[str, list] = {}
         for row in pdf.itertuples(index=False):
             ids = codec.decode_doc_ids(bytes(row.doc_ids))
             tfs = codec.decode_counts(bytes(row.tfs))
             dls = codec.decode_counts(bytes(row.dls))
-            subs.append((str(row.term), float(row.idf), ids, tfs, dls))
-        subs.sort(key=lambda s: s[0])
+            by_term.setdefault(str(row.term), [float(row.idf), [], [], []])
+            ent = by_term[str(row.term)]
+            ent[1].append(ids)
+            ent[2].append(tfs)
+            ent[3].append(dls)
+        subs = []
+        for term in sorted(by_term):
+            idf_v, idl, tfl, dll = by_term[term]
+            ids = np.concatenate(idl)
+            tfs = np.concatenate(tfl)
+            dls = np.concatenate(dll)
+            if len(idl) > 1:
+                order = np.argsort(ids, kind="mergesort")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            subs.append((term, idf_v, ids, tfs, dls))
         if mode == "AND":
             universe = subs[0][2]
             for s in subs[1:]:
