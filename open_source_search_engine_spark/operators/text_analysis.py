@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenizer import ASCII_SPLIT_REGEX
-from .dedup import shingles_expr_from_text, tokens_col
+from .dedup import shingles_expr, tokens_col, with_tokens
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -115,9 +115,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", shingle_n: int = 5) -> 
     Output: (doc_id, fingerprint). Docs shorter than n shingle to their full
     token string.
     """
-    sh = shingles_expr_from_text(text_col, shingle_n)
-    full = F.concat_ws(" ", tokens_col(F.col(text_col)))
-    return docs.select(
+    sh = shingles_expr("toks", shingle_n)
+    full = F.concat_ws(" ", F.col("toks"))
+    return with_tokens(docs, text_col).select(
         "doc_id",
         F.when(
             F.size(sh) > 0,

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule: >=0.8 between N and 4N).
+
+No real multi-node cluster exists in this sandbox, so per driver instruction
+the same job runs at two parallelism levels -- local[8] vs local[32] -- on
+the SAME pre-materialized parquet corpus, and we report throughput at both
+plus eff = throughput(32) / (4 * throughput(8)).
+
+Each level runs in a FRESH JVM (subprocess) so executor-thread count, shuffle
+partitions, and memory pools are really reconfigured.
+
+Usage: python scripts/scaling_bench.py [--turns 1000000] [--cpus 8,32]
+Child mode (internal): --child <corpus_dir> <cpus>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(corpus_dir: str, cpus: int) -> None:
+    from open_source_search_engine_spark.catalog import Catalog
+    from open_source_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+        transcripts_to_docs,
+    )
+    from open_source_search_engine_spark.operators.query import SearchEngine
+    from open_source_search_engine_spark.session import get_spark
+
+    wh = f"/tmp/osse-scale-wh-{cpus}"
+    shutil.rmtree(wh, ignore_errors=True)
+    spark = get_spark(
+        f"osse-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = Catalog(spark, wh)
+    tr = spark.read.parquet(corpus_dir)
+    n_turns = tr.count()
+
+    # untimed warmup: fork every Python worker + JIT the codegen paths so the
+    # timed run measures steady-state throughput, not per-JVM constants
+    from open_source_search_engine_spark.sources.transcripts import (
+        synth_transcripts,
+    )
+
+    warm_cat = Catalog(spark, wh + "-warm")
+    build_index(
+        spark,
+        warm_cat,
+        transcripts_to_docs(synth_transcripts(spark, 5000, partitions=cpus)),
+        IndexConfig(tokenizer_mode="ascii"),
+    )
+
+    t0 = time.time()
+    build_index(
+        spark, cat, transcripts_to_docs(tr), IndexConfig(tokenizer_mode="ascii")
+    )
+    build_s = time.time() - t0
+
+    eng = SearchEngine(spark, cat, tokenizer_mode="ascii")
+    lat = []
+    for terms, mode in [
+        (["spark", "index"], "AND"),
+        (["query", "merge", "shard"], "AND"),
+        (["vector", "stream", "window"], "OR"),
+        (["the", "score"], "AND"),
+        (["rareterm_xyzzy"], "AND"),
+    ]:
+        t0 = time.time()
+        eng.search_terms(terms, mode, 10).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "build_sec": round(build_s, 3),
+                "turns_per_sec": round(n_turns / build_s, 1),
+                "query_p50_sec": round(lat[len(lat) // 2], 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--child", nargs=2, metavar=("CORPUS", "CPUS"))
+    args = ap.parse_args()
+    if args.child:
+        child(args.child[0], int(args.child[1]))
+        return
+
+    corpus_dir = f"/tmp/osse-scale-corpus-{args.turns}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        from open_source_search_engine_spark.session import get_spark
+        from open_source_search_engine_spark.sources.transcripts import (
+            synth_transcripts,
+        )
+
+        spark = get_spark("osse-scale-gen")
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_transcripts(spark, args.turns).write.mode("overwrite").parquet(
+            corpus_dir
+        )
+        spark.stop()
+
+    results = {}
+    for c in [int(x) for x in args.cpus.split(",")]:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", corpus_dir, str(c)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("CHILD_RESULT ")
+        ]
+        if not line:
+            print(out.stdout[-3000:], out.stderr[-3000:])
+            sys.exit(1)
+        r = json.loads(line[0][len("CHILD_RESULT "):])
+        results[r["cpus"]] = r
+        print(json.dumps(r))
+
+    cl = sorted(results)
+    if len(cl) == 2:
+        lo, hi = results[cl[0]], results[cl[1]]
+        ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
+        ideal = cl[1] / cl[0]
+        eff = ratio / ideal
+        print(
+            json.dumps(
+                {
+                    "scaling": f"local[{cl[0]}] -> local[{cl[1]}]",
+                    "speedup": round(ratio, 3),
+                    "ideal": ideal,
+                    "efficiency": round(eff, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
