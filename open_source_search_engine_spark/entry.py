@@ -263,6 +263,58 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_snippet(spark, sf_dir):
+    # X12 SERP rendering: first-match window snippet + highlighting
+    from .operators.snippets import snippets
+
+    return (
+        snippets(documents(spark, sf_dir), ["merge", "vector"], before=3, width=7)
+        .select("doc_id", "first_pos", "snippet", "highlighted")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def q_events_range_agg(spark, sf_dir):
+    # F3/X9 numeric + time range predicates feeding an aggregation
+    ev = events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-02 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-05 00:00:00"))
+            & (F.col("value") >= 10.0)
+            & (F.col("value") < 900.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_bm25_paging(spark, sf_dir):
+    # T4 paging: page 2 (offset 10, size 10) of a BM25 ranking
+    eng = engine_for(spark, sf_dir)
+    page = _ranked(eng.search_terms(["table"], "AND", 20), 20)
+    return page.filter(F.col("rank") > 10).orderBy("rank")
+
+
+def q_bm25_source_cap(spark, sf_dir):
+    # A6 site-clustering cap: at most 2 results per source
+    # (`Msg3a.cpp:820-858`), re-ranked after the cap
+    eng = engine_for(spark, sf_dir)
+    docs = documents(spark, sf_dir).select("doc_id", "source")
+    scored = eng.search_terms(["scan"], "AND", 10_000_000).join(docs, "doc_id")
+    w_src = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    capped = scored.withColumn("rn", F.row_number().over(w_src)).filter(
+        F.col("rn") <= 2
+    )
+    return _ranked(capped.select("doc_id", "score", "matched"), 10)
+
+
 def q_events_window(spark, sf_dir):
     ev = events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -318,6 +370,10 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "simhash": q_simhash,
     "wand": q_wand,
+    "snippet": q_snippet,
+    "events_range_agg": q_events_range_agg,
+    "bm25_paging": q_bm25_paging,
+    "bm25_source_cap": q_bm25_source_cap,
 }
 
 # --------------------------------------------------------------------------
@@ -334,13 +390,13 @@ _DL = "dl AS (SELECT doc_id, len(toks) AS dl FROM toks)"
 _CORPUS = "corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)"
 
 
-def _bm25_sql(
+def _bm25_ctes(
     terms: list[str],
-    k: int,
     mode: str = "AND",
     exclude: list[str] | None = None,
     restrict: str | None = None,
 ) -> str:
+    """WITH-body up through the ``scored`` CTE (doc_id, s, matched)."""
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     k1, b = K1_DEFAULT, B_DEFAULT
     having = f"HAVING count(*) = {len(set(terms))}" if mode == "AND" else ""
@@ -352,8 +408,7 @@ def _bm25_sql(
             f"WHERE term IN ({exlist}))"
         )
     rs = f"AND tf.doc_id IN ({restrict})" if restrict else ""
-    return f"""
-WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+    return f"""{_TOKS}, {_TOK}, {_DL}, {_CORPUS},
 qdf AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM tok
   WHERE term IN ({tlist}) GROUP BY term
@@ -375,7 +430,18 @@ scored AS (
   WHERE 1=1 {ex} {rs}
   GROUP BY tf.doc_id
   {having}
-)
+)"""
+
+
+def _bm25_sql(
+    terms: list[str],
+    k: int,
+    mode: str = "AND",
+    exclude: list[str] | None = None,
+    restrict: str | None = None,
+) -> str:
+    return f"""
+WITH {_bm25_ctes(terms, mode, exclude, restrict)}
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM scored
@@ -537,6 +603,48 @@ SELECT doc_id,
             THEN list_aggregate(list_transform(shingles, s -> md5(s)), 'min')
             ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
 FROM sh ORDER BY doc_id LIMIT 100
+""",
+    "snippet": f"""
+WITH {_TOKS},
+m AS (
+  SELECT doc_id, toks,
+         list_min(list_filter(
+           [list_position(toks, 'merge'), list_position(toks, 'vector')],
+           p -> p > 0)) AS first_pos
+  FROM toks
+)
+SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+       array_to_string(toks[greatest(1, first_pos - 3): greatest(1, first_pos - 3) + 6], ' ') AS snippet,
+       array_to_string(list_transform(
+         toks[greatest(1, first_pos - 3): greatest(1, first_pos - 3) + 6],
+         t -> CASE WHEN list_contains(['merge', 'vector'], t)
+                   THEN '[' || t || ']' ELSE t END), ' ') AS highlighted
+FROM m WHERE first_pos IS NOT NULL ORDER BY doc_id LIMIT 100
+""",
+    "events_range_agg": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+  AND value >= 10.0 AND value < 900.0
+GROUP BY event_type ORDER BY event_type
+""",
+    "bm25_paging": f"""
+SELECT * FROM ({_bm25_sql(['table'], 20, 'AND')}) WHERE rank > 10 ORDER BY rank
+""",
+    "bm25_source_cap": f"""
+WITH {_bm25_ctes(['scan'], 'AND')},
+src AS (
+  SELECT s.doc_id, s.s, s.matched, d.source
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id ASC) AS rn
+  FROM src
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
 """,
     "events_window": """
 SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (

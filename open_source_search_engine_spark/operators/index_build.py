@@ -48,7 +48,10 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.IntegerType(), False),
-        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        # per-(doc, term) positions ALREADY delta+varbyte encoded: binary
+        # shuffles ~5x cheaper than Arrow list<int>, and a block's position
+        # stream is the plain byte-concatenation of its docs' streams
+        T.StructField("positions", T.BinaryType(), False),
         T.StructField("dl", T.IntegerType(), False),
     ]
 )
@@ -137,12 +140,13 @@ def tokenize_docs(docs: DataFrame, mode: str = "unicode") -> DataFrame:
             new_group[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
             g_starts = np.flatnonzero(new_group)
             tf = np.diff(np.append(g_starts, d_s.size)).astype(np.int32)
+            pos_gaps = codec.delta_encode_groups(p_s.astype(np.uint64), g_starts)
             out = pd.DataFrame(
                 {
                     "doc_id": doc_ids[d_s[g_starts]],
                     "term": np.asarray(uniques)[c_s[g_starts]],
                     "tf": tf,
-                    "positions": np.split(p_s.astype(np.int32), g_starts[1:]),
+                    "positions": codec.varbyte_encode_groups(pos_gaps, g_starts),
                     "dl": dls[d_s[g_starts]].astype(np.int32),
                 }
             )
@@ -191,18 +195,17 @@ def _encode_sorted_batch(
     gs = np.flatnonzero(new_grp)
     ge = np.append(gs[1:], n)
     if store_positions:
-        pos_lists = pdf["positions"].to_numpy()
-        flat_pos = (
-            np.concatenate(pos_lists).astype(np.int64)
-            if n
-            else np.empty(0, np.int64)
-        )
-        # delta within each doc's position list: doc starts are absolute
-        doc_pos_starts = np.cumsum(tfs) - tfs
-        pos_gaps = codec.delta_encode_groups(flat_pos, doc_pos_starts)
-        # group boundaries in position space
-        pos_group_starts = doc_pos_starts[gs]
-        pos_bufs = codec.varbyte_encode_groups(pos_gaps, pos_group_starts)
+        # per-row buffers are already delta+varbyte (doc-start absolute), and
+        # varbyte is per-value, so a block's stream is the byte concatenation
+        # of its rows' buffers -- one join + per-group slicing, no re-encode
+        bufs = pdf["positions"].to_numpy()
+        lens = np.fromiter((len(x) for x in bufs), np.int64, n)
+        all_bytes = b"".join(bufs)
+        byte_ends = np.cumsum(lens)
+        byte_starts = byte_ends - lens
+        pos_bufs = [
+            all_bytes[byte_starts[g]: byte_ends[e - 1]] for g, e in zip(gs, ge)
+        ]
     else:
         pos_bufs = [b""] * gs.size
     return pd.DataFrame(
@@ -245,9 +248,13 @@ def encode_postings(
     cols = ["term_id", "term", "block_id", "doc_id", "tf", "dl"] + (
         ["positions"] if store_positions else []
     )
+    # hash repartition, NOT repartitionByRange: range partitioning runs a
+    # boundary-sampling job that would re-execute the whole tokenize stage.
+    # Rows stay sorted by (term_id, block_id) WITHIN each partition, so
+    # parquet row-group min/max stats still prune term_id scans tightly.
     sorted_tokens = (
         t.select(*cols)
-        .repartitionByRange(F.col("term_id"), F.col("block_id"))
+        .repartition(F.col("term_id"), F.col("block_id"))
         .sortWithinPartitions("term_id", "block_id", "doc_id")
     )
 
@@ -299,6 +306,12 @@ def build_index(
     config = config or IndexConfig()
     t0 = time.time()
 
+    # small inputs (few parquet splits) must not serialize the map stages:
+    # fan out to at least the cluster's parallelism before the heavy UDFs
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 2)
+
     docs = docs.withColumn("dl", doc_length_col(config.tokenizer_mode)(F.col("text")))
     catalog.write_table(docs, "documents")
     docs = catalog.read_table("documents")
@@ -308,17 +321,24 @@ def build_index(
     if dup:
         raise ValueError("doc_id collision detected; rehash with a salt")
 
+    # avgdl = exact integer sum / count, NOT F.avg: double summation order
+    # varies with partitioning, and rank identity needs bit-stable avgdl
     stats_row = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
-    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
+    n_docs = int(stats_row["n_docs"])
+    avgdl = (int(stats_row["sum_dl"] or 0) / n_docs) if n_docs else 0.0
     block_bits = pick_block_bits(n_docs, config.target_block_docs)
 
     # one tokenize pass, one shuffle; postings land already range-partitioned
     # and sorted by (term_id, block_id); term_stats derives from postings
     tokens = tokenize_docs(docs, config.tokenizer_mode)
     postings = encode_postings(tokens, block_bits, config.store_positions)
-    catalog.write_table(postings, "postings")
+    # seg_seq 0 = initial build; incremental updates append higher sequences
+    # (operators/updates.py -- the negative-key versioning)
+    catalog.write_table(
+        postings.withColumn("seg_seq", F.lit(0).cast("long")), "postings"
+    )
 
     postings = catalog.read_table("postings")
     catalog.write_table(term_stats_from_postings(postings), "term_stats")

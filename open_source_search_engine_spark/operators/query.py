@@ -46,6 +46,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("dl", T.IntegerType(), False),
+        T.StructField("seg_seq", T.LongType(), False),
     ]
 )
 
@@ -79,7 +80,18 @@ class SearchEngine:
         self.avgdl = float(row["avgdl"])
         self.block_bits = int(row["block_bits"])
         self._postings = catalog.read_table("postings")
+        if "seg_seq" not in self._postings.columns:
+            self._postings = self._postings.withColumn(
+                "seg_seq", F.lit(0).cast("long")
+            )
         self._term_stats = catalog.read_table("term_stats")
+        # ranged tombstones from incremental updates (operators/updates.py):
+        # ignore a doc's postings from segments with seg_seq <= upto_seq
+        if catalog.table_exists("tombstones"):
+            t = catalog.read_table("tombstones")
+            self._tombstones = t if t.limit(1).count() else None
+        else:
+            self._tombstones = None
 
     # ------------------------------------------------------------------
     def plan_terms(self, query_terms: list[str]) -> pd.DataFrame:
@@ -111,7 +123,7 @@ class SearchEngine:
     ) -> DataFrame:
         """Partition-pruned scan of the query terms' blocks, decoded back to
         (term_id, doc_id, tf, dl[, positions]) rows via an Arrow UDF."""
-        cols = ["term_id", "doc_ids", "tfs", "dls"] + (
+        cols = ["term_id", "seg_seq", "doc_ids", "tfs", "dls"] + (
             ["positions"] if include_positions else []
         )
         blocks = self._postings.filter(F.col("term_id").isin(term_ids)).select(*cols)
@@ -130,6 +142,7 @@ class SearchEngine:
                         "doc_id": ids,
                         "tf": tfs.astype(np.int32),
                         "dl": codec.decode_counts(bytes(row.dls)).astype(np.int32),
+                        "seg_seq": np.full(ids.size, row.seg_seq, np.int64),
                     }
                     if include_positions:
                         flat = codec.decode_positions(tfs, bytes(row.positions))
@@ -138,7 +151,18 @@ class SearchEngine:
                     outs.append(pd.DataFrame(out))
                 yield pd.concat(outs, ignore_index=True)
 
-        return blocks.mapInPandas(decode, schema=schema)
+        decoded = blocks.mapInPandas(decode, schema=schema)
+        if self._tombstones is not None:
+            t = F.broadcast(self._tombstones)
+            decoded = (
+                decoded.join(t, "doc_id", "left_outer")
+                .filter(
+                    F.col("upto_seq").isNull()
+                    | (F.col("seg_seq") > F.col("upto_seq"))
+                )
+                .drop("upto_seq")
+            )
+        return decoded
 
     # ------------------------------------------------------------------
     def search_terms(

@@ -124,9 +124,10 @@ def resumable_build(
     docs = catalog.read_table("documents")
 
     stats_row = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
-    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0)
+    n_docs = int(stats_row["n_docs"])
+    avgdl = (int(stats_row["sum_dl"] or 0) / n_docs) if n_docs else 0.0
     block_bits = pick_block_bits(n_docs, config.target_block_docs)
 
     fps = _fingerprints(docs, n_partitions)
@@ -160,7 +161,9 @@ def resumable_build(
         tp = time.time()
         part_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_partitions)) == p)
         tokens = tokenize_docs(part_docs, config.tokenizer_mode)
-        postings = encode_postings(tokens, block_bits, config.store_positions)
+        postings = encode_postings(
+            tokens, block_bits, config.store_positions
+        ).withColumn("seg_seq", F.lit(0).cast("long"))
         postings.write.mode("overwrite").parquet(seg_dir)
         elapsed = time.time() - tp
         seg_bytes = _dir_bytes(seg_dir)
@@ -214,10 +217,17 @@ def resumable_build(
     )
 
 
-def merge_postings(spark: SparkSession, catalog: Catalog) -> int:
+def merge_postings(
+    spark: SparkSession,
+    catalog: Catalog,
+    tombstone_df: DataFrame | None = None,
+) -> int:
     """Compaction: merge multi-segment postings so each (term_id, block_id)
     is one row again (the RdbMerge analog, `RdbMerge.cpp:53`; Iceberg:
-    rewrite_data_files). Returns the file-set fan-in that was merged."""
+    rewrite_data_files), annihilating tombstoned postings on the way
+    (`RdbList.cpp:2159` posdbMerge_r removeNegKeys). A posting survives iff
+    NOT (its doc_id is tombstoned AND its segment seg_seq <= upto_seq).
+    Output rows all carry seg_seq 0. Returns the file-set fan-in merged."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -227,72 +237,145 @@ def merge_postings(spark: SparkSession, catalog: Catalog) -> int:
     from .index_build import POSTINGS_SCHEMA
 
     postings = catalog.read_table("postings")
+    if "seg_seq" not in postings.columns:
+        postings = postings.withColumn("seg_seq", F.lit(0).cast("long"))
     fan_in = len(catalog.data_dirs("postings"))
+    tomb_map: dict[int, int] = {}
+    if tombstone_df is not None:
+        tomb_map = {
+            int(r["doc_id"]): int(r["upto_seq"]) for r in tombstone_df.collect()
+        }
+    btomb = spark.sparkContext.broadcast(tomb_map)
+
+    def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        """pdf: whole groups, sorted by (term_id, block_id)."""
+        tombs = btomb.value
+        recs = []
+        tid_a = pdf["term_id"].to_numpy(np.int64)
+        bid_a = pdf["block_id"].to_numpy(np.int64)
+        n = len(pdf)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (tid_a[1:] != tid_a[:-1]) | (bid_a[1:] != bid_a[:-1])
+        gs = np.flatnonzero(new_grp)
+        ge = np.append(gs[1:], n)
+        rows = list(pdf.itertuples(index=False))
+        for g0, g1 in zip(gs, ge):
+            grp = rows[g0:g1]
+            ids_l, tfs_l, dls_l, pos_l, seg_l = [], [], [], [], []
+            for r in grp:
+                ids = codec.decode_doc_ids(bytes(r.doc_ids))
+                tfs = codec.decode_counts(bytes(r.tfs))
+                dls = codec.decode_counts(bytes(r.dls))
+                pos = (
+                    codec.decode_positions(tfs, bytes(r.positions))
+                    if len(bytes(r.positions))
+                    else np.empty(0, np.int64)
+                )
+                ids_l.append(ids)
+                tfs_l.append(tfs)
+                dls_l.append(dls)
+                pos_l.append(pos)
+                seg_l.append(np.full(ids.size, int(r.seg_seq), np.int64))
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            segs = np.concatenate(seg_l)
+            has_pos = any(p.size for p in pos_l)
+            if tombs:
+                keep = np.array(
+                    [
+                        not (d in tombs and s <= tombs[d])
+                        for d, s in zip(ids.tolist(), segs.tolist())
+                    ],
+                    dtype=bool,
+                )
+            else:
+                keep = np.ones(ids.size, dtype=bool)
+            if not keep.any():
+                continue
+            # flat position slices per posting (needed to reorder/drop)
+            if has_pos:
+                starts_l = [np.cumsum(t) - t for t in tfs_l]
+                slices = []
+                for li in range(len(grp)):
+                    st = starts_l[li]
+                    for j in range(ids_l[li].size):
+                        slices.append(
+                            pos_l[li][st[j]: st[j] + tfs_l[li][j]]
+                        )
+            order = np.argsort(ids[keep], kind="mergesort")
+            kidx = np.flatnonzero(keep)[order]
+            ids_s, tfs_s, dls_s = ids[kidx], tfs[kidx], dls[kidx]
+            if ids_s.size > 1 and (np.diff(ids_s) == 0).any():
+                raise ValueError(
+                    "duplicate doc_id survived annihilation -- tombstones "
+                    "must cover every prior version of an upserted doc"
+                )
+            r0 = grp[0]
+            recs.append(
+                {
+                    "term_id": int(r0.term_id),
+                    "term": str(r0.term),
+                    "block_id": int(r0.block_id),
+                    "n_docs": int(ids_s.size),
+                    "first_doc_id": int(ids_s[0]),
+                    "last_doc_id": int(ids_s[-1]),
+                    "block_max_tf": int(tfs_s.max()),
+                    "block_min_dl": int(dls_s.min()),
+                    "sum_tf": int(tfs_s.sum()),
+                    "doc_ids": codec.encode_doc_ids(ids_s),
+                    "tfs": codec.encode_counts(tfs_s),
+                    "dls": codec.encode_counts(dls_s),
+                    "positions": (
+                        codec.encode_positions(
+                            tfs_s,
+                            np.concatenate([slices[i] for i in kidx])
+                            if ids_s.size
+                            else np.empty(0, np.int64),
+                        )
+                        if has_pos
+                        else b""
+                    ),
+                }
+            )
+        if not recs:
+            return None
+        out = pd.DataFrame(recs)
+        return out.astype(
+            {
+                "n_docs": "int32",
+                "block_max_tf": "int32",
+                "block_min_dl": "int32",
+            }
+        )
 
     def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import collections
-
-        def flush(groups: collections.OrderedDict) -> pd.DataFrame:
-            out = collections.defaultdict(list)
-            for (tid, bid), rows in groups.items():
-                ids = np.concatenate([codec.decode_doc_ids(bytes(r.doc_ids)) for r in rows])
-                tfs = np.concatenate([codec.decode_counts(bytes(r.tfs)) for r in rows])
-                dls = np.concatenate([codec.decode_counts(bytes(r.dls)) for r in rows])
-                pos_parts = []
-                for r in rows:
-                    t = codec.decode_counts(bytes(r.tfs))
-                    pos_parts.append(codec.decode_positions(t, bytes(r.positions)))
-                order = np.argsort(ids, kind="mergesort")
-                ids_s, tfs_s, dls_s = ids[order], tfs[order], dls[order]
-                # re-order flattened positions by doc
-                starts = np.cumsum(tfs) - tfs
-                flat = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
-                pos_sorted = (
-                    np.concatenate(
-                        [flat[starts[i]: starts[i] + tfs[i]] for i in order]
-                    )
-                    if flat.size
-                    else flat
-                )
-                out["term_id"].append(tid)
-                out["term"].append(rows[0].term)
-                out["block_id"].append(bid)
-                out["n_docs"].append(len(ids_s))
-                out["first_doc_id"].append(int(ids_s[0]))
-                out["last_doc_id"].append(int(ids_s[-1]))
-                out["block_max_tf"].append(int(tfs_s.max()))
-                out["block_min_dl"].append(int(dls_s.min()))
-                out["sum_tf"].append(int(tfs_s.sum()))
-                out["doc_ids"].append(codec.encode_doc_ids(ids_s))
-                out["tfs"].append(codec.encode_counts(tfs_s))
-                out["dls"].append(codec.encode_counts(dls_s))
-                out["positions"].append(
-                    codec.encode_positions(tfs_s, pos_sorted) if flat.size else b""
-                )
-            return pd.DataFrame(out)
-
-        import collections as _c
-
-        groups: _c.OrderedDict = _c.OrderedDict()
+        carry: pd.DataFrame | None = None
         for b in batches:
-            for row in b.itertuples(index=False):
-                groups.setdefault((int(row.term_id), int(row.block_id)), []).append(row)
-            # flush all but the last group (sorted partitions => contiguous)
-            if len(groups) > 1:
-                keys = list(groups)[:-1]
-                done = _c.OrderedDict((k, groups.pop(k)) for k in keys)
-                pdf = flush(done)
-                if len(pdf):
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if len(b) == 0:
+                continue
+            tid = b["term_id"].to_numpy(np.int64)
+            bid = b["block_id"].to_numpy(np.int64)
+            last_mask = (tid == tid[-1]) & (bid == bid[-1])
+            cut = int(len(b) - last_mask.sum())
+            carry = b.iloc[cut:]
+            if cut:
+                pdf = _merge_groups(b.iloc[:cut])
+                if pdf is not None:
                     yield pdf
-        if groups:
-            pdf = flush(groups)
-            if len(pdf):
+        if carry is not None and len(carry):
+            pdf = _merge_groups(carry)
+            if pdf is not None:
                 yield pdf
 
     merged = (
-        postings.repartitionByRange(F.col("term_id"), F.col("block_id"))
-        .sortWithinPartitions("term_id", "block_id")
+        postings.repartition(F.col("term_id"), F.col("block_id"))
+        .sortWithinPartitions("term_id", "block_id", "seg_seq")
         .mapInPandas(merge_stream, schema=POSTINGS_SCHEMA)
+        .withColumn("seg_seq", F.lit(0).cast("long"))
     )
     catalog.write_table(merged, "postings")
     return fan_in

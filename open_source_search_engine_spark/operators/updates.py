@@ -1,0 +1,187 @@
+"""Incremental document updates & deletes (the negative-key rebuild).
+
+Reference: a delete is a posting key with the delbit cleared; positive and
+negative keys annihilate in the memtable and at merge (`Rdb.h:73-85`,
+`Posdb.h:224-226` makeDeleteDocKey, `RdbList.cpp:2159`
+posdbMerge_r(removeNegKeys); SURVEY.md O6, §2.9). A re-added doc first
+deletes its old keys then adds new ones; queries see tree+files merged at
+read (`Msg5.cpp:139`), so updates are visible BEFORE compaction.
+
+Spark-first re-expression -- sequence-versioned segments + ranged tombstones:
+
+* every posting segment carries a ``seg_seq`` (0 = initial build; each
+  apply_updates appends a segment with the next sequence).
+* a tombstone is ``(doc_id, upto_seq)``: ignore this doc's postings from any
+  segment with seg_seq <= upto_seq. Upsert => tombstone at the current max
+  sequence + new postings in the next; delete => tombstone only. This is
+  EXACTLY the negative-key contract: the pair (tombstone, new postings)
+  annihilates the old version at read time, row-locally (no cross-row state
+  needed during decode -- each posting row knows its seg_seq).
+* term_stats / corpus_stats are maintained by DELTA: old text tokenized with
+  negative counts, new text with positive counts, merge-summed -- exact
+  without a full recount (the annihilation idea applied to statistics).
+* ``compact_updates`` = RdbMerge: drops tombstoned (doc, seq<=upto) postings
+  physically, merges each (term_id, block_id) back to one row at seg_seq 0,
+  clears tombstones.
+
+Identity gate (tests): after updates (both before AND after compaction),
+query results are rank-identical to a fresh build of the edited corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.hashing import SIGN_MASK
+from .index_build import (
+    IndexConfig,
+    doc_length_col,
+    encode_postings,
+    tokenize_docs,
+)
+
+TOMBSTONES_SCHEMA = "doc_id long, upto_seq long"
+
+
+def tombstones(spark: SparkSession, catalog: Catalog) -> DataFrame:
+    if catalog.table_exists("tombstones"):
+        return catalog.read_table("tombstones")
+    return spark.createDataFrame([], TOMBSTONES_SCHEMA)
+
+
+def max_seg_seq(catalog: Catalog) -> int:
+    if catalog.table_exists("index_meta"):
+        return int(catalog.read_table("index_meta").collect()[0]["max_seg"])
+    return 0
+
+
+def apply_updates(
+    spark: SparkSession,
+    catalog: Catalog,
+    upserts: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Apply upserts (rows with doc_id + text; new or replacing) and deletes
+    (doc_id column) to a built index. Visible to queries immediately --
+    compaction is optional housekeeping."""
+    config = config or IndexConfig()
+    docs = catalog.read_table("documents")
+    corpus = catalog.read_table("corpus_stats").collect()[0]
+    block_bits = int(corpus["block_bits"])
+    cur_seq = max_seg_seq(catalog)
+    new_seq = cur_seq + 1
+
+    if upserts is None:
+        upserts = spark.createDataFrame([], docs.schema)
+    delete_ids = (
+        delete_ids if delete_ids is not None else spark.createDataFrame([], "doc_id long")
+    )
+    up_ids = upserts.select("doc_id").distinct()
+    del_ids = delete_ids.select("doc_id").distinct()
+    gone_ids = up_ids.unionByName(del_ids).distinct()
+
+    old_docs = docs.join(gone_ids, "doc_id", "left_semi")
+    n_old = old_docs.count()
+    upserts = upserts.withColumn(
+        "dl", doc_length_col(config.tokenizer_mode)(F.col("text"))
+    )
+    n_new = upserts.count()
+
+    # ---- stats deltas: negative keys for old text, positive for new ------
+    neg = tokenize_docs(old_docs, config.tokenizer_mode).select(
+        "term", F.lit(-1).alias("ddf"), (-F.col("tf")).cast("long").alias("dcf")
+    )
+    pos = tokenize_docs(upserts, config.tokenizer_mode).select(
+        "term", F.lit(1).alias("ddf"), F.col("tf").cast("long").alias("dcf")
+    )
+    delta = (
+        neg.unionByName(pos)
+        .groupBy("term")
+        .agg(F.sum("ddf").alias("ddf"), F.sum("dcf").alias("dcf"))
+    )
+    ts = catalog.read_table("term_stats")
+    new_ts = (
+        ts.join(delta, "term", "full_outer")
+        .select(
+            F.coalesce(
+                "term_id", F.xxhash64("term").bitwiseAND(F.lit(SIGN_MASK))
+            ).alias("term_id"),
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0)))
+            .cast("long")
+            .alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0)))
+            .cast("long")
+            .alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )
+
+    # ---- documents table: drop old versions, add new ---------------------
+    new_docs = docs.join(gone_ids, "doc_id", "left_anti").unionByName(
+        upserts.select(*docs.columns)
+    )
+    catalog.write_table(new_docs, "documents")
+    catalog.write_table(new_ts, "term_stats")
+
+    # ---- tombstones: annihilate every prior version ----------------------
+    new_tombs = gone_ids.withColumn("upto_seq", F.lit(cur_seq).cast("long"))
+    catalog.write_table(
+        tombstones(spark, catalog)
+        .unionByName(new_tombs)
+        .groupBy("doc_id")
+        .agg(F.max("upto_seq").alias("upto_seq")),
+        "tombstones",
+    )
+
+    # ---- delta posting segment at the new sequence -----------------------
+    fresh = catalog.read_table("documents").join(up_ids, "doc_id", "left_semi")
+    delta_postings = encode_postings(
+        tokenize_docs(fresh, config.tokenizer_mode), block_bits, config.store_positions
+    ).withColumn("seg_seq", F.lit(new_seq).cast("long"))
+    catalog.append_table(delta_postings, "postings")
+    catalog.write_table(
+        spark.createDataFrame([(new_seq,)], "max_seg long"), "index_meta"
+    )
+
+    # ---- corpus stats -----------------------------------------------------
+    stats = (
+        catalog.read_table("documents")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    n_blocks = catalog.read_table("postings").count()
+    n_terms = catalog.read_table("term_stats").count()
+    n_docs = int(stats["n"])
+    avgdl = (int(stats["s"] or 0) / n_docs) if n_docs else 0.0
+    catalog.write_table(
+        spark.createDataFrame(
+            [(n_docs, avgdl, block_bits, n_terms, n_blocks)],
+            "n_docs long, avgdl double, block_bits int, n_terms long, n_blocks long",
+        ),
+        "corpus_stats",
+    )
+    return {"upserted": n_new, "replaced_or_deleted": n_old, "seg_seq": new_seq}
+
+
+def compact_updates(spark: SparkSession, catalog: Catalog) -> int:
+    """RdbMerge annihilation pass: drop tombstoned postings physically,
+    merge every (term_id, block_id) back to one row, reset sequences,
+    clear tombstones. Returns the number of tombstones cleared."""
+    from .resumable import merge_postings
+
+    tombs = tombstones(spark, catalog)
+    n_tombs = tombs.count()
+    # annihilation must look INSIDE blocks (a block's doc_ids are packed):
+    # the decode-merge-encode pass applies the tombstone set row-locally
+    merge_postings(spark, catalog, tombstone_df=tombs)
+    catalog.write_table(
+        spark.createDataFrame([], TOMBSTONES_SCHEMA), "tombstones"
+    )
+    catalog.write_table(
+        spark.createDataFrame([(0,)], "max_seg long"), "index_meta"
+    )
+    return n_tombs

@@ -81,7 +81,9 @@ def _ub_col(k1: float, b: float, avgdl: float):
     )
 
 
-def _make_scorer(mode: str, k1: float, b: float, avgdl: float):
+def _make_scorer(
+    mode: str, k1: float, b: float, avgdl: float, tombs: dict[int, int] | None = None
+):
     """applyInPandas scorer for one block group: decode sub-lists, build the
     doc universe (intersection for AND, union for OR), accumulate per-term
     contributions in term-string-ascending order (same float64 add sequence
@@ -96,6 +98,16 @@ def _make_scorer(mode: str, k1: float, b: float, avgdl: float):
             ids = codec.decode_doc_ids(bytes(row.doc_ids))
             tfs = codec.decode_counts(bytes(row.tfs))
             dls = codec.decode_counts(bytes(row.dls))
+            if tombs:
+                seg = int(row.seg_seq)
+                keep = np.array(
+                    [not (d in tombs and seg <= tombs[d]) for d in ids.tolist()],
+                    dtype=bool,
+                )
+                if not keep.all():
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if ids.size == 0:
+                    continue
             by_term.setdefault(str(row.term), [float(row.idf), [], [], []])
             ent = by_term[str(row.term)]
             ent[1].append(ids)
@@ -172,15 +184,23 @@ def wand_search(
 
     meta = spark.createDataFrame(plan[["term_id", "term", "idf"]])
     term_ids = [int(t) for t in plan["term_id"]]
+    tombs: dict[int, int] | None = None
+    if engine._tombstones is not None:
+        tombs = {
+            int(r["doc_id"]): int(r["upto_seq"])
+            for r in engine._tombstones.collect()
+        }
     q_blocks = (
         engine._postings.filter(F.col("term_id").isin(term_ids))
         .select(
             "term_id", "block_id", "block_max_tf", "block_min_dl",
-            "doc_ids", "tfs", "dls",
+            "seg_seq", "doc_ids", "tfs", "dls",
         )
         .join(F.broadcast(meta), "term_id")
         .withColumn("ub", _ub_col(k1, b, avgdl))
-        .select("block_id", "term", "idf", "ub", "doc_ids", "tfs", "dls")
+        .select(
+            "block_id", "term", "idf", "ub", "seg_seq", "doc_ids", "tfs", "dls"
+        )
     )
     q_blocks = q_blocks.persist()
     try:
@@ -192,8 +212,8 @@ def wand_search(
             gmeta = gmeta.filter(F.col("n_present") == len(plan))
         gmeta = gmeta.persist()
 
-        scorer = _make_scorer(mode, k1, b, avgdl)
-        group_cols = ["term", "idf", "doc_ids", "tfs", "dls"]
+        scorer = _make_scorer(mode, k1, b, avgdl, tombs)
+        group_cols = ["term", "idf", "seg_seq", "doc_ids", "tfs", "dls"]
 
         def score_groups(sel: DataFrame) -> DataFrame:
             return (

@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep post-shuffle parallelism >= core count at small data sizes
+        # (the 64m default coalesces a GB-scale build to ~8 tasks; at PB
+        # scale raise via env -- partitions are sized by bytes either way)
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("OSSE_ADVISORY_PARTITION_BYTES", "16m"),
+        )
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("OSSE_MAX_PARTITION_BYTES", "32m"),
+        )
         # Arrow everywhere: the pandas UDF hot paths depend on it
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

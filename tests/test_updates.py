@@ -1,0 +1,138 @@
+"""Incremental update/delete gates (SURVEY.md O6 / §2.9): after upserts and
+deletes, queries are rank-identical to a FRESH build of the edited corpus --
+both before compaction (tombstone-filtered read) and after (physical
+annihilation). term_stats maintained by delta must equal a full recount."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.catalog import Catalog
+from open_source_search_engine_spark.operators.index_build import (
+    build_index,
+    transcripts_to_docs,
+)
+from open_source_search_engine_spark.operators.query import SearchEngine
+from open_source_search_engine_spark.operators.updates import (
+    apply_updates,
+    compact_updates,
+)
+from open_source_search_engine_spark.operators.wand import wand_search
+from open_source_search_engine_spark.sources.transcripts import synth_transcripts
+
+N_TURNS = 600
+
+QUERIES = [
+    (["spark", "index"], "AND", 10),
+    (["the", "to", "spark"], "OR", 25),
+    (["freshterm_qq"], "AND", 10),
+    (["rareterm_xyzzy"], "OR", 10),
+]
+
+
+def _topk(spark, catalog, terms, mode, k):
+    eng = SearchEngine(spark, catalog)
+    return [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in eng.search_terms(terms, mode, k).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    """(original docs, edited docs, upserts, delete_ids)."""
+    base = transcripts_to_docs(synth_transcripts(spark, N_TURNS)).withColumn(
+        "text", F.col("text")
+    )
+    # edits: docs with turn_idx==2 get new text (incl. a brand-new term);
+    # docs with turn_idx==5 are deleted; 3 brand-new docs are added
+    changed = base.filter(F.col("turn_idx") == 2).withColumn(
+        "text", F.concat(F.lit("freshterm_qq updated body "), F.col("text"))
+    )
+    new_rows = spark.createDataFrame(
+        [
+            ("conv-new-1", 0, "user", "freshterm_qq brand new turn", None),
+            ("conv-new-1", 1, "assistant", "spark index fresh reply", None),
+            ("conv-new-2", 0, "user", "totally novel words here", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    new_docs = transcripts_to_docs(new_rows.select(base.drop("doc_id").columns))
+    upserts = changed.unionByName(new_docs)
+    delete_src = base.filter(F.col("turn_idx") == 5)
+    edited = (
+        base.filter(~F.col("turn_idx").isin(2, 5))
+        .unionByName(changed)
+        .unionByName(new_docs)
+    )
+    return base, edited, upserts, delete_src.select("doc_id")
+
+
+@pytest.fixture(scope="module")
+def expected_catalog(spark, tmp_path_factory, corpora):
+    _, edited, _, _ = corpora
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("upd-expected")))
+    build_index(spark, cat, edited)
+    return cat
+
+
+@pytest.fixture(scope="module")
+def updated_catalog(spark, tmp_path_factory, corpora):
+    base, _, upserts, delete_ids = corpora
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("upd-live")))
+    build_index(spark, cat, base)
+    res = apply_updates(spark, cat, upserts=upserts, delete_ids=delete_ids)
+    assert res["seg_seq"] == 1
+    return cat
+
+
+@pytest.mark.parametrize("terms,mode,k", QUERIES)
+def test_updates_visible_before_compaction(
+    spark, updated_catalog, expected_catalog, terms, mode, k
+):
+    got = _topk(spark, updated_catalog, terms, mode, k)
+    want = _topk(spark, expected_catalog, terms, mode, k)
+    assert got == want
+
+
+def test_wand_respects_tombstones(spark, updated_catalog, expected_catalog):
+    eng = SearchEngine(spark, updated_catalog)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in wand_search(eng, ["spark", "index"], "AND", 10).collect()
+    ]
+    assert got == _topk(spark, expected_catalog, ["spark", "index"], "AND", 10)
+
+
+def test_term_stats_delta_exact(spark, updated_catalog, expected_catalog):
+    a = {
+        r["term"]: (r["df"], r["cf"])
+        for r in updated_catalog.read_table("term_stats").collect()
+    }
+    b = {
+        r["term"]: (r["df"], r["cf"])
+        for r in expected_catalog.read_table("term_stats").collect()
+    }
+    assert a == b
+
+
+def test_compaction_annihilates(spark, updated_catalog, expected_catalog):
+    n = compact_updates(spark, updated_catalog)
+    assert n > 0
+    # tombstones cleared; single row per (term, block); queries unchanged
+    assert (
+        updated_catalog.read_table("tombstones").count() == 0
+    )
+    dup = (
+        updated_catalog.read_table("postings")
+        .groupBy("term_id", "block_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    for terms, mode, k in QUERIES:
+        assert _topk(spark, updated_catalog, terms, mode, k) == _topk(
+            spark, expected_catalog, terms, mode, k
+        )
