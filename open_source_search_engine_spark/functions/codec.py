@@ -84,6 +84,75 @@ def varbyte_encode_groups(
     return [buf[bounds[i]: bounds[i + 1]] for i in range(gs.size)]
 
 
+def varbyte_decode_concat(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY buffers in one vectorized pass.
+
+    Returns (values, counts) where ``counts[i]`` is the number of values that
+    came from ``bufs[i]``. One big frombuffer + one reduceat instead of a
+    Python call per buffer -- the reduce-side merge decodes entire Arrow
+    batches of posting blocks this way."""
+    n = len(bufs)
+    if n == 0:
+        return np.empty(0, _U64), np.empty(0, np.int64)
+    blens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    joined = b"".join(bufs)
+    b = np.frombuffer(joined, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, _U64), np.zeros(n, np.int64)
+    is_last = (b & 0x80) == 0
+    # values per buffer = count of is_last bytes inside its byte range
+    cum_last = np.concatenate(([0], np.cumsum(is_last)))
+    bounds = np.concatenate(([0], np.cumsum(blens)))
+    counts = cum_last[bounds[1:]] - cum_last[bounds[:-1]]
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    if ends.size:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    pos_in_val = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    contrib = (b.astype(_U64) & _MASK7) << (pos_in_val.astype(np.uint64) * _SEVEN)
+    return np.add.reduceat(contrib, starts), counts
+
+
+def delta_decode_groups(gaps: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Inverse of delta_encode_groups: per-group cumulative sums where each
+    group's first value is absolute. Vectorized via global cumsum minus a
+    per-group base offset (same trick as decode_positions)."""
+    g = np.ascontiguousarray(gaps, dtype=_U64)
+    if g.size == 0:
+        return g
+    gs = np.asarray(group_starts, dtype=np.int64)
+    flat = np.cumsum(g, dtype=_U64)
+    base = np.zeros_like(g)
+    nz = gs[gs > 0]
+    base[nz] = flat[nz - 1]
+    # group sizes from starts
+    sizes = np.diff(np.append(gs, g.size))
+    return flat - np.repeat(base[gs], sizes)
+
+
+def permute_segments(
+    flat: np.ndarray, seg_lengths: np.ndarray, perm: np.ndarray
+) -> np.ndarray:
+    """Reorder variable-length segments of ``flat`` (lengths per segment in
+    original order) into ``perm`` order -- fully vectorized (repeat + arange
+    fancy indexing), no per-segment Python loop."""
+    seg_lengths = np.asarray(seg_lengths, dtype=np.int64)
+    if flat.size == 0:
+        return flat
+    src_starts = np.cumsum(seg_lengths) - seg_lengths
+    out_lens = seg_lengths[perm]
+    total = int(out_lens.sum())
+    # for output element i: source index = src_starts[perm[seg_of(i)]] + offset
+    seg_of = np.repeat(np.arange(perm.size), out_lens)
+    out_pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(out_lens) - out_lens, out_lens
+    )
+    src_idx = src_starts[perm][seg_of] + out_pos
+    return flat[src_idx]
+
+
 def delta_encode_groups(
     sorted_values: np.ndarray, group_starts: np.ndarray
 ) -> np.ndarray:

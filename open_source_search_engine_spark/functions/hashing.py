@@ -15,10 +15,51 @@ doc_id-asc tie-break a plain numeric sort.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SIGN_MASK = (1 << 63) - 1
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_U64MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def py_term_id(term: str) -> int:
+    """Deterministic 63-bit term id computed in PYTHON (FNV-1a 64 over UTF-8
+    + splitmix finalize). The build pipeline runs tokenize + partial encode
+    in one Python stage (no JVM hop for the raw token tuples), so term ids
+    must be computable Python-side; every id consumer (postings, term_stats,
+    query planning) derives from this one function. Parity with the JVM
+    xxhash64 is NOT needed -- ids only need internal consistency
+    (SURVEY.md X2: exact hash identity with the reference is also not
+    required)."""
+    h = _FNV_OFFSET
+    for byte in term.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _U64MASK
+    # splitmix64 finalizer for avalanche
+    h = (h + 0x9E3779B97F4A7C15) & _U64MASK
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & _U64MASK
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & _U64MASK
+    h = h ^ (h >> 31)
+    return h & SIGN_MASK
+
+
+def py_term_ids(uniques) -> np.ndarray:
+    """Vectorize py_term_id over the (small) unique-term set of a batch."""
+    return np.fromiter((py_term_id(t) for t in uniques), np.int64, len(uniques))
+
+
+def py_block_ids(doc_ids: np.ndarray, block_bits: int) -> np.ndarray:
+    """Python/numpy twin of block_id_col: splitmix64(doc_id) >> bits, sign
+    bit masked. Vectorized uint64 arithmetic with intentional wraparound."""
+    with np.errstate(over="ignore"):
+        z = doc_ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return ((z & np.uint64(SIGN_MASK)) >> np.uint64(block_bits)).astype(np.int64)
 
 #: docs per posting block = 2**BLOCK_BITS of docid space. Because doc_ids are
 #: xxhash64 outputs (uniform), a block holds ~N / 2**(63-BLOCK_BITS) docs.

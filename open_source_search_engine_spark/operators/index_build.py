@@ -6,23 +6,34 @@ routed posting keys (`Msg4Out.cpp`, `Hostdb.cpp:1477` getShardNum) ->
 memtable -> sorted dump (`RdbDump.cpp:251`) -> background merge
 (`RdbMerge.cpp:53`).
 
-Spark-first re-expression (one declarative plan; Catalyst plans the physical
-strategy):
+Spark-first re-expression -- a MAP-SIDE COMBINER architecture (measured: the
+naive plan shipped 120M raw token tuples per 4M docs through Arrow twice;
+this plan ships ~3% of that):
 
-  transcripts ──mapInPandas tokenize──▶ (doc_id, term, tf, positions, dl)
-      │                                        │  [the "metaList"]
-      ▼                                        ▼ shuffle on (term_id, block_id)
-  documents table                     groupBy + applyInPandas encode
-  term_stats / corpus_stats           ──▶ postings blocks (delta+varbyte)
+  documents ──ONE mapInPandas: tokenize + partial-encode──▶ partial blocks
+      (python never hands raw tuples back to the JVM; partial rows are
+       delta+varbyte posting blocks keyed by (term_id, SUPER block))
+      │ shuffle of compressed partial blocks only
+      ▼
+  repartition(term_id, super_block) + sortWithinPartitions
+      │
+      ▼ ONE mapInPandas: vectorized k-way merge + re-block
+  final postings blocks (term_id, block_id) of ~target_block_docs docs
 
-Skew: posting blocks are keyed by (term_id, block_id) where
-block_id = doc_id >> BLOCK_BITS. A stopword term's postings therefore spread
-across its many doc blocks -- the block key IS the salt (north rule's salted
-repartitioning), while still keeping each block's doc_ids sorted and
-independently decodable. AQE handles residual imbalance.
+Two block granularities, one hash prefix:
+* block_id       = py_hash(doc_id) >> block_bits        (query granularity,
+                   ~128 docs: tight block-max WAND bounds)
+* super_block_id = block_id >> (super_shift)            (shuffle granularity,
+                   ~2048 docs: each map partition contributes a MEATY partial
+                   row instead of 1-2 docs)
+The prefix property keeps every final block inside exactly one super block,
+so the merge needs no cross-group state.
 
-Everything scales per-partition: no driver-side loops, no collect() of data
-(only counts / tiny stats).
+Skew: a stopword term spans its many super blocks -- the block key IS the
+salt (north rule's salted repartitioning); AQE splits residual imbalance.
+All ids are computed in Python (functions/hashing.py py_*) because the
+combiner never round-trips rows through the JVM; ids only need internal
+consistency, not parity with any JVM hash.
 """
 
 from __future__ import annotations
@@ -40,7 +51,12 @@ from pyspark.sql import types as T
 from ..catalog import Catalog
 from ..functions import codec
 from ..functions.bm25 import BM25Params
-from ..functions.hashing import block_id_col, doc_id_col, pick_block_bits, term_id_col
+from ..functions.hashing import (
+    doc_id_col,
+    pick_block_bits,
+    py_block_ids,
+    py_term_ids,
+)
 from ..functions.tokenizer import _pattern
 
 TOKENS_SCHEMA = T.StructType(
@@ -48,9 +64,8 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.IntegerType(), False),
-        # per-(doc, term) positions ALREADY delta+varbyte encoded: binary
-        # shuffles ~5x cheaper than Arrow list<int>, and a block's position
-        # stream is the plain byte-concatenation of its docs' streams
+        # per-(doc, term) positions delta+varbyte encoded (binary beats
+        # Arrow list<int> ~5x in shuffle/serialization cost)
         T.StructField("positions", T.BinaryType(), False),
         T.StructField("dl", T.IntegerType(), False),
     ]
@@ -60,7 +75,14 @@ POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
+        # block_id = top `salt_bits` bits of the 63-bit doc hash: the block
+        # covers an explicit hash-prefix RANGE of the doc space. salt_bits
+        # varies per term (df-adaptive): a tail term is ONE whole-range
+        # block; a stopword splits into ~target_reduce_docs-doc blocks.
+        # Hierarchical prefixes let WAND group blocks of different terms
+        # (wand.py: group at the coarsest granularity among query terms).
         T.StructField("block_id", T.LongType(), False),
+        T.StructField("salt_bits", T.IntegerType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
@@ -79,6 +101,7 @@ POSTINGS_SCHEMA = T.StructType(
 class IndexConfig:
     tokenizer_mode: str = "unicode"
     target_block_docs: int = 128
+    target_reduce_docs: int = 8192
     bm25: BM25Params = field(default_factory=BM25Params)
     store_positions: bool = True
 
@@ -104,53 +127,171 @@ def transcripts_to_docs(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# tokenize (batch-vectorized core, shared by the combiner and stats deltas)
+# --------------------------------------------------------------------------
+
+_FNV_OFFSET_U64 = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME_U64 = np.uint64(0x100000001B3)
+
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+_TOKEN_BYTE[ord("a"): ord("z") + 1] = True
+_TOKEN_BYTE[ord("0"): ord("9") + 1] = True
+_TOKEN_BYTE[ord("_")] = True
+
+
+def _fnv_hash_tokens(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a-64 + splitmix finalize over variable-length byte
+    tokens -- value-identical to hashing.py_term_id on the decoded string.
+    Loops over byte POSITION (max token length iterations), never over
+    tokens."""
+    n = starts.size
+    h = np.full(n, _FNV_OFFSET_U64, dtype=np.uint64)
+    if n == 0:
+        return h.astype(np.int64)
+    maxlen = int(lens.max())
+    with np.errstate(over="ignore"):
+        for p in range(maxlen):
+            live = lens > p
+            bp = arr[starts[live] + p].astype(np.uint64)
+            h[live] = (h[live] ^ bp) * _FNV_PRIME_U64
+        z = h + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return (z & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
+def _tokenize_batch_fast(b: pd.DataFrame, term_strings: dict[int, str]):
+    """ASCII-mode byte-level tokenizer: one str.lower + one utf-8 encode per
+    DOC, then pure numpy (byte-class mask -> run boundaries -> vectorized
+    FNV term ids). No per-token Python objects -- measured ~3-4x less memory
+    traffic than the regex path, which matters because 32 concurrent workers
+    saturate DRAM bandwidth before they saturate cores.
+
+    Token boundaries are EXACTLY the regex [a-z0-9_]+ boundaries: non-ASCII
+    characters encode to bytes >= 0x80, which are non-token bytes, just as
+    the characters themselves are outside [a-z0-9_].
+
+    Returns (doc_id, tid, tf, dl, pos_flat) per (doc, term) group and
+    updates ``term_strings`` (term_id -> term) with this batch's uniques.
+    """
+    if len(b) == 0:
+        return None
+    doc_ids_in = b["doc_id"].to_numpy(dtype=np.int64)
+    enc = b["text"].fillna("").str.lower().str.encode("utf-8")
+    byte_list = enc.tolist()
+    doc_blens = np.fromiter((len(x) for x in byte_list), np.int64, len(b))
+    joined = b"\x00".join(byte_list)
+    arr = np.frombuffer(joined, dtype=np.uint8)
+    if arr.size == 0:
+        return None
+    # doc byte-span starts (each doc occupies [off, off+blen))
+    doc_offsets = np.cumsum(doc_blens + 1) - (doc_blens + 1)
+    mask = _TOKEN_BYTE[arr]
+    m8 = mask.astype(np.int8)
+    d = np.diff(m8)
+    tok_starts = np.flatnonzero(d == 1) + 1
+    tok_ends = np.flatnonzero(d == -1) + 1
+    if mask[0]:
+        tok_starts = np.concatenate(([0], tok_starts))
+    if mask[-1]:
+        tok_ends = np.concatenate((tok_ends, [arr.size]))
+    if tok_starts.size == 0:
+        return None
+    tok_lens = tok_ends - tok_starts
+    tok_doc = np.searchsorted(doc_offsets, tok_starts, side="right") - 1
+    # token ordinal within doc
+    first_tok_of_doc = np.searchsorted(tok_doc, np.arange(len(b)), side="left")
+    pos = np.arange(tok_doc.size, dtype=np.int64) - first_tok_of_doc[tok_doc]
+    dl = np.bincount(tok_doc, minlength=len(b)).astype(np.int64)
+    tids_tok = _fnv_hash_tokens(arr, tok_starts, tok_lens)
+    # register unique term strings (few per batch) for the output dictionary
+    uniq, first_idx = np.unique(tids_tok, return_index=True)
+    for u, fi in zip(uniq.tolist(), first_idx.tolist()):
+        if u not in term_strings:
+            term_strings[u] = (
+                arr[tok_starts[fi]: tok_ends[fi]].tobytes().decode("utf-8")
+            )
+    # group by (doc, term_id); stable in position order
+    order = np.lexsort((pos, tids_tok, tok_doc))
+    d_s, t_s, p_s = tok_doc[order], tids_tok[order], pos[order]
+    new_group = np.empty(d_s.size, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+    g_starts = np.flatnonzero(new_group)
+    tf = np.diff(np.append(g_starts, d_s.size)).astype(np.int64)
+    return {
+        "doc_id": doc_ids_in[d_s[g_starts]],
+        "tid": t_s[g_starts],
+        "tf": tf,
+        "dl": dl[d_s[g_starts]],
+        "pos_flat": p_s,
+    }
+
+def _tokenize_batch(b: pd.DataFrame, pattern):
+    """One Arrow batch -> per-(doc, term) numpy arrays.
+
+    Returns None for empty batches, else a dict with doc_id/term(object)/
+    tf/dl int arrays plus sorted flat positions (absolute token ordinals,
+    group-aligned with tf)."""
+    if len(b) == 0:
+        return None
+    doc_ids = b["doc_id"].to_numpy(dtype=np.int64)
+    token_lists = b["text"].fillna("").str.lower().str.findall(pattern).to_numpy()
+    lens = np.fromiter((len(t) for t in token_lists), np.int64, len(b))
+    if not (lens > 0).any():
+        return None
+    flat = np.concatenate([t for t in token_lists if t])
+    doc_rep_idx = np.repeat(np.arange(len(b)), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
+    codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+    order = np.lexsort((pos, codes, doc_rep_idx))
+    d_s, c_s, p_s = doc_rep_idx[order], codes[order], pos[order]
+    new_group = np.empty(d_s.size, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    g_starts = np.flatnonzero(new_group)
+    tf = np.diff(np.append(g_starts, d_s.size)).astype(np.int64)
+    return {
+        "doc_id": doc_ids[d_s[g_starts]],
+        "terms": np.asarray(uniques, dtype=object),
+        "codes": c_s[g_starts],
+        "tf": tf,
+        "dl": lens[d_s[g_starts]].astype(np.int64),
+        "pos_flat": p_s,  # aligned: group i owns pos_flat[cum tf]
+    }
+
+
 def tokenize_docs(docs: DataFrame, mode: str = "unicode") -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, term, tf, positions, dl) tuples.
 
-    This is the "metaList" (reference `XmlDoc.cpp:12322` getMetaList) as a
-    DataFrame. Fully vectorized inside mapInPandas: pandas str.findall does
-    the segmentation; factorize + lexsort + reduceat do the per-(doc, term)
-    aggregation -- no per-row Python dicts.
+    The "metaList" (reference `XmlDoc.cpp:12322` getMetaList) as a
+    DataFrame. Used for term-stats deltas and tests; the BUILD path uses the
+    fused combiner (build_postings) instead of materializing these rows.
     """
     pattern = _pattern(mode)
     src = docs.select("doc_id", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if len(b) == 0:
+            tk = _tokenize_batch(b, pattern)
+            if tk is None:
                 continue
-            doc_ids = b["doc_id"].to_numpy(dtype=np.int64)
-            token_lists = (
-                b["text"].fillna("").str.lower().str.findall(pattern).to_numpy()
+            g_starts = np.cumsum(tk["tf"]) - tk["tf"]
+            pos_gaps = codec.delta_encode_groups(
+                tk["pos_flat"].astype(np.uint64), g_starts
             )
-            lens = np.fromiter((len(t) for t in token_lists), np.int64, len(b))
-            dls = lens
-            nz = lens > 0
-            if not nz.any():
-                continue
-            flat = np.concatenate([t for t in token_lists if t])
-            doc_rep_idx = np.repeat(np.arange(len(b)), lens)
-            starts = np.cumsum(lens) - lens
-            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
-            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
-            order = np.lexsort((pos, codes, doc_rep_idx))
-            d_s, c_s, p_s = doc_rep_idx[order], codes[order], pos[order]
-            new_group = np.empty(d_s.size, dtype=bool)
-            new_group[0] = True
-            new_group[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
-            g_starts = np.flatnonzero(new_group)
-            tf = np.diff(np.append(g_starts, d_s.size)).astype(np.int32)
-            pos_gaps = codec.delta_encode_groups(p_s.astype(np.uint64), g_starts)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
-                    "doc_id": doc_ids[d_s[g_starts]],
-                    "term": np.asarray(uniques)[c_s[g_starts]],
-                    "tf": tf,
+                    "doc_id": tk["doc_id"],
+                    "term": tk["terms"][tk["codes"]],
+                    "tf": tk["tf"].astype(np.int32),
                     "positions": codec.varbyte_encode_groups(pos_gaps, g_starts),
-                    "dl": dls[d_s[g_starts]].astype(np.int32),
+                    "dl": tk["dl"].astype(np.int32),
                 }
             )
-            yield out
 
     return src.mapInPandas(run, schema=TOKENS_SCHEMA)
 
@@ -171,48 +312,55 @@ def doc_length_col(mode: str = "unicode"):
     return _dl
 
 
-def _encode_sorted_batch(
-    pdf: pd.DataFrame, store_positions: bool
-) -> pd.DataFrame:
-    """Encode MANY complete (term_id, block_id) groups at once.
+# --------------------------------------------------------------------------
+# grouped block encoder (shared: partial encode, merge, compaction)
+# --------------------------------------------------------------------------
 
-    ``pdf`` must be sorted by (term_id, block_id, doc_id) and contain only
-    whole groups. All per-group reductions are numpy ``reduceat``; all
-    varbyte packing is one shared pass + byte-slicing
-    (codec.varbyte_encode_groups) -- the sorted-dump analog
-    (`RdbDump.cpp:251` dumpTree writes key-sorted lists) with zero per-group
-    Python beyond a bytes slice.
-    """
-    tid = pdf["term_id"].to_numpy(np.int64)
-    bid = pdf["block_id"].to_numpy(np.int64)
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    dls = pdf["dl"].to_numpy(np.int64)
+def _encode_grouped(
+    tid: np.ndarray,
+    terms: np.ndarray | None,
+    bid: np.ndarray,
+    sbits: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_flat: np.ndarray | None,
+    term_strings: dict[int, str] | None = None,
+) -> pd.DataFrame:
+    """Postings sorted by (tid, sbits, bid, doc_id) -> one POSTINGS row per
+    (tid, sbits, bid) group.
+
+    All reductions are reduceat; all varbyte packing is one shared pass +
+    byte slicing (the sorted-dump analog, `RdbDump.cpp:251`)."""
     n = tid.size
     new_grp = np.empty(n, dtype=bool)
     new_grp[0] = True
-    new_grp[1:] = (tid[1:] != tid[:-1]) | (bid[1:] != bid[:-1])
+    new_grp[1:] = (
+        (tid[1:] != tid[:-1]) | (bid[1:] != bid[:-1]) | (sbits[1:] != sbits[:-1])
+    )
     gs = np.flatnonzero(new_grp)
     ge = np.append(gs[1:], n)
-    if store_positions:
-        # per-row buffers are already delta+varbyte (doc-start absolute), and
-        # varbyte is per-value, so a block's stream is the byte concatenation
-        # of its rows' buffers -- one join + per-group slicing, no re-encode
-        bufs = pdf["positions"].to_numpy()
-        lens = np.fromiter((len(x) for x in bufs), np.int64, n)
-        all_bytes = b"".join(bufs)
-        byte_ends = np.cumsum(lens)
-        byte_starts = byte_ends - lens
-        pos_bufs = [
-            all_bytes[byte_starts[g]: byte_ends[e - 1]] for g, e in zip(gs, ge)
-        ]
+    if pos_flat is not None:
+        doc_pos_starts = np.cumsum(tfs) - tfs
+        pos_gaps = codec.delta_encode_groups(
+            pos_flat.astype(np.uint64), doc_pos_starts
+        )
+        pos_bufs = codec.varbyte_encode_groups(pos_gaps, doc_pos_starts[gs])
     else:
         pos_bufs = [b""] * gs.size
+    if terms is not None:
+        term_col = terms[gs]
+    else:
+        # dictionary lookup only at GROUP level (thousands), never per posting
+        term_col = np.array(
+            [term_strings[t] for t in tid[gs].tolist()], dtype=object
+        )
     return pd.DataFrame(
         {
             "term_id": tid[gs],
-            "term": pdf["term"].to_numpy()[gs],
+            "term": term_col,
             "block_id": bid[gs],
+            "salt_bits": sbits[gs].astype(np.int32),
             "n_docs": (ge - gs).astype(np.int32),
             "first_doc_id": doc_ids[gs],
             "last_doc_id": doc_ids[ge - 1],
@@ -229,36 +377,190 @@ def _encode_sorted_batch(
     )
 
 
-def encode_postings(
-    tokens: DataFrame, block_bits: int, store_positions: bool = True
-) -> DataFrame:
-    """Token tuples -> compressed posting blocks.
+# --------------------------------------------------------------------------
+# stage 1: fused tokenize + partial encode (the map-side combiner)
+# --------------------------------------------------------------------------
 
-    ONE shuffle: range-repartition on (term_id, block_id) -- the north rule's
-    salted repartitioning: a heavy (stopword) term spans many block_ids, so
-    the range partitioner spreads it across partitions, while each
-    (term, block) group stays whole. Groups are then encoded by a STREAMING
-    mapInPandas over the sorted partition: thousands of groups per Arrow
-    batch, rows of a group that straddle a batch boundary are carried over
-    (partitions are sorted, so groups are contiguous).
+def _partial_encoder(
+    mode: str,
+    store_positions: bool,
+    n_map_partitions: int,
+    target_reduce_docs: int = 8192,
+):
+    """ADAPTIVE per-term salting (the df-aware analog of the reference's
+    rarest/commonest split decisions and the north rule's salted
+    repartitioning): a term's shuffle key is (term_id, salt) where salt =
+    top k bits of the doc hash, and k is picked per term from its estimated
+    global df (local count x partition count):
+
+      tail term  (df <~ target) -> k=0: ONE partial row per (partition,
+                  term) -- no singleton explosion from over-splitting
+      heavy term (stopword)     -> k ~ log2(df / target): splits into
+                  bounded ~target-doc reduce groups -- no skewed reducer
+
+    The reduce group (term_id, k, salt) becomes exactly ONE final posting
+    block -- blocks are df-proportional, so the table is never metadata-
+    dominated (the globally-aligned-block design produced 3-doc rows for
+    the zipf tail). Partitions near an estimate boundary may pick k+-1 for
+    the same term; those rows stay separate blocks (ranges at different
+    granularity must not merge), which the multi-row contract permits.
     """
-    t = tokens.withColumn("term_id", term_id_col(F.col("term"))).withColumn(
-        "block_id", block_id_col(F.col("doc_id"), block_bits)
-    )
-    cols = ["term_id", "term", "block_id", "doc_id", "tf", "dl"] + (
-        ["positions"] if store_positions else []
-    )
-    # hash repartition, NOT repartitionByRange: range partitioning runs a
-    # boundary-sampling job that would re-execute the whole tokenize stage.
-    # Rows stay sorted by (term_id, block_id) WITHIN each partition, so
-    # parquet row-group min/max stats still prune term_id scans tightly.
-    sorted_tokens = (
-        t.select(*cols)
-        .repartition(F.col("term_id"), F.col("block_id"))
-        .sortWithinPartitions("term_id", "block_id", "doc_id")
-    )
+    pattern = _pattern(mode)
+    max_kbits = 40
 
-    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        term_strings: dict[int, str] = {}
+        doc_l, tid_l, tf_l, dl_l, pos_l = [], [], [], [], []
+        for b in batches:
+            if mode == "ascii":
+                tk = _tokenize_batch_fast(b, term_strings)
+                if tk is None:
+                    continue
+                tid_b = tk["tid"]
+            else:
+                tk = _tokenize_batch(b, pattern)
+                if tk is None:
+                    continue
+                tids_u = py_term_ids(tk["terms"])
+                tid_b = tids_u[tk["codes"]]
+                for u, t in zip(tids_u.tolist(), tk["terms"]):
+                    if u not in term_strings:
+                        term_strings[u] = t
+            doc_l.append(tk["doc_id"])
+            tid_l.append(tid_b)
+            tf_l.append(tk["tf"])
+            dl_l.append(tk["dl"])
+            if store_positions:
+                pos_l.append(tk["pos_flat"])
+        if not doc_l:
+            return
+        doc_ids = np.concatenate(doc_l)
+        tid = np.concatenate(tid_l)
+        tfs = np.concatenate(tf_l)
+        dls = np.concatenate(dl_l)
+        pos_flat = np.concatenate(pos_l) if store_positions else None
+        # adaptive split bits per term from estimated global df
+        uniq_tids, inv, local_df = np.unique(
+            tid, return_inverse=True, return_counts=True
+        )
+        est_df = local_df.astype(np.float64) * float(n_map_partitions)
+        kbits_u = np.clip(
+            np.ceil(np.log2(np.maximum(est_df / target_reduce_docs, 1.0))),
+            0,
+            max_kbits,
+        ).astype(np.int64)
+        h63 = py_block_ids(doc_ids, 0)  # full 63-bit doc hash
+        sbits = kbits_u[inv]
+        salt = h63 >> (np.int64(63) - sbits)
+        perm = np.lexsort((doc_ids, salt, sbits, tid))
+        if pos_flat is not None:
+            pos_flat = codec.permute_segments(pos_flat, tfs, perm)
+        tid, salt, sbits = tid[perm], salt[perm], sbits[perm]
+        doc_ids, tfs, dls = doc_ids[perm], tfs[perm], dls[perm]
+        out = _encode_grouped(
+            tid, None, salt, sbits, doc_ids, tfs, dls, pos_flat,
+            term_strings=term_strings,
+        )
+        # chunk the yield so Arrow batches stay bounded
+        for i in range(0, len(out), 8192):
+            yield out.iloc[i: i + 8192]
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# stage 2: vectorized k-way merge of partial blocks -> final blocks
+# --------------------------------------------------------------------------
+
+def _decode_rows(pdf: pd.DataFrame, with_positions: bool):
+    """Decode an Arrow batch of posting rows in ONE vectorized pass each for
+    doc_ids / tfs / dls / positions. Returns flat arrays + per-row counts."""
+    doc_bufs = [bytes(x) for x in pdf["doc_ids"]]
+    gaps, counts = codec.varbyte_decode_concat(doc_bufs)
+    row_starts = np.cumsum(counts) - counts
+    doc_ids = codec.delta_decode_groups(gaps, row_starts).astype(np.int64)
+    tfs, _ = codec.varbyte_decode_concat([bytes(x) for x in pdf["tfs"]])
+    dls, _ = codec.varbyte_decode_concat([bytes(x) for x in pdf["dls"]])
+    tfs = tfs.astype(np.int64)
+    dls = dls.astype(np.int64)
+    pos_flat = None
+    if with_positions:
+        pos_gaps, _ = codec.varbyte_decode_concat(
+            [bytes(x) for x in pdf["positions"]]
+        )
+        doc_pos_starts = np.cumsum(tfs) - tfs
+        pos_flat = codec.delta_decode_groups(
+            pos_gaps, doc_pos_starts
+        ).astype(np.int64) if pos_gaps.size else np.empty(0, np.int64)
+    return doc_ids, tfs, dls, pos_flat, counts, row_starts
+
+
+def _merge_stream_factory(
+    store_positions: bool,
+    tombs: dict[int, int] | None = None,
+    has_seg: bool = False,
+):
+    """Streaming merge over rows sorted by (term_id, salt_bits, block_id
+    [, seg_seq]): each group's partial rows (one per map partition /
+    segment) merge into ONE posting block row.
+
+    tombs -> {doc_id: upto_seq} annihilation (needs has_seg).
+    """
+
+    def merge_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        doc_ids, tfs, dls, pos_flat, counts, _ = _decode_rows(
+            pdf, store_positions
+        )
+        n_rows = len(pdf)
+        row_idx = np.repeat(np.arange(n_rows), counts)
+        tid = pdf["term_id"].to_numpy(np.int64)[row_idx]
+        bid = pdf["block_id"].to_numpy(np.int64)[row_idx]
+        sbits = pdf["salt_bits"].to_numpy(np.int64)[row_idx]
+        if tombs:
+            segs = (
+                pdf["seg_seq"].to_numpy(np.int64)[row_idx]
+                if has_seg
+                else np.zeros(doc_ids.size, np.int64)
+            )
+            keep = np.array(
+                [
+                    not (d in tombs and s <= tombs[d])
+                    for d, s in zip(doc_ids.tolist(), segs.tolist())
+                ],
+                dtype=bool,
+            )
+            if not keep.all():
+                if pos_flat is not None and pos_flat.size:
+                    pos_keep = np.repeat(keep, tfs)
+                    pos_flat = pos_flat[pos_keep]
+                doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                tid, bid, sbits, row_idx = (
+                    tid[keep], bid[keep], sbits[keep], row_idx[keep]
+                )
+            if doc_ids.size == 0:
+                return None
+        perm = np.lexsort((doc_ids, bid, sbits, tid))
+        if pos_flat is not None and pos_flat.size:
+            pos_flat = codec.permute_segments(pos_flat, tfs, perm)
+        tid, bid, sbits = tid[perm], bid[perm], sbits[perm]
+        doc_s, tfs_s, dls_s = doc_ids[perm], tfs[perm], dls[perm]
+        dup = (
+            (tid[1:] == tid[:-1]) & (bid[1:] == bid[:-1])
+            & (sbits[1:] == sbits[:-1]) & (doc_s[1:] == doc_s[:-1])
+        )
+        if dup.any():
+            raise ValueError(
+                "duplicate (term, doc) posting survived merge -- tombstones "
+                "must cover every prior version of an upserted doc"
+            )
+        terms = pdf["term"].to_numpy()[row_idx][perm]
+        if pos_flat is not None and pos_flat.size == 0:
+            pos_flat = np.empty(0, np.int64)
+        return _encode_grouped(
+            tid, terms, bid, sbits, doc_s, tfs_s, dls_s, pos_flat
+        )
+
+    def stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
         for b in batches:
             if carry is not None and len(carry):
@@ -267,24 +569,67 @@ def encode_postings(
                 continue
             tid = b["term_id"].to_numpy(np.int64)
             bid = b["block_id"].to_numpy(np.int64)
-            # hold back the (possibly incomplete) last group
-            last_mask = (tid == tid[-1]) & (bid == bid[-1])
+            sb = b["salt_bits"].to_numpy(np.int64)
+            last_mask = (
+                (tid == tid[-1]) & (bid == bid[-1]) & (sb == sb[-1])
+            )
             cut = int(len(b) - last_mask.sum())
             carry = b.iloc[cut:]
             if cut:
-                yield _encode_sorted_batch(b.iloc[:cut], store_positions)
+                out = merge_groups(b.iloc[:cut])
+                if out is not None and len(out):
+                    yield out
         if carry is not None and len(carry):
-            yield _encode_sorted_batch(carry, store_positions)
+            out = merge_groups(carry)
+            if out is not None and len(out):
+                yield out
 
-    return sorted_tokens.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
+    return stream
+
+
+def build_postings(
+    docs: DataFrame,
+    target_reduce_docs: int = 8192,
+    tokenizer_mode: str = "unicode",
+    store_positions: bool = True,
+) -> DataFrame:
+    """documents -> posting blocks. Two Python stages, one shuffle of
+    COMPRESSED partial blocks (the Msg4 metalist routing, `Msg4Out.cpp`,
+    with the memtable-style partial aggregation done map-side)."""
+    src = docs.select("doc_id", "text")
+    # the combiner accumulates a whole partition in Python memory and is the
+    # dominant compute stage: keep partitions numerous enough to (a) use
+    # every core and (b) bound per-partition memory
+    try:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = 8
+    n_map = max(1, src.rdd.getNumPartitions())
+    if n_map < par * 2:
+        n_map = par * 2
+        src = src.repartition(n_map)
+    partial = src.mapInPandas(
+        _partial_encoder(
+            tokenizer_mode, store_positions, n_map, target_reduce_docs
+        ),
+        schema=POSTINGS_SCHEMA,
+    )
+    merged = (
+        partial.repartition(F.col("term_id"), F.col("salt_bits"), F.col("block_id"))
+        .sortWithinPartitions("term_id", "salt_bits", "block_id")
+        .mapInPandas(
+            _merge_stream_factory(store_positions),
+            schema=POSTINGS_SCHEMA,
+        )
+    )
+    return merged
 
 
 def term_stats_from_postings(postings: DataFrame) -> DataFrame:
     """Exact per-term document frequency from the postings table itself
     (blocks partition a term's docs, so df = sum of block n_docs). Replaces
     the reference's RdbMap page-count df ESTIMATE (`Posdb.cpp:301-353`
-    getTermFreq; SURVEY.md A3) with exact counts, and avoids a second
-    tokenize pass over the corpus."""
+    getTermFreq; SURVEY.md A3) with exact counts."""
     return postings.groupBy("term_id").agg(
         F.first("term").alias("term"),
         F.sum("n_docs").cast("long").alias("df"),
@@ -330,12 +675,13 @@ def build_index(
     avgdl = (int(stats_row["sum_dl"] or 0) / n_docs) if n_docs else 0.0
     block_bits = pick_block_bits(n_docs, config.target_block_docs)
 
-    # one tokenize pass, one shuffle; postings land already range-partitioned
-    # and sorted by (term_id, block_id); term_stats derives from postings
-    tokens = tokenize_docs(docs, config.tokenizer_mode)
-    postings = encode_postings(tokens, block_bits, config.store_positions)
+    postings = build_postings(
+        docs,
+        config.target_reduce_docs,
+        config.tokenizer_mode,
+        config.store_positions,
+    )
     # seg_seq 0 = initial build; incremental updates append higher sequences
-    # (operators/updates.py -- the negative-key versioning)
     catalog.write_table(
         postings.withColumn("seg_seq", F.lit(0).cast("long")), "postings"
     )

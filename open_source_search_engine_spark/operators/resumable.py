@@ -41,10 +41,9 @@ from ..catalog import Catalog
 from ..functions.hashing import pick_block_bits
 from .index_build import (
     IndexConfig,
+    build_postings,
     doc_length_col,
-    encode_postings,
     term_stats_from_postings,
-    tokenize_docs,
 )
 
 MANIFEST_SCHEMA = (
@@ -160,9 +159,11 @@ def resumable_build(
             continue
         tp = time.time()
         part_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_partitions)) == p)
-        tokens = tokenize_docs(part_docs, config.tokenizer_mode)
-        postings = encode_postings(
-            tokens, block_bits, config.store_positions
+        postings = build_postings(
+            part_docs,
+            config.target_reduce_docs,
+            config.tokenizer_mode,
+            config.store_positions,
         ).withColumn("seg_seq", F.lit(0).cast("long"))
         postings.write.mode("overwrite").parquet(seg_dir)
         elapsed = time.time() - tp
@@ -228,13 +229,7 @@ def merge_postings(
     (`RdbList.cpp:2159` posdbMerge_r removeNegKeys). A posting survives iff
     NOT (its doc_id is tombstoned AND its segment seg_seq <= upto_seq).
     Output rows all carry seg_seq 0. Returns the file-set fan-in merged."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    from ..functions import codec
-    from .index_build import POSTINGS_SCHEMA
+    from .index_build import POSTINGS_SCHEMA, _merge_stream_factory
 
     postings = catalog.read_table("postings")
     if "seg_seq" not in postings.columns:
@@ -245,136 +240,18 @@ def merge_postings(
         tomb_map = {
             int(r["doc_id"]): int(r["upto_seq"]) for r in tombstone_df.collect()
         }
-    btomb = spark.sparkContext.broadcast(tomb_map)
-
-    def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
-        """pdf: whole groups, sorted by (term_id, block_id)."""
-        tombs = btomb.value
-        recs = []
-        tid_a = pdf["term_id"].to_numpy(np.int64)
-        bid_a = pdf["block_id"].to_numpy(np.int64)
-        n = len(pdf)
-        new_grp = np.empty(n, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (tid_a[1:] != tid_a[:-1]) | (bid_a[1:] != bid_a[:-1])
-        gs = np.flatnonzero(new_grp)
-        ge = np.append(gs[1:], n)
-        rows = list(pdf.itertuples(index=False))
-        for g0, g1 in zip(gs, ge):
-            grp = rows[g0:g1]
-            ids_l, tfs_l, dls_l, pos_l, seg_l = [], [], [], [], []
-            for r in grp:
-                ids = codec.decode_doc_ids(bytes(r.doc_ids))
-                tfs = codec.decode_counts(bytes(r.tfs))
-                dls = codec.decode_counts(bytes(r.dls))
-                pos = (
-                    codec.decode_positions(tfs, bytes(r.positions))
-                    if len(bytes(r.positions))
-                    else np.empty(0, np.int64)
-                )
-                ids_l.append(ids)
-                tfs_l.append(tfs)
-                dls_l.append(dls)
-                pos_l.append(pos)
-                seg_l.append(np.full(ids.size, int(r.seg_seq), np.int64))
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l)
-            dls = np.concatenate(dls_l)
-            segs = np.concatenate(seg_l)
-            has_pos = any(p.size for p in pos_l)
-            if tombs:
-                keep = np.array(
-                    [
-                        not (d in tombs and s <= tombs[d])
-                        for d, s in zip(ids.tolist(), segs.tolist())
-                    ],
-                    dtype=bool,
-                )
-            else:
-                keep = np.ones(ids.size, dtype=bool)
-            if not keep.any():
-                continue
-            # flat position slices per posting (needed to reorder/drop)
-            if has_pos:
-                starts_l = [np.cumsum(t) - t for t in tfs_l]
-                slices = []
-                for li in range(len(grp)):
-                    st = starts_l[li]
-                    for j in range(ids_l[li].size):
-                        slices.append(
-                            pos_l[li][st[j]: st[j] + tfs_l[li][j]]
-                        )
-            order = np.argsort(ids[keep], kind="mergesort")
-            kidx = np.flatnonzero(keep)[order]
-            ids_s, tfs_s, dls_s = ids[kidx], tfs[kidx], dls[kidx]
-            if ids_s.size > 1 and (np.diff(ids_s) == 0).any():
-                raise ValueError(
-                    "duplicate doc_id survived annihilation -- tombstones "
-                    "must cover every prior version of an upserted doc"
-                )
-            r0 = grp[0]
-            recs.append(
-                {
-                    "term_id": int(r0.term_id),
-                    "term": str(r0.term),
-                    "block_id": int(r0.block_id),
-                    "n_docs": int(ids_s.size),
-                    "first_doc_id": int(ids_s[0]),
-                    "last_doc_id": int(ids_s[-1]),
-                    "block_max_tf": int(tfs_s.max()),
-                    "block_min_dl": int(dls_s.min()),
-                    "sum_tf": int(tfs_s.sum()),
-                    "doc_ids": codec.encode_doc_ids(ids_s),
-                    "tfs": codec.encode_counts(tfs_s),
-                    "dls": codec.encode_counts(dls_s),
-                    "positions": (
-                        codec.encode_positions(
-                            tfs_s,
-                            np.concatenate([slices[i] for i in kidx])
-                            if ids_s.size
-                            else np.empty(0, np.int64),
-                        )
-                        if has_pos
-                        else b""
-                    ),
-                }
-            )
-        if not recs:
-            return None
-        out = pd.DataFrame(recs)
-        return out.astype(
-            {
-                "n_docs": "int32",
-                "block_max_tf": "int32",
-                "block_min_dl": "int32",
-            }
-        )
-
-    def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for b in batches:
-            if carry is not None and len(carry):
-                b = pd.concat([carry, b], ignore_index=True)
-            if len(b) == 0:
-                continue
-            tid = b["term_id"].to_numpy(np.int64)
-            bid = b["block_id"].to_numpy(np.int64)
-            last_mask = (tid == tid[-1]) & (bid == bid[-1])
-            cut = int(len(b) - last_mask.sum())
-            carry = b.iloc[cut:]
-            if cut:
-                pdf = _merge_groups(b.iloc[:cut])
-                if pdf is not None:
-                    yield pdf
-        if carry is not None and len(carry):
-            pdf = _merge_groups(carry)
-            if pdf is not None:
-                yield pdf
-
+    store_positions = True
+    stream = _merge_stream_factory(
+        store_positions=store_positions,
+        tombs=tomb_map or None,
+        has_seg=True,
+    )
     merged = (
-        postings.repartition(F.col("term_id"), F.col("block_id"))
-        .sortWithinPartitions("term_id", "block_id", "seg_seq")
-        .mapInPandas(merge_stream, schema=POSTINGS_SCHEMA)
+        postings.repartition(
+            F.col("term_id"), F.col("salt_bits"), F.col("block_id")
+        )
+        .sortWithinPartitions("term_id", "salt_bits", "block_id", "seg_seq")
+        .mapInPandas(stream, schema=POSTINGS_SCHEMA)
         .withColumn("seg_seq", F.lit(0).cast("long"))
     )
     catalog.write_table(merged, "postings")

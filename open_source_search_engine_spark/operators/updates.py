@@ -33,14 +33,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from ..catalog import Catalog
-from ..functions.hashing import SIGN_MASK
+from ..functions.hashing import py_term_id
 from .index_build import (
     IndexConfig,
+    build_postings,
     doc_length_col,
-    encode_postings,
     tokenize_docs,
 )
+
+
+def _py_term_id_udf():
+    # built lazily: pandas_udf type resolution needs an active SparkSession
+    @F.pandas_udf("long")
+    def udf(terms: pd.Series) -> pd.Series:
+        return terms.map(py_term_id).astype("int64")
+
+    return udf
 
 TOMBSTONES_SCHEMA = "doc_id long, upto_seq long"
 
@@ -106,9 +117,9 @@ def apply_updates(
     new_ts = (
         ts.join(delta, "term", "full_outer")
         .select(
-            F.coalesce(
-                "term_id", F.xxhash64("term").bitwiseAND(F.lit(SIGN_MASK))
-            ).alias("term_id"),
+            F.coalesce("term_id", _py_term_id_udf()(F.col("term"))).alias(
+                "term_id"
+            ),
             "term",
             (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0)))
             .cast("long")
@@ -139,8 +150,11 @@ def apply_updates(
 
     # ---- delta posting segment at the new sequence -----------------------
     fresh = catalog.read_table("documents").join(up_ids, "doc_id", "left_semi")
-    delta_postings = encode_postings(
-        tokenize_docs(fresh, config.tokenizer_mode), block_bits, config.store_positions
+    delta_postings = build_postings(
+        fresh,
+        config.target_reduce_docs,
+        config.tokenizer_mode,
+        config.store_positions,
     ).withColumn("seg_seq", F.lit(new_seq).cast("long"))
     catalog.append_table(delta_postings, "postings")
     catalog.write_table(

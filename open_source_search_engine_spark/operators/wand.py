@@ -82,7 +82,12 @@ def _ub_col(k1: float, b: float, avgdl: float):
 
 
 def _make_scorer(
-    mode: str, k1: float, b: float, avgdl: float, tombs: dict[int, int] | None = None
+    mode: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    tombs: dict[int, int] | None = None,
+    n_query_terms: int | None = None,
 ):
     """applyInPandas scorer for one block group: decode sub-lists, build the
     doc universe (intersection for AND, union for OR), accumulate per-term
@@ -123,7 +128,18 @@ def _make_scorer(
                 order = np.argsort(ids, kind="mergesort")
                 ids, tfs, dls = ids[order], tfs[order], dls[order]
             subs.append((term, idf_v, ids, tfs, dls))
+        empty = pd.DataFrame(
+            {"doc_id": np.empty(0, np.int64),
+             "score": np.empty(0, np.float64),
+             "matched": np.empty(0, np.int32)}
+        )
+        if not subs:
+            return empty
         if mode == "AND":
+            # a term annihilated by tombstones inside this group kills the
+            # conjunction even if the group-level presence check passed
+            if n_query_terms is not None and len(subs) < n_query_terms:
+                return empty
             universe = subs[0][2]
             for s in subs[1:]:
                 universe = np.intersect1d(universe, s[2], assume_unique=True)
@@ -193,18 +209,32 @@ def wand_search(
     q_blocks = (
         engine._postings.filter(F.col("term_id").isin(term_ids))
         .select(
-            "term_id", "block_id", "block_max_tf", "block_min_dl",
+            "term_id", "block_id", "salt_bits", "block_max_tf", "block_min_dl",
             "seg_seq", "doc_ids", "tfs", "dls",
         )
         .join(F.broadcast(meta), "term_id")
         .withColumn("ub", _ub_col(k1, b, avgdl))
         .select(
-            "block_id", "term", "idf", "ub", "seg_seq", "doc_ids", "tfs", "dls"
+            "block_id", "salt_bits", "term", "idf", "ub", "seg_seq",
+            "doc_ids", "tfs", "dls",
         )
     )
     q_blocks = q_blocks.persist()
     try:
-        gmeta = q_blocks.groupBy("block_id").agg(
+        # blocks are df-adaptive hash-prefix ranges at varying granularity;
+        # group at g = the COARSEST granularity among the scanned blocks so
+        # every block maps wholly into one group (prefix nesting) and all of
+        # a doc's blocks land in the same group
+        g_row = q_blocks.agg(F.min("salt_bits").alias("g")).collect()[0]
+        if g_row["g"] is None:
+            return spark.createDataFrame(
+                [], "doc_id long, score double, matched int"
+            )
+        g = int(g_row["g"])
+        q_blocks = q_blocks.withColumn(
+            "group_id", F.expr(f"shiftright(block_id, salt_bits - {g})")
+        )
+        gmeta = q_blocks.groupBy("group_id").agg(
             F.sum("ub").alias("ub_sum"),
             F.countDistinct("term").alias("n_present"),
         )
@@ -212,30 +242,30 @@ def wand_search(
             gmeta = gmeta.filter(F.col("n_present") == len(plan))
         gmeta = gmeta.persist()
 
-        scorer = _make_scorer(mode, k1, b, avgdl, tombs)
+        scorer = _make_scorer(mode, k1, b, avgdl, tombs, len(plan))
         group_cols = ["term", "idf", "seg_seq", "doc_ids", "tfs", "dls"]
 
         def score_groups(sel: DataFrame) -> DataFrame:
             return (
-                q_blocks.join(sel.select("block_id"), "block_id", "left_semi")
-                .repartition("block_id")
-                .groupBy("block_id")
+                q_blocks.join(sel.select("group_id"), "group_id", "left_semi")
+                .repartition("group_id")
+                .groupBy("group_id")
                 .applyInPandas(
                     lambda pdf: scorer(pdf[group_cols]), schema=SCORED_SCHEMA
                 )
             )
 
         # Phase A: exact-score the top-ub groups to establish theta.
-        g_a = gmeta.orderBy(F.desc("ub_sum"), F.asc("block_id")).limit(
+        g_a = gmeta.orderBy(F.desc("ub_sum"), F.asc("group_id")).limit(
             phase_a_groups
         )
-        a_ids = [r["block_id"] for r in g_a.select("block_id").collect()]
+        a_ids = [r["group_id"] for r in g_a.select("group_id").collect()]
         if not a_ids:
             return spark.createDataFrame(
                 [], "doc_id long, score double, matched int"
             )
         scored_a = score_groups(
-            spark.createDataFrame([(i,) for i in a_ids], "block_id long")
+            spark.createDataFrame([(i,) for i in a_ids], "group_id long")
         )
         scored_a = _apply_exclusions(engine, scored_a, exclude_terms)
         scored_a = scored_a.persist()
@@ -245,7 +275,7 @@ def wand_search(
         theta = top_a[k - 1]["score"] if len(top_a) == k else float("-inf")
 
         # Phase B: only groups whose upper bound can still beat theta.
-        g_b = gmeta.filter(~F.col("block_id").isin(a_ids)).filter(
+        g_b = gmeta.filter(~F.col("group_id").isin(a_ids)).filter(
             F.col("ub_sum") >= F.lit(theta - EPS)
         )
         scored_b = _apply_exclusions(
@@ -288,9 +318,18 @@ def pruning_stats(engine, query_terms: list[str], mode: str = "AND") -> dict:
     if plan.empty:
         return {"groups_total": 0, "groups_surviving": 0}
     term_ids = [int(t) for t in plan["term_id"]]
+    blocks = engine._postings.filter(F.col("term_id").isin(term_ids)).select(
+        "term_id", "block_id", "salt_bits"
+    )
+    g_row = blocks.agg(F.min("salt_bits").alias("g")).collect()[0]
+    if g_row["g"] is None:
+        return {"groups_total": 0, "groups_surviving": 0}
+    coarse = int(g_row["g"])
     g = (
-        engine._postings.filter(F.col("term_id").isin(term_ids))
-        .groupBy("block_id")
+        blocks.withColumn(
+            "group_id", F.expr(f"shiftright(block_id, salt_bits - {coarse})")
+        )
+        .groupBy("group_id")
         .agg(F.countDistinct("term_id").alias("n_present"))
     )
     total = g.count()

