@@ -315,6 +315,29 @@ def q_bm25_source_cap(spark, sf_dir):
     return _ranked(capped.select("doc_id", "score", "matched"), 10)
 
 
+def q_multimodal(spark, sf_dir):
+    # multimodal plumbing (opaque binary media + typed metadata, stub codec
+    # -- operators/multimodal.py): decode/feature-extract over mapInPandas
+    from .operators.multimodal import attach_fake_media, media_features
+
+    media = attach_fake_media(documents(spark, sf_dir))
+    feats = media_features(media)
+    return (
+        feats.select(
+            "doc_id",
+            "media_type",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "content_hash",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def q_events_window(spark, sf_dir):
     ev = events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -374,6 +397,7 @@ QUERIES = {
     "events_range_agg": q_events_range_agg,
     "bm25_paging": q_bm25_paging,
     "bm25_source_cap": q_bm25_source_cap,
+    "multimodal": q_multimodal,
 }
 
 # --------------------------------------------------------------------------
@@ -645,6 +669,33 @@ capped AS (
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
+""",
+    "multimodal": """
+WITH payload AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         substr(md5(text || '0') || md5(text || '1') || md5(text || '2')
+                || md5(text || '3') || md5(text || '4'), 1, 128) AS phex
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, media_type, md5(phex) AS ch FROM payload
+),
+bytes AS (
+  SELECT doc_id, media_type, ch,
+         ('0x' || substr(ch, 1, 2))::INT AS b0,
+         ('0x' || substr(ch, 3, 2))::INT AS b1,
+         ('0x' || substr(ch, 5, 2))::INT AS b2,
+         ('0x' || substr(ch, 7, 2))::INT AS b3
+  FROM feat
+)
+SELECT doc_id, media_type, CAST(64 AS BIGINT) AS n_bytes, ch AS content_hash,
+       CAST(CASE WHEN media_type = 'image' THEN 16 + b0 % 240 END AS BIGINT) AS width,
+       CAST(CASE WHEN media_type = 'image' THEN 16 + b1 % 240 END AS BIGINT) AS height,
+       CAST(CASE WHEN media_type <> 'image' THEN 100 + b2 * 256 + b3 END AS BIGINT) AS duration_ms,
+       round(round(b0 / 255.0, 4), 4) AS f0
+FROM bytes ORDER BY doc_id LIMIT 200
 """,
     "events_window": """
 SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (

@@ -12,24 +12,22 @@ this plan ships ~3% of that):
 
   documents ──ONE mapInPandas: tokenize + partial-encode──▶ partial blocks
       (python never hands raw tuples back to the JVM; partial rows are
-       delta+varbyte posting blocks keyed by (term_id, SUPER block))
+       delta+varbyte posting blocks keyed by (term_id, salt_bits, salt))
       │ shuffle of compressed partial blocks only
       ▼
-  repartition(term_id, super_block) + sortWithinPartitions
+  repartition(term_id, salt_bits, block_id) + sortWithinPartitions
       │
-      ▼ ONE mapInPandas: vectorized k-way merge + re-block
-  final postings blocks (term_id, block_id) of ~target_block_docs docs
+      ▼ ONE mapInPandas: vectorized k-way merge
+  final postings blocks: ONE row per (term_id, salt_bits, salt) group
 
-Two block granularities, one hash prefix:
-* block_id       = py_hash(doc_id) >> block_bits        (query granularity,
-                   ~128 docs: tight block-max WAND bounds)
-* super_block_id = block_id >> (super_shift)            (shuffle granularity,
-                   ~2048 docs: each map partition contributes a MEATY partial
-                   row instead of 1-2 docs)
-The prefix property keeps every final block inside exactly one super block,
-so the merge needs no cross-group state.
+Block granularity is DF-ADAPTIVE per term (_partial_encoder): a term's
+blocks are hash-prefix ranges sized to ~target_reduce_docs docs, so a tail
+term is one whole-range block and a stopword splits into many -- the table
+is df-proportional, never metadata-dominated, and the reduce groups are
+bounded. block_id = top salt_bits bits of the 63-bit doc hash; prefixes
+nest across granularities, which is what WAND's hierarchical grouping uses.
 
-Skew: a stopword term spans its many super blocks -- the block key IS the
+Skew: a stopword term spans its many salt ranges -- the block key IS the
 salt (north rule's salted repartitioning); AQE splits residual imbalance.
 All ids are computed in Python (functions/hashing.py py_*) because the
 combiner never round-trips rows through the JVM; ids only need internal

@@ -132,9 +132,18 @@ def apply_updates(
     )
 
     # ---- documents table: drop old versions, add new ---------------------
-    new_docs = docs.join(gone_ids, "doc_id", "left_anti").unionByName(
-        upserts.select(*docs.columns)
+    # align upserts to the documents schema: columns the upsert source does
+    # not carry (e.g. enrichment columns on the doc store) become NULL
+    up_cols = set(upserts.columns)
+    aligned = upserts.select(
+        *[
+            F.col(c)
+            if c in up_cols
+            else F.lit(None).cast(docs.schema[c].dataType).alias(c)
+            for c in docs.columns
+        ]
     )
+    new_docs = docs.join(gone_ids, "doc_id", "left_anti").unionByName(aligned)
     catalog.write_table(new_docs, "documents")
     catalog.write_table(new_ts, "term_stats")
 

@@ -7,10 +7,13 @@ current threshold. The batch/distributed re-expression is *block*-max WAND
 over the posting-block skip metadata (`block_max_tf`, `block_min_dl` written
 at build time, codec.py doc):
 
-Because ``block_id`` is a pure function of ``doc_id`` (hashing.block_id_col),
-every term's postings for a given doc live in the SAME block_id -- blocks are
-co-aligned across terms. A "block group" (all query terms' blocks at one
-block_id) can therefore be scored independently, and pruned independently:
+Every posting block covers an explicit hash-PREFIX range of the doc space:
+``block_id`` = top ``salt_bits`` bits of the 63-bit doc hash, with
+``salt_bits`` df-adaptive per term (index_build._partial_encoder). Prefix
+ranges nest, so grouping all query terms' blocks at g = the COARSEST
+granularity among them (group = block_id >> (salt_bits - g)) puts every
+doc's blocks -- one per term -- into the same group. Groups score
+independently and prune independently:
 
 * AND: a group missing any query term cannot contain a conjunctive match --
   dropped by a count filter before any decode (the analog of rarest-first
