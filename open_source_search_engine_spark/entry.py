@@ -315,6 +315,40 @@ def q_bm25_source_cap(spark, sf_dir):
     return _ranked(capped.select("doc_id", "score", "matched"), 10)
 
 
+def q_lsh_candidates(spark, sf_dir):
+    # MinHash+LSH banding: near-dup candidate pairs sharing >=1 band bucket
+    # (the scale path for pairwise dedup; md5-min signatures -> rows-only
+    # check is avoided by the deterministic md5 basis -- but band hashing of
+    # concatenated signatures is awkward in SQL, so rows-only)
+    return (
+        dedup.minhash_lsh_candidates(
+            documents(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+        )
+        .select(
+            "doc_id_a", "doc_id_b",
+            F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+        .limit(200)
+    )
+
+
+def q_bpe_count(spark, sf_dir):
+    # BPE-ish token estimate (text_analysis.bpe_ish_token_count_col):
+    # greatest(word tokens, ceil(chars/4)) -- the standard cheap proxy
+    return (
+        documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            text_analysis.bpe_ish_token_count_col("text")
+            .cast("long")
+            .alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def q_multimodal(spark, sf_dir):
     # multimodal plumbing (opaque binary media + typed metadata, stub codec
     # -- operators/multimodal.py): decode/feature-extract over mapInPandas
@@ -398,6 +432,8 @@ QUERIES = {
     "bm25_paging": q_bm25_paging,
     "bm25_source_cap": q_bm25_source_cap,
     "multimodal": q_multimodal,
+    "lsh_candidates": q_lsh_candidates,
+    "bpe_count": q_bpe_count,
 }
 
 # --------------------------------------------------------------------------
@@ -669,6 +705,15 @@ capped AS (
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
+""",
+    "bpe_count": f"""
+WITH {_TOKS}
+SELECT d.doc_id,
+       CAST(greatest(len(t.toks),
+                     CAST(ceil(length(coalesce(d.text, '')) / 4.0) AS INT))
+            AS BIGINT) AS bpe_tokens
+FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id LIMIT 200
 """,
     "multimodal": """
 WITH payload AS (
