@@ -315,6 +315,28 @@ def q_bm25_source_cap(spark, sf_dir):
     return _ranked(capped.select("doc_id", "score", "matched"), 10)
 
 
+def q_phrase_rank(spark, sf_dir):
+    # quoted-phrase query WITH BM25 ranking (O5 + T1): exact adjacency
+    # constrains the result set, scoring stays the ordinary BM25 sum
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_phrase(["merge", "sort"], 10), 10)
+
+
+def q_ivf_ann(spark, sf_dir):
+    # IVF approximate NN: probe the clusters nearest the query (scale path:
+    # cluster id becomes a stored partition column -> partition pruning)
+    emb = embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=3)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cosine", F.round("cosine", 4))
+        .select("rank", "vec_id", "cosine")
+        .orderBy("rank")
+    )
+
+
 def q_lsh_candidates(spark, sf_dir):
     # MinHash+LSH banding: near-dup candidate pairs sharing >=1 band bucket
     # (the scale path for pairwise dedup; md5-min signatures -> rows-only
@@ -434,6 +456,8 @@ QUERIES = {
     "multimodal": q_multimodal,
     "lsh_candidates": q_lsh_candidates,
     "bpe_count": q_bpe_count,
+    "phrase_rank": q_phrase_rank,
+    "ivf_ann": q_ivf_ann,
 }
 
 # --------------------------------------------------------------------------
@@ -706,6 +730,13 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
 """,
+    "phrase_rank": _bm25_sql(
+        ["merge", "sort"], 10, "AND",
+        restrict=(
+            r"SELECT doc_id FROM documents "
+            r"WHERE regexp_matches(lower(text), '\bmerge[^a-z0-9_]+sort\b')"
+        ),
+    ),
     "bpe_count": f"""
 WITH {_TOKS}
 SELECT d.doc_id,

@@ -291,6 +291,28 @@ class SearchEngine:
             .distinct()
         )
 
+    def search_phrase(self, phrase_terms: list[str], k: int = 10) -> DataFrame:
+        """Quoted-phrase query with BM25 ranking: docs must contain the exact
+        phrase (positional adjacency, O5); scoring is the ordinary BM25 sum
+        over the phrase's distinct terms -- quoted terms keep normal scores
+        in the reference too, the quotes only constrain matching
+        (`Query.h:219-226`)."""
+        terms = sorted(set(phrase_terms))
+        plan = self.plan_terms(terms)
+        if plan.empty or len(plan) < len(terms):
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, matched int"
+            )
+        scored = self._aggregate_scores(self._contributions(plan)).filter(
+            F.col("matched") == len(plan)
+        )
+        hits = self.phrase_docs(phrase_terms)
+        return (
+            scored.join(hits, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def term_docs(self, term: str) -> DataFrame:
         """Distinct doc_ids containing ``term`` (one termlist scan)."""
         plan = self.plan_terms([term])

@@ -102,6 +102,104 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means with hash-seeded init and
+    a FIXED number of Lloyd iterations (determinism beats convergence for a
+    reproducible index). Each iteration is one groupBy over cluster
+    assignments -- all distributed; only (n_centroids x dim) means ever
+    reach the driver."""
+    # deterministic in-distribution init: the n_centroids data points with
+    # the smallest seeded hash of their id (a reproducible pseudo-sample)
+    seeded = (
+        embeddings.select(
+            F.col(vec_col),
+            F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array(
+        [[float(x) for x in r[vec_col]] for r in seeded], dtype=np.float64
+    )
+    n_centroids = len(cents)
+    dim = cents.shape[1]
+    for _ in range(iterations):
+        assigned = embeddings.withColumn(
+            "_c", ivf_assign_col(vec_col, cents)
+        )
+        sums = (
+            assigned.select(
+                "_c", *[F.element_at(vec_col, i + 1).cast("double").alias(f"x{i}") for i in range(dim)]
+            )
+            .groupBy("_c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in sums:
+            c = int(r["_c"])
+            n = int(r["n"])
+            if n:
+                new[c] = np.array([float(r[f"s{i}"]) for i in range(dim)]) / n
+        cents = new
+    return cents
+
+
+def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id by max dot product (JVM-side expression)."""
+    best_c = F.lit(0).cast("int")
+    best_d = None
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        d = _dot(F.col(vec_col), arr)
+        if best_d is None:
+            best_d = d
+        else:
+            cond = d > best_d
+            best_c = F.when(cond, F.lit(c).cast("int")).otherwise(best_c)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_c
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate NN: search only the ``n_probe`` clusters nearest the
+    query, exact cosine within them. At scale the cluster id is a stored
+    partition column (write once at index time), making this a
+    partition-pruned scan; here it is computed inline."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
+    )
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(cents @ qv))
+    probe = [int(c) for c in order[:n_probe]]
+    cand = embeddings.withColumn("_c", ivf_assign_col(vec_col, cents)).filter(
+        F.col("_c").isin(probe)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def pairwise_cosine_neardup(
     embeddings: DataFrame,
     threshold: float = 0.95,
