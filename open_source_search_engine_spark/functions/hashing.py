@@ -7,10 +7,11 @@ lowercased token (`hash.h:126-182`, `termid_mask.h:4`). 38 bits cannot cover
 with the C++ is not required because rank identity is defined against our own
 golden scorer (SURVEY.md §5.3).
 
-Both ids are computed JVM-side with Spark's built-in ``xxhash64`` (no Python
-in the hot path); the sign bit is masked so ids are non-negative 63-bit ints,
-which keeps block_id = doc_id >> BLOCK_BITS well defined and keeps the
-doc_id-asc tie-break a plain numeric sort.
+doc_id is computed JVM-side (xxhash64 at ingest); term_id and block routing
+are computed in PYTHON (the build combiner never round-trips token rows
+through the JVM). Sign bits are masked so ids are non-negative 63-bit ints,
+keeping prefix shifts well defined and the doc_id-asc tie-break a plain
+numeric sort.
 """
 
 from __future__ import annotations
@@ -52,8 +53,10 @@ def py_term_ids(uniques) -> np.ndarray:
 
 
 def py_block_ids(doc_ids: np.ndarray, block_bits: int) -> np.ndarray:
-    """Python/numpy twin of block_id_col: splitmix64(doc_id) >> bits, sign
-    bit masked. Vectorized uint64 arithmetic with intentional wraparound."""
+    """Block routing hash: splitmix64(doc_id) >> bits, sign bit masked.
+    Hashing first keeps block populations uniform for ANY doc_id
+    distribution; the same doc lands in the same block for every term.
+    Vectorized uint64 arithmetic with intentional wraparound."""
     with np.errstate(over="ignore"):
         z = doc_ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -78,25 +81,6 @@ def doc_id_col(conv_id: Column, turn_idx: Column) -> Column:
     return F.xxhash64(
         F.concat(conv_id.cast("string"), F.lit(":"), turn_idx.cast("string"))
     ).bitwiseAND(F.lit(SIGN_MASK))
-
-
-def term_id_col(term: Column) -> Column:
-    """63-bit term id from the (already lowercased) token string."""
-    return F.xxhash64(term).bitwiseAND(F.lit(SIGN_MASK))
-
-
-def block_id_col(doc_id: Column, block_bits: int) -> Column:
-    """Posting-block key: high bits of a HASH of doc_id (not doc_id itself).
-
-    Hashing first keeps block sizes uniform for any doc_id distribution
-    (external corpora often have dense sequential ids, which would otherwise
-    collapse into one giant block). The same doc always lands in the same
-    block across all terms, which is what DAAT intersection colocation needs;
-    doc_ids within a block are still sorted + delta-encodable.
-    """
-    return F.shiftrightunsigned(
-        F.xxhash64(doc_id).bitwiseAND(F.lit(SIGN_MASK)), block_bits
-    )
 
 
 def pick_block_bits(n_docs: int, target_block_docs: int = DEFAULT_TARGET_BLOCK_DOCS) -> int:

@@ -102,6 +102,10 @@ class IndexConfig:
     target_reduce_docs: int = 8192
     bm25: BM25Params = field(default_factory=BM25Params)
     store_positions: bool = True
+    #: also index 2-word phrase terms (SURVEY.md X3); term string "t1 t2".
+    #: ascii tokenizer mode only; accelerates search_phrase via direct
+    #: bigram-termlist lookup instead of positional intersection
+    bigrams: bool = False
 
 
 @dataclass
@@ -160,7 +164,22 @@ def _fnv_hash_tokens(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> n
     return (z & np.uint64((1 << 63) - 1)).astype(np.int64)
 
 
-def _tokenize_batch_fast(b: pd.DataFrame, term_strings: dict[int, str]):
+def _bigram_ids(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Bigram term id from the two member tokens' term ids (vectorized mix +
+    splitmix finalize). Pure build-internal identity: queries resolve bigram
+    terms by STRING through term_stats, so no string-hash parity is needed."""
+    with np.errstate(over="ignore"):
+        z = (h1.astype(np.uint64) * _FNV_PRIME_U64) ^ h2.astype(np.uint64)
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return (z & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
+def _tokenize_batch_fast(
+    b: pd.DataFrame, term_strings: dict[int, str], bigrams: bool = False
+):
     """ASCII-mode byte-level tokenizer: one str.lower + one utf-8 encode per
     DOC, then pure numpy (byte-class mask -> run boundaries -> vectorized
     FNV term ids). No per-token Python objects -- measured ~3-4x less memory
@@ -211,9 +230,34 @@ def _tokenize_batch_fast(b: pd.DataFrame, term_strings: dict[int, str]):
             term_strings[u] = (
                 arr[tok_starts[fi]: tok_ends[fi]].tobytes().decode("utf-8")
             )
+    g_doc, g_tid, g_pos = tok_doc, tids_tok, pos
+    if bigrams and tok_doc.size > 1:
+        # bigram "terms" (SURVEY.md X3): one entry per consecutive token
+        # pair within a doc, positioned at the FIRST word; term string
+        # "t1 t2" registered for the dictionary. The bigram entries join the
+        # unigram stream before grouping, so tf/positions aggregate the
+        # same way; dl stays the unigram count.
+        adj = tok_doc[1:] == tok_doc[:-1]
+        bi_idx = np.flatnonzero(adj)
+        if bi_idx.size:
+            bh = _bigram_ids(tids_tok[bi_idx], tids_tok[bi_idx + 1])
+            ub, fb = np.unique(bh, return_index=True)
+            for u, fi in zip(ub.tolist(), fb.tolist()):
+                if u not in term_strings:
+                    i = bi_idx[fi]
+                    term_strings[u] = (
+                        arr[tok_starts[i]: tok_ends[i]].tobytes().decode("utf-8")
+                        + " "
+                        + arr[tok_starts[i + 1]: tok_ends[i + 1]]
+                        .tobytes()
+                        .decode("utf-8")
+                    )
+            g_doc = np.concatenate([tok_doc, tok_doc[bi_idx]])
+            g_tid = np.concatenate([tids_tok, bh])
+            g_pos = np.concatenate([pos, pos[bi_idx]])
     # group by (doc, term_id); stable in position order
-    order = np.lexsort((pos, tids_tok, tok_doc))
-    d_s, t_s, p_s = tok_doc[order], tids_tok[order], pos[order]
+    order = np.lexsort((g_pos, g_tid, g_doc))
+    d_s, t_s, p_s = g_doc[order], g_tid[order], g_pos[order]
     new_group = np.empty(d_s.size, dtype=bool)
     new_group[0] = True
     new_group[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
@@ -384,6 +428,7 @@ def _partial_encoder(
     store_positions: bool,
     n_map_partitions: int,
     target_reduce_docs: int = 8192,
+    bigrams: bool = False,
 ):
     """ADAPTIVE per-term salting (the df-aware analog of the reference's
     rarest/commonest split decisions and the north rule's salted
@@ -411,7 +456,7 @@ def _partial_encoder(
         doc_l, tid_l, tf_l, dl_l, pos_l = [], [], [], [], []
         for b in batches:
             if mode == "ascii":
-                tk = _tokenize_batch_fast(b, term_strings)
+                tk = _tokenize_batch_fast(b, term_strings, bigrams)
                 if tk is None:
                     continue
                 tid_b = tk["tid"]
@@ -590,6 +635,7 @@ def build_postings(
     target_reduce_docs: int = 8192,
     tokenizer_mode: str = "unicode",
     store_positions: bool = True,
+    bigrams: bool = False,
 ) -> DataFrame:
     """documents -> posting blocks. Two Python stages, one shuffle of
     COMPRESSED partial blocks (the Msg4 metalist routing, `Msg4Out.cpp`,
@@ -606,9 +652,11 @@ def build_postings(
     if n_map < par * 2:
         n_map = par * 2
         src = src.repartition(n_map)
+    if bigrams and tokenizer_mode != "ascii":
+        raise NotImplementedError("bigram indexing requires tokenizer_mode='ascii'")
     partial = src.mapInPandas(
         _partial_encoder(
-            tokenizer_mode, store_positions, n_map, target_reduce_docs
+            tokenizer_mode, store_positions, n_map, target_reduce_docs, bigrams
         ),
         schema=POSTINGS_SCHEMA,
     )
@@ -678,6 +726,7 @@ def build_index(
         config.target_reduce_docs,
         config.tokenizer_mode,
         config.store_positions,
+        config.bigrams,
     )
     # seg_seq 0 = initial build; incremental updates append higher sequences
     catalog.write_table(

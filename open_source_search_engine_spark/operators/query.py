@@ -291,12 +291,21 @@ class SearchEngine:
             .distinct()
         )
 
-    def search_phrase(self, phrase_terms: list[str], k: int = 10) -> DataFrame:
+    def search_phrase(
+        self, phrase_terms: list[str], k: int = 10, use_bigrams: bool = True
+    ) -> DataFrame:
         """Quoted-phrase query with BM25 ranking: docs must contain the exact
         phrase (positional adjacency, O5); scoring is the ordinary BM25 sum
         over the phrase's distinct terms -- quoted terms keep normal scores
         in the reference too, the quotes only constrain matching
-        (`Query.h:219-226`)."""
+        (`Query.h:219-226`).
+
+        When the index carries bigram terms (IndexConfig.bigrams; SURVEY.md
+        X3), adjacency is verified over the much-shorter bigram termlists
+        ("t_i t_{i+1}" at slot i -- positions are first-word ordinals, so
+        the same slot machinery applies); otherwise it falls back to
+        positional intersection of the unigram lists. Results identical.
+        """
         terms = sorted(set(phrase_terms))
         plan = self.plan_terms(terms)
         if plan.empty or len(plan) < len(terms):
@@ -306,7 +315,16 @@ class SearchEngine:
         scored = self._aggregate_scores(self._contributions(plan)).filter(
             F.col("matched") == len(plan)
         )
-        hits = self.phrase_docs(phrase_terms)
+        hits = None
+        if use_bigrams and len(phrase_terms) >= 2:
+            bi = [
+                f"{a} {b}" for a, b in zip(phrase_terms, phrase_terms[1:])
+            ]
+            bplan = self.plan_terms(bi)
+            if len(bplan) == len(set(bi)):
+                hits = self.phrase_docs(bi)
+        if hits is None:
+            hits = self.phrase_docs(phrase_terms)
         return (
             scored.join(hits, "doc_id", "left_semi")
             .orderBy(F.desc("score"), F.asc("doc_id"))

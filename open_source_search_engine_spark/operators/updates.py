@@ -79,6 +79,11 @@ def apply_updates(
     (doc_id column) to a built index. Visible to queries immediately --
     compaction is optional housekeeping."""
     config = config or IndexConfig()
+    if config.bigrams:
+        raise NotImplementedError(
+            "incremental updates on bigram indexes: the stats-delta tokenize "
+            "path does not emit bigram terms yet -- rebuild instead"
+        )
     docs = catalog.read_table("documents")
     corpus = catalog.read_table("corpus_stats").collect()[0]
     block_bits = int(corpus["block_bits"])

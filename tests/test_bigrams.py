@@ -1,0 +1,85 @@
+"""Bigram-term gates (SURVEY.md X3): bigram postings carry first-word
+positions; phrase retrieval over bigram termlists is identical to positional
+intersection of unigram lists; BM25 rankings are unaffected by the extra
+terms (df of unigrams unchanged)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.catalog import Catalog
+from open_source_search_engine_spark.operators.index_build import (
+    IndexConfig,
+    build_index,
+    transcripts_to_docs,
+)
+from open_source_search_engine_spark.operators.query import SearchEngine
+from open_source_search_engine_spark.sources.transcripts import synth_transcripts
+
+N_TURNS = 800
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    docs = transcripts_to_docs(synth_transcripts(spark, N_TURNS))
+    big = Catalog(spark, str(tmp_path_factory.mktemp("bi-wh")))
+    build_index(
+        spark, big, docs, IndexConfig(tokenizer_mode="ascii", bigrams=True)
+    )
+    plain = Catalog(spark, str(tmp_path_factory.mktemp("uni-wh")))
+    build_index(spark, plain, docs, IndexConfig(tokenizer_mode="ascii"))
+    return (
+        SearchEngine(spark, big, tokenizer_mode="ascii"),
+        SearchEngine(spark, plain, tokenizer_mode="ascii"),
+    )
+
+
+def test_bigram_terms_in_stats(engines):
+    big, _ = engines
+    ts = big.catalog.read_table("term_stats")
+    n_bi = ts.filter(F.col("term").contains(" ")).count()
+    assert n_bi > 0
+    # planted turn "to be or not to be" -> bigram "to be" with tf 2
+    row = ts.filter(F.col("term") == "to be").collect()
+    assert row and row[0]["cf"] >= 2
+
+
+PHRASES = [
+    ["to", "be"],
+    ["to", "be", "or", "not"],
+    ["repeat", "repeat"],
+    ["rareterm_xyzzy", "appears"],
+    ["zz_nope", "zz_nada"],
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_bigram_phrase_equals_positional(spark, engines, phrase):
+    big, plain = engines
+    via_bigram = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in big.search_phrase(phrase, 20, use_bigrams=True).collect()
+    ]
+    via_positional = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in big.search_phrase(phrase, 20, use_bigrams=False).collect()
+    ]
+    on_plain_index = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in plain.search_phrase(phrase, 20).collect()
+    ]
+    assert via_bigram == via_positional == on_plain_index
+
+
+def test_unigram_rankings_unaffected(spark, engines):
+    big, plain = engines
+    a = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in big.search_terms(["spark", "index"], "AND", 10).collect()
+    ]
+    b = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in plain.search_terms(["spark", "index"], "AND", 10).collect()
+    ]
+    assert a == b
