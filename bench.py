@@ -106,6 +106,23 @@ def main() -> None:
     p50 = lat[len(lat) // 2]
     queries["bm25_transcript_p50"] = round(p50, 4)
 
+    # batch serving throughput: many queries in ONE job (SearchEngine.search_many)
+    vocab = ["spark", "index", "query", "merge", "shard", "score", "posting",
+             "block", "search", "rank", "table", "shuffle", "batch", "vector",
+             "stream", "join", "filter", "agg", "window", "the"]
+    batch = []
+    for i in range(64):
+        terms = [vocab[i % 20], vocab[(i * 7 + 3) % 20]]
+        batch.append({
+            "query_id": f"b{i}", "terms": terms,
+            "mode": "AND" if i % 2 else "OR", "k": 10,
+        })
+    t0 = time.time()
+    eng.search_many(batch).collect()
+    batch_s = time.time() - t0
+    queries["batch_64_queries"] = round(batch_s, 4)
+    batch_qps = 64 / batch_s
+
     total = sum(queries.values())
     print(
         json.dumps(
@@ -119,6 +136,7 @@ def main() -> None:
                     "indexing_turns_per_sec": round(turns_per_sec, 1),
                     "bench_corpus_turns": n_turns,
                     "bm25_query_p50_sec": round(p50, 4),
+                    "batch_qps": round(batch_qps, 1),
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 },
             }

@@ -194,6 +194,94 @@ class SearchEngine:
                 scored = scored.join(ex_docs, "doc_id", "left_anti")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_many(
+        self, queries: list[dict], default_k: int = 10
+    ) -> DataFrame:
+        """Batch serving: MANY queries answered in ONE distributed job.
+
+        ``queries`` = [{"query_id": str, "terms": [...], "mode": "AND"|"OR",
+        "k": int}]. Returns (query_id, rank, doc_id, score, matched) with
+        per-query rank over (score desc, doc_id asc) limited to that
+        query's k. Each query's rows are rank-identical to search_terms --
+        the point is amortization: the reference pays one UDP fan-out per
+        query (Msg3a), a batch pipeline pays one postings scan for the whole
+        workload. Per-doc scores aggregate with the same canonical term
+        order, so identity holds bit-exactly.
+        """
+        from pyspark.sql import Window
+
+        qmeta_rows = []  # (query_id, term, idf, n_required, k)
+        all_terms: set[str] = set()
+        for q in queries:
+            terms = sorted(set(q["terms"]))
+            all_terms.update(terms)
+        plan = self.plan_terms(sorted(all_terms))
+        idf_of = dict(zip(plan["term"], plan["idf"]))
+        tid_of = dict(zip(plan["term"], plan["term_id"]))
+        for q in queries:
+            qid = str(q["query_id"])
+            mode = q.get("mode", "AND")
+            k = int(q.get("k", default_k))
+            terms = sorted(set(q["terms"]))
+            present = [t for t in terms if t in idf_of]
+            if not present or (mode == "AND" and len(present) < len(terms)):
+                continue  # unanswerable -> no rows (same as search_terms)
+            required = len(present) if mode == "AND" else 1
+            for t in present:
+                qmeta_rows.append(
+                    (qid, t, int(tid_of[t]), float(idf_of[t]), required, k)
+                )
+        if not qmeta_rows:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank long, doc_id long, score double, matched int"
+            )
+        qmeta = self.spark.createDataFrame(
+            qmeta_rows,
+            "query_id string, term string, term_id long, idf double, "
+            "n_required int, k int",
+        )
+        term_ids = sorted({r[2] for r in qmeta_rows})
+        decoded = self.decoded_postings(term_ids)
+        k1, b = self.params.k1, self.params.b
+        contrib = (
+            decoded.join(F.broadcast(qmeta), "term_id")
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * (
+                    F.col("tf")
+                    * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
+                        )
+                    )
+                ),
+            )
+            .select("query_id", "doc_id", "term", "contrib", "n_required", "k")
+        )
+        scored = contrib.groupBy("query_id", "doc_id").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.contrib)"
+            ).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched"),
+            F.first("n_required").alias("n_required"),
+            F.first("k").alias("k"),
+        ).filter(F.col("matched") >= F.col("n_required"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score", "matched")
+            .orderBy("query_id", "rank")
+        )
+
     def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
         """Parse a query string: bare terms, '-term' exclusions
         (`Query.h:191-193` sign parsing)."""
