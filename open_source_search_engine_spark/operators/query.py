@@ -182,7 +182,7 @@ class SearchEngine:
                 [], "doc_id long, score double, matched int"
             )
         contrib = self._contributions(plan)
-        scored = self._aggregate_scores(contrib)
+        scored = self._aggregate_scores(contrib, list(plan["term"]))
         if mode == "AND":
             scored = scored.filter(F.col("matched") == len(plan))
         if exclude_terms:
@@ -400,7 +400,9 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, matched int"
             )
-        scored = self._aggregate_scores(self._contributions(plan)).filter(
+        scored = self._aggregate_scores(
+            self._contributions(plan), list(plan["term"])
+        ).filter(
             F.col("matched") == len(plan)
         )
         hits = None
@@ -458,9 +460,34 @@ class SearchEngine:
             out = out.unionByName(f)
         return out.distinct()
 
-    def _aggregate_scores(self, contrib: DataFrame) -> DataFrame:
-        """Canonical-order float64 sum per doc: contributions sorted by term
-        string ascending before summation (bit-stable across partitionings)."""
+    def _aggregate_scores(
+        self, contrib: DataFrame, terms: list[str] | None = None
+    ) -> DataFrame:
+        """Canonical-order float64 sum per doc: contributions added in term-
+        string-ascending order (bit-stable across partitionings).
+
+        With the query's term list known (always, in practice) this is a
+        PIVOTED hash aggregation -- one conditional-sum column per term,
+        then a fixed-order fold -- which map-side partial-aggregates and is
+        ~10x cheaper at scale than the collect_list+array_sort fold (kept as
+        the fallback). The add sequence is identical: 0.0 + c_t1 + c_t2 ...
+        skipping absent terms, terms sorted ascending."""
+        if terms:
+            ts = sorted(set(terms))
+            aggs = [
+                F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(
+                    f"_c{i}"
+                )
+                for i, t in enumerate(ts)
+            ]
+            g = contrib.groupBy("doc_id").agg(
+                *aggs, F.count(F.lit(1)).cast("int").alias("matched")
+            )
+            score = F.lit(0.0)
+            for i in range(len(ts)):
+                c = F.col(f"_c{i}")
+                score = F.when(c.isNotNull(), score + c).otherwise(score)
+            return g.select("doc_id", score.alias("score"), "matched")
         return contrib.groupBy("doc_id").agg(
             F.expr(
                 "aggregate(array_sort(collect_list(struct(term, contrib))), "
