@@ -139,6 +139,39 @@ class Catalog:
         m = self._read_manifest(name)
         return m["snapshot_id"] if m else None
 
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot history, oldest first (the Iceberg snapshots metadata
+        table analog; parquet mode reads the snap-*.json files)."""
+        if self.use_iceberg:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id, committed_at FROM osse.db.{name}.snapshots "
+                "ORDER BY committed_at"
+            ).collect()
+            return [dict(r.asDict()) for r in rows]
+        tdir = self._tdir(name)
+        out = []
+        if os.path.isdir(tdir):
+            for f in sorted(os.listdir(tdir)):
+                if f.startswith("snap-") and f.endswith(".json"):
+                    with open(os.path.join(tdir, f)) as fh:
+                        out.append(json.load(fh))
+        return out
+
+    def read_snapshot(self, name: str, snapshot_id: str) -> DataFrame:
+        """Time-travel read: the table AS OF a given snapshot (Iceberg
+        `VERSION AS OF`; Rdb analog: the file set before
+        updateToRebuildFiles swapped it, `Rdb.h:227`)."""
+        if self.use_iceberg:
+            return self.spark.read.option("snapshot-id", snapshot_id).table(
+                f"osse.db.{name}"
+            )
+        for snap in self.snapshots(name):
+            if snap["snapshot_id"] == snapshot_id:
+                if not snap["data_dirs"]:
+                    raise FileNotFoundError(f"snapshot {snapshot_id} is empty")
+                return self.spark.read.parquet(*snap["data_dirs"])
+        raise FileNotFoundError(f"table {name} has no snapshot {snapshot_id}")
+
     def data_dirs(self, name: str) -> list[str]:
         """Live data directories of the current snapshot (parquet mode)."""
         m = self._read_manifest(name)
