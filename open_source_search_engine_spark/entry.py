@@ -394,6 +394,70 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    # hypertable-style tumbling rollup (operators/events.py)
+    from .operators.events import rollup_events
+
+    r = rollup_events(events(spark, sf_dir), "1 day")
+    return (
+        r.select(
+            F.unix_micros(F.col("bucket_start").cast("timestamp")).alias("bucket_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            # avg omitted from the contract: sum/n round-boundary values
+            # (e.g. 307.03/8 = 38.37875) round differently across engines
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("bucket_us", "event_type")
+        .limit(200)
+    )
+
+
+def q_sessions(spark, sf_dir):
+    # gaps-and-islands sessionization (30-minute inactivity gap)
+    from .operators.events import sessionize
+
+    s = sessionize(events(spark, sf_dir), gap_minutes=30)
+    return (
+        s.select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+        .limit(300)
+    )
+
+
+def q_events_asof(spark, sf_dir):
+    # as-of join: each event joined to the user's latest signup at-or-before
+    from .operators.events import as_of_join
+
+    ev = events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    joined = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        signups,
+        key_col="user_id",
+        right_cols=["value"],
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("signup_us"),
+            F.round("value_asof", 4).alias("signup_value"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
 def q_events_window(spark, sf_dir):
     ev = events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -458,6 +522,9 @@ QUERIES = {
     "bpe_count": q_bpe_count,
     "phrase_rank": q_phrase_rank,
     "ivf_ann": q_ivf_ann,
+    "events_rollup": q_events_rollup,
+    "sessions": q_sessions,
+    "events_asof": q_events_asof,
 }
 
 # --------------------------------------------------------------------------
@@ -772,6 +839,48 @@ SELECT doc_id, media_type, CAST(64 AS BIGINT) AS n_bytes, ch AS content_hash,
        CAST(CASE WHEN media_type <> 'image' THEN 100 + b2 * 256 + b3 END AS BIGINT) AS duration_ms,
        round(round(b0 / 255.0, 4), 4) AS f0
 FROM bytes ORDER BY doc_id LIMIT 200
+""",
+    "events_rollup": """
+SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type LIMIT 200
+""",
+    "sessions": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM sessed GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx LIMIT 300
+""",
+    "events_asof": """
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+           OVER w AS signup_ts,
+         last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+           OVER w AS signup_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, epoch_us(signup_ts) AS signup_us,
+       round(signup_value, 4) AS signup_value
+FROM marked ORDER BY event_id LIMIT 300
 """,
     "events_window": """
 SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (

@@ -1,0 +1,120 @@
+"""Event-stream operators: time rollups, sessionization, as-of joins.
+
+The reference has no general analytics operators (SURVEY.md §2.3: "no
+theta/range/as-of joins exist") -- these are the standard event-table
+operations a transcript/agent-log pipeline needs, expressed in the shapes
+Spark executes well:
+
+* rollup     -- tumbling-window aggregation (groupBy time bucket; Catalyst
+                partial aggregation; at scale the bucket is the partition
+                column of the rollup table)
+* sessionize -- gaps-and-islands via window lag/cumsum (one shuffle per
+                user; no self-join)
+* as_of_join -- "latest right row at-or-before each left row" via the
+                union + last_value(ignoreNulls) window trick: ONE shuffle on
+                (key, ts), no range join, no skew amplification -- the
+                idiomatic distributed as-of join (a sort-merge interval
+                join would shuffle both sides too but then pay a per-row
+                range probe)
+
+All three are SQL-expressible and oracle-gated in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rollup_events(
+    events: DataFrame,
+    bucket: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window rollup: (bucket_start, key, n, sum, avg)."""
+    w = F.window(F.col(ts_col), bucket)
+    return (
+        events.groupBy(w.alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            key_col,
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap to
+    the user's previous event exceeds ``gap_minutes``. Output one row per
+    session: (user_id, session_idx, session_start, session_end, n_events,
+    sum_value)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessed = events.withColumn(
+        "session_idx", F.sum(new_sess).over(w).cast("long")
+    )
+    return sessed.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the LATEST right row with the same key and
+    right_ts <= left_ts (NULLs when none). Union trick: tag both sides,
+    sort by (key, ts, side) with right rows first on ties, carry right
+    payloads forward with last_value(ignoreNulls) -- one shuffle total."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key_col, right_ts)
+    ]
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_ats", F.col(left_ts)
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    r = r.withColumn(f"{right_ts}{suffix}", F.col("_ats"))
+    carry = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal timestamps => "<=" semantics
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in carry:
+        merged = merged.withColumn(
+            c, F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return merged.filter(F.col("_side") == 1).drop("_side", "_ats")

@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing + skew-join splitting (the built-in analog of
         # the reference's docid-range splitting, Msg39.cpp:421-474)
+        # deterministic time semantics: NTZ<->instant casts use UTC so
+        # epoch arithmetic agrees with DuckDB's naive-as-UTC interpretation
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
