@@ -166,8 +166,9 @@ def q_lang_filter_bm25(spark, sf_dir):
     # set restricted -- the reference's whitelist filter shape
     eng = engine_for(spark, sf_dir)
     en_docs = documents(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
-    scored = eng.search_terms(["table"], "AND", 10_000_000)
-    return _ranked(scored.join(en_docs, "doc_id", "left_semi"), 10)
+    return _ranked(
+        eng.search_terms(["table"], "AND", 10, filter_docs=en_docs), 10
+    )
 
 
 def q_dedup_exact(spark, sf_dir):

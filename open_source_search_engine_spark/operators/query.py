@@ -171,9 +171,16 @@ class SearchEngine:
         mode: str = "AND",
         k: int = 10,
         exclude_terms: list[str] | None = None,
+        filter_docs: DataFrame | None = None,
     ) -> DataFrame:
         """Exact BM25 top-k. Returns (doc_id, score, matched) DataFrame,
-        ordered score desc / doc_id asc, limited to k."""
+        ordered score desc / doc_id asc, limited to k.
+
+        ``filter_docs`` (a doc_id DataFrame) restricts the RESULT SET while
+        keeping global statistics -- the reference's site-whitelist shape
+        (`Msg2.h:13-14`, SURVEY.md F6/F7). The semi-join applies BEFORE
+        top-k selection, so the plan never ranks unrestricted results.
+        """
         plan = self.plan_terms(query_terms)
         n_q = len(set(query_terms))
         if plan.empty or (mode == "AND" and len(plan) < n_q):
@@ -182,6 +189,10 @@ class SearchEngine:
                 [], "doc_id long, score double, matched int"
             )
         contrib = self._contributions(plan)
+        if filter_docs is not None:
+            contrib = contrib.join(
+                filter_docs.select("doc_id"), "doc_id", "left_semi"
+            )
         scored = self._aggregate_scores(contrib, list(plan["term"]))
         if mode == "AND":
             scored = scored.filter(F.col("matched") == len(plan))
