@@ -451,30 +451,66 @@ def _partial_encoder(
     pattern = _pattern(mode)
     max_kbits = 40
 
+    def tokenize_one(b: pd.DataFrame, term_strings: dict[int, str]):
+        """One batch -> (doc_id, tid, tf, dl, pos_flat) arrays or None.
+
+        unicode mode still fast-paths the PURE-ASCII rows of each batch
+        (pure-ASCII lowered text tokenizes identically under \\w+ and
+        [a-z0-9_]+); only rows containing non-ASCII characters take the
+        regex path. Real transcript corpora are mostly ASCII, so the
+        default mode keeps most of the byte-level speed."""
+        if mode == "ascii":
+            tk = _tokenize_batch_fast(b, term_strings, bigrams)
+            return (
+                None
+                if tk is None
+                else (tk["doc_id"], tk["tid"], tk["tf"], tk["dl"], tk["pos_flat"])
+            )
+        is_ascii = b["text"].fillna("").map(str.isascii).to_numpy()
+        parts = []
+        fa = b[is_ascii]
+        if len(fa):
+            tk = _tokenize_batch_fast(fa, term_strings)
+            if tk is not None:
+                parts.append(
+                    (tk["doc_id"], tk["tid"], tk["tf"], tk["dl"], tk["pos_flat"])
+                )
+        fu = b[~is_ascii]
+        if len(fu):
+            tk = _tokenize_batch(fu, pattern)
+            if tk is not None:
+                tids_u = py_term_ids(tk["terms"])
+                for u, t in zip(tids_u.tolist(), tk["terms"]):
+                    if u not in term_strings:
+                        term_strings[u] = t
+                parts.append(
+                    (
+                        tk["doc_id"], tids_u[tk["codes"]], tk["tf"],
+                        tk["dl"], tk["pos_flat"],
+                    )
+                )
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(
+            np.concatenate([p[i] for p in parts]) for i in range(5)
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         term_strings: dict[int, str] = {}
         doc_l, tid_l, tf_l, dl_l, pos_l = [], [], [], [], []
         for b in batches:
-            if mode == "ascii":
-                tk = _tokenize_batch_fast(b, term_strings, bigrams)
-                if tk is None:
-                    continue
-                tid_b = tk["tid"]
-            else:
-                tk = _tokenize_batch(b, pattern)
-                if tk is None:
-                    continue
-                tids_u = py_term_ids(tk["terms"])
-                tid_b = tids_u[tk["codes"]]
-                for u, t in zip(tids_u.tolist(), tk["terms"]):
-                    if u not in term_strings:
-                        term_strings[u] = t
-            doc_l.append(tk["doc_id"])
+            out = tokenize_one(b, term_strings)
+            if out is None:
+                continue
+            doc_b, tid_b, tf_b, dl_b, pos_b = out
+            doc_l.append(doc_b)
             tid_l.append(tid_b)
-            tf_l.append(tk["tf"])
-            dl_l.append(tk["dl"])
+            tf_l.append(tf_b)
+            dl_l.append(dl_b)
             if store_positions:
-                pos_l.append(tk["pos_flat"])
+                pos_l.append(pos_b)
         if not doc_l:
             return
         doc_ids = np.concatenate(doc_l)
@@ -707,17 +743,22 @@ def build_index(
     catalog.write_table(docs, "documents")
     docs = catalog.read_table("documents")
 
-    # doc_id collision audit (SURVEY.md §7.3)
-    dup = docs.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).count()
-    if dup:
-        raise ValueError("doc_id collision detected; rehash with a salt")
-
+    # ONE job: doc_id collision audit (SURVEY.md §7.3) + corpus stats.
     # avgdl = exact integer sum / count, NOT F.avg: double summation order
     # varies with partitioning, and rank identity needs bit-stable avgdl
-    stats_row = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
+    stats_row = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("c")).alias("n_rows"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .collect()[0]
+    )
     n_docs = int(stats_row["n_docs"])
+    if int(stats_row["n_rows"] or 0) != n_docs:
+        raise ValueError("doc_id collision detected; rehash with a salt")
     avgdl = (int(stats_row["sum_dl"] or 0) / n_docs) if n_docs else 0.0
     block_bits = pick_block_bits(n_docs, config.target_block_docs)
 
