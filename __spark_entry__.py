@@ -4,8 +4,10 @@ entry(spark)   -- flagship BM25 conjunctive top-k over sf0.001.
 queries()      -- operator inventory (SURVEY.md §2) as (spark, sf_dir) -> DF.
 oracle_sql()   -- DuckDB-runnable ANSI SQL equivalents (same column names,
                   numerics cast to BIGINT/DOUBLE, scores rounded to 4dp on
-                  both sides). Keys without an oracle (lsh_ann, simhash) are
-                  non-SQL-expressible scale paths checked rows-only.
+                  both sides). The only key without an oracle is ivf_ann
+                  (iterative distributed k-means is not SQL-expressible);
+                  it is checked rows-only by the driver and exactness-gated
+                  in pytest (probe-all == brute force).
 """
 
 from __future__ import annotations

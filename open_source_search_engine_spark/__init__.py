@@ -14,8 +14,8 @@ Package layout:
   functions/  pure kernels: tokenizer, varbyte codec, BM25 formula, hashing
   sources/    transcripts synthesizer + table readers/writers
   operators/  index build, query (exact + block-max WAND), dedup, similarity
-  plans/      explain/plan assertions used by tests
   streaming/  incremental micro-batch index appends
+(plan-quality assertions live in tests/test_plan_quality.py)
 """
 
 __version__ = "0.1.0"

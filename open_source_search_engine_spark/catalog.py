@@ -89,20 +89,38 @@ class Catalog:
             raise FileNotFoundError(f"table {name} is empty")
         return self.spark.read.parquet(*m["data_dirs"])
 
-    def write_table(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
-        """mode='overwrite' replaces the snapshot; mode='append' adds files."""
+    def write_table(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """mode='overwrite' replaces the snapshot; mode='append' adds files.
+
+        ``partition_by``: hive-style partition columns (Iceberg: identity
+        partition transform) -- reads filtering on them become
+        partition-PRUNED scans (the ANN index layout depends on this)."""
         if self.use_iceberg:
+            w = df.writeTo(f"osse.db.{name}")
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                w = w.partitionedBy(*[col(c) for c in partition_by])
             if mode == "overwrite":
-                df.writeTo(f"osse.db.{name}").createOrReplace()
+                w.createOrReplace()
             else:
-                df.writeTo(f"osse.db.{name}").append()
+                w.append()
             return
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         parent = self._read_manifest(name)
         seq = (parent["sequence"] + 1) if parent else 0
         data_dir = os.path.join(tdir, f"data-{seq:06d}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(data_dir)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
         dirs = [data_dir]
         if mode == "append" and parent:
             dirs = parent["data_dirs"] + dirs

@@ -60,6 +60,27 @@ def engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[key]
 
 
+_ANN: dict[str, dict] = {}
+
+
+def ann_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Materialized ANN index over the sf_dir embeddings (built once per
+    process, like engine_for): LSH signatures and IVF cluster ids stored as
+    partition columns so the ann queries are partition-pruned scans."""
+    key = os.path.abspath(sf_dir)
+    if key not in _ANN:
+        wh = os.path.join(
+            "/tmp", "osse-entry-ann-wh", key.strip("/").replace("/", "_")
+        )
+        cat = Catalog(spark, wh)
+        similarity.build_ann_index(
+            spark, cat, embeddings(spark, sf_dir),
+            n_planes=12, n_centroids=8, seed=42,
+        )
+        _ANN[key] = similarity.load_ann_index(cat)
+    return _ANN[key]
+
+
 def _ranked(df: DataFrame, k: int) -> DataFrame:
     """Attach rank over (score desc, doc_id asc) and round the score --
     the SERP shape (reference outputs ranked docIds+scores,
@@ -305,10 +326,12 @@ def q_bm25_paging(spark, sf_dir):
 
 def q_bm25_source_cap(spark, sf_dir):
     # A6 site-clustering cap: at most 2 results per source
-    # (`Msg3a.cpp:820-858`), re-ranked after the cap
+    # (`Msg3a.cpp:820-858`), re-ranked after the cap. score_terms (no
+    # orderBy/limit) feeds the per-source window directly -- the plan has
+    # NO global sort before the window partial sort (plan-gated)
     eng = engine_for(spark, sf_dir)
     docs = documents(spark, sf_dir).select("doc_id", "source")
-    scored = eng.search_terms(["scan"], "AND", 10_000_000).join(docs, "doc_id")
+    scored = eng.score_terms(["scan"], "AND").join(docs, "doc_id")
     w_src = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
     capped = scored.withColumn("rn", F.row_number().over(w_src)).filter(
         F.col("rn") <= 2
@@ -324,11 +347,15 @@ def q_phrase_rank(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    # IVF approximate NN: probe the clusters nearest the query (scale path:
-    # cluster id becomes a stored partition column -> partition pruning)
+    # IVF approximate NN over the MATERIALIZED index: ivf_c is a stored
+    # partition column, so the probe filter is a partition-pruned scan --
+    # no per-query cluster assignment (plan-gated)
+    idx = ann_for(spark, sf_dir)
     emb = embeddings(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    top = similarity.ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=3)
+    top = similarity.ivf_topk(
+        idx["ivf"], qv, k=10, n_probe=3, centroids=idx["centroids"]
+    )
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -340,9 +367,8 @@ def q_ivf_ann(spark, sf_dir):
 
 def q_lsh_candidates(spark, sf_dir):
     # MinHash+LSH banding: near-dup candidate pairs sharing >=1 band bucket
-    # (the scale path for pairwise dedup; md5-min signatures -> rows-only
-    # check is avoided by the deterministic md5 basis -- but band hashing of
-    # concatenated signatures is awkward in SQL, so rows-only)
+    # (the scale path for pairwise dedup). The md5-min signature basis makes
+    # the whole banding pipeline reproducible in DuckDB -> hash-match gated
     return (
         dedup.minhash_lsh_candidates(
             documents(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
@@ -439,13 +465,14 @@ def q_events_asof(spark, sf_dir):
 
     ev = events(spark, sf_dir)
     signups = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", "event_id"
     )
     joined = as_of_join(
         ev.select("event_id", "user_id", "ts"),
         signups,
         key_col="user_id",
         right_cols=["value"],
+        right_order_col="event_id",
     )
     return (
         joined.select(
@@ -471,14 +498,26 @@ def q_events_window(spark, sf_dir):
     )
 
 
-# rows-only checks (no SQL-expressible oracle; driver records row counts)
 def q_lsh_ann(spark, sf_dir):
+    # LSH ANN over the MATERIALIZED index: lsh_sig is a stored partition
+    # column; the hamming-ring IN-filter is a partition-pruned scan
+    idx = ann_for(spark, sf_dir)
     emb = embeddings(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.lsh_ann_topk(emb, qv, k=10, n_planes=12, max_hamming=3)
+    top = similarity.lsh_ann_topk(
+        idx["lsh"], qv, k=10, n_planes=12, max_hamming=3
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cosine", F.round("cosine", 4))
+        .select("rank", "vec_id", "cosine")
+        .orderBy("rank")
+    )
 
 
 def q_simhash(spark, sf_dir):
+    # md5-based 64-bit SimHash -- bit-identical in DuckDB, hash-match gated
     return dedup.simhash64(documents(spark, sf_dir)).orderBy("doc_id").limit(100)
 
 
@@ -606,6 +645,110 @@ _SHINGLES3 = (
     "sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2,0)+1), "
     "i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM toks)"
 )
+
+
+def _simhash_sql(k: int = 100) -> str:
+    """DuckDB replica of dedup.simhash64: token hash = first 16 hex chars of
+    md5(token); bit i = bit i%4 of nibble 15 - i//4; per-bit +-1 sums;
+    sign -> bit; bit 63 contributes the BIGINT sign value."""
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (n{15 - i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS b{i}"
+        for i in range(64)
+    )
+    assemble = " + ".join(
+        [
+            f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+            for i in range(63)
+        ]
+        + ["(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0::BIGINT END)"]
+    )
+    nibs = ", ".join(
+        f"('0x' || substr(md5(term), {j + 1}, 1))::INT AS n{j}" for j in range(16)
+    )
+    return f"""
+WITH {_TOKS}, {_TOK},
+nib AS (SELECT doc_id, {nibs} FROM tok),
+sums AS (SELECT doc_id, {bit_sums} FROM nib GROUP BY doc_id)
+SELECT doc_id, ({assemble}) AS simhash
+FROM sums ORDER BY doc_id LIMIT {k}
+"""
+
+
+def _lsh_candidates_sql(
+    num_hashes: int = 8, bands: int = 4, k: int = 200
+) -> str:
+    """DuckDB replica of dedup.minhash_lsh_candidates (shingle_n=3): md5-min
+    signatures over 3-gram shingles, band buckets = md5 of '|'-joined band
+    rows, pairs sharing any bucket."""
+    r = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_TOKS}, {_SHINGLES3},
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id),
+banded AS (
+  {band_selects}
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY doc_id_a, doc_id_b LIMIT {k}
+"""
+
+
+def _lsh_ann_sql(
+    n_planes: int = 12,
+    max_hamming: int = 3,
+    k: int = 10,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of the LSH ANN query: the SAME seeded hyperplanes
+    (numpy literals folded into the SQL) sign both the query and every
+    vector; candidates = hamming(sig, qsig) <= h; exact cosine top-k."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+
+    def arr(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], {arr(planes[p])})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    qsig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(q.qv, {arr(planes[p])})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sig AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, ({sig_terms}) AS s
+  FROM embeddings e
+),
+qs AS (SELECT ({qsig_terms}) AS s, qv FROM q),
+cand AS (
+  SELECT sig.vec_id, list_cosine_similarity(sig.v, qs.qv) AS c
+  FROM sig, qs
+  WHERE bit_count(xor(sig.s::BIGINT, qs.s::BIGINT)) <= {max_hamming}
+)
+SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, round(c, 4) AS cosine
+FROM cand ORDER BY rank LIMIT {k}
+"""
 
 ORACLES: dict[str, str] = {
     "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),
@@ -890,4 +1033,7 @@ SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
   FROM events
 ) WHERE rn <= 3 ORDER BY user_id, rn LIMIT 60
 """,
+    "simhash": _simhash_sql(100),
+    "lsh_candidates": _lsh_candidates_sql(8, 4, 200),
+    "lsh_ann": _lsh_ann_sql(n_planes=12, max_hamming=3, k=10, dim=64, seed=42),
 }

@@ -88,11 +88,17 @@ def as_of_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    right_order_col: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the LATEST right row with the same key and
     right_ts <= left_ts (NULLs when none). Union trick: tag both sides,
     sort by (key, ts, side) with right rows first on ties, carry right
-    payloads forward with last_value(ignoreNulls) -- one shuffle total."""
+    payloads forward with last_value(ignoreNulls) -- one shuffle total.
+
+    ``right_order_col``: deterministic tie-break among multiple RIGHT rows at
+    the same (key, ts) -- the row with the greatest value wins (e.g. an
+    event id). Without it such ties resolve arbitrarily by partition order.
+    """
     right_cols = right_cols or [
         c for c in right.columns if c not in (key_col, right_ts)
     ]
@@ -103,18 +109,32 @@ def as_of_join(
         F.col(key_col),
         F.col(right_ts).alias("_ats"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        *(
+            [F.col(right_order_col).alias("_rord")]
+            if right_order_col and right_order_col not in right_cols
+            else []
+        ),
     ).withColumn("_side", F.lit(0))
+    if right_order_col and right_order_col in right_cols:
+        r = r.withColumn("_rord", F.col(f"{right_order_col}{suffix}"))
     r = r.withColumn(f"{right_ts}{suffix}", F.col("_ats"))
     carry = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     merged = l.unionByName(r, allowMissingColumns=True)
+    if right_order_col:
+        # right rows ordered among themselves by _rord asc, so last_value
+        # picks the greatest -- a total, deterministic order
+        order = [F.col("_ats"), F.col("_side"), F.col("_rord").asc_nulls_last()]
+    else:
+        order = [F.col("_ats"), F.col("_side")]
     # right rows sort BEFORE left rows at equal timestamps => "<=" semantics
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col("_ats"), F.col("_side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in carry:
         merged = merged.withColumn(
             c, F.last(F.col(c), ignorenulls=True).over(w)
         )
-    return merged.filter(F.col("_side") == 1).drop("_side", "_ats")
+    out = merged.filter(F.col("_side") == 1).drop("_side", "_ats")
+    return out.drop("_rord") if right_order_col else out

@@ -165,21 +165,23 @@ class SearchEngine:
         return decoded
 
     # ------------------------------------------------------------------
-    def search_terms(
+    def score_terms(
         self,
         query_terms: list[str],
         mode: str = "AND",
-        k: int = 10,
         exclude_terms: list[str] | None = None,
         filter_docs: DataFrame | None = None,
     ) -> DataFrame:
-        """Exact BM25 top-k. Returns (doc_id, score, matched) DataFrame,
-        ordered score desc / doc_id asc, limited to k.
+        """Exact BM25 scoring WITHOUT top-k selection: every matching doc as
+        (doc_id, score, matched), unordered. The building block for
+        consumers that re-rank or window-cap the full candidate set (e.g.
+        the per-source cap, SURVEY.md A6) -- those must NOT pay a global
+        sort first, so the orderBy/limit lives only in search_terms.
 
         ``filter_docs`` (a doc_id DataFrame) restricts the RESULT SET while
         keeping global statistics -- the reference's site-whitelist shape
         (`Msg2.h:13-14`, SURVEY.md F6/F7). The semi-join applies BEFORE
-        top-k selection, so the plan never ranks unrestricted results.
+        scoring, so the plan never ranks unrestricted results.
         """
         plan = self.plan_terms(query_terms)
         n_q = len(set(query_terms))
@@ -203,7 +205,25 @@ class SearchEngine:
                     [int(t) for t in ex_plan["term_id"]]
                 ).select("doc_id").distinct()
                 scored = scored.join(ex_docs, "doc_id", "left_anti")
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return scored
+
+    def search_terms(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        exclude_terms: list[str] | None = None,
+        filter_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """Exact BM25 top-k. Returns (doc_id, score, matched) DataFrame,
+        ordered score desc / doc_id asc, limited to k (Spark executes this
+        as TakeOrderedAndProject: per-partition partial top-k + tiny final
+        merge, the TopTree -> Msg3a shape)."""
+        return (
+            self.score_terms(query_terms, mode, exclude_terms, filter_docs)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_many(
         self, queries: list[dict], default_k: int = 10

@@ -148,7 +148,13 @@ def resumable_build(
         n_p, fp_p = fps.get(p, (0, 0))
         fingerprint = (fp_p ^ (n_p << 1)) & ((1 << 63) - 1)
         prev = committed.get(p)
-        seg_dir = os.path.join(seg_root, f"part-{p:04d}")
+        # segment dir name carries the input fingerprint: a crash-rerun of
+        # the SAME input overwrites the same dir idempotently, while a rerun
+        # whose input CHANGED lands in a fresh dir -- the superseded dir
+        # stays on disk for readers of the old postings snapshot until GC
+        # (write-new-then-commit, never overwrite a dir a live manifest may
+        # reference; Rdb analog: updateToRebuildFiles swap, `Rdb.h:227`)
+        seg_dir = os.path.join(seg_root, f"part-{p:04d}-{fingerprint:016x}")
         if (
             prev is not None
             and int(prev["input_fingerprint"]) == fingerprint

@@ -1,18 +1,31 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant is
-the scale path (search only the query's hyperplane bucket ring). Both stay
-JVM-side via higher-order functions (zip_with + aggregate) -- no UDF for the
-dot product; the random hyperplanes are seeded numpy constants folded into
-the plan as literals.
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed and IVF
+variants are the scale paths. Everything stays JVM-side via higher-order
+functions (zip_with + aggregate) -- no UDF for the dot product; the random
+hyperplanes are seeded numpy constants folded into the plan as literals.
+
+Index-once, prune-per-query: ``build_ann_index`` materializes the LSH bit
+signature and the IVF cluster id as PARTITION columns of stored tables
+(``ann_lsh`` partitioned by lsh_sig, ``ann_ivf`` partitioned by ivf_c, plus
+the trained centroids in ``ann_centroids``). A query then filters on the
+partition column -- ``lsh_sig IN (hamming ring)`` / ``ivf_c IN (probe
+list)`` -- which Spark executes as a partition-PRUNED scan: no signature or
+cluster assignment is recomputed at query time, and unprobed partitions are
+never read (plan-gated in tests/test_plan_quality.py). This is the analog
+of the posting table's term_id pruning for the vector side. The two tables
+duplicate the vector payload (an index IS a storage layout); a deployment
+that only ever uses one ANN family builds only that table.
 
 Scale notes: brute force is a single scan + TakeOrderedAndProject (partial
 top-k per partition, tiny final merge -- same shape as the BM25 top-k);
-LSH turns it into a partition-pruned scan when the table is written
-bucketed/partitioned by (plane_sig).
+the indexed paths read ~(ring/2^planes) resp. ~(probe/centroids) of the
+table. Signature/assignment computation happens exactly once, at build.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -44,12 +57,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: (id, cosine) ordered cosine desc, id asc."""
+    """Exact cosine top-k: (id, cosine) ordered cosine desc, id asc.
+
+    Uses the stored ``vec_norm`` column when the input is an ann_* index
+    table (same expression at build time, so values are bit-identical)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
-    cos = (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias(
-        "cosine"
+    vnorm = (
+        F.col("vec_norm")
+        if "vec_norm" in embeddings.columns
+        else _norm(F.col(vec_col))
     )
+    cos = (_dot(F.col(vec_col), q) / (vnorm * F.lit(qn))).alias("cosine")
     return (
         embeddings.select(F.col(id_col), cos)
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -75,6 +94,29 @@ def lsh_signature_col(vec_col: str, planes: np.ndarray) -> Column:
     return sig
 
 
+def query_signature(query_vec: list[float], planes: np.ndarray) -> int:
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) >= 0:
+            qsig |= 1 << p
+    return qsig
+
+
+def hamming_ring(qsig: int, n_planes: int, max_hamming: int) -> list[int]:
+    """All signatures within ``max_hamming`` bit flips of qsig (the probe
+    set for the partition-pruned LSH scan). |ring| = sum C(n_planes, 0..h)
+    -- e.g. 299 for 12 planes, h=2+1; tiny literal IN-list."""
+    ring = []
+    for h in range(max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            ring.append(qsig ^ m)
+    return ring
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -87,18 +129,24 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate NN: score only vectors whose LSH signature is within
     ``max_hamming`` bits of the query's signature, then exact cosine top-k
-    on the survivors. At scale the signature is a stored/partition column
-    and this becomes partition pruning instead of a computed filter."""
+    on the survivors.
+
+    If ``embeddings`` already carries the STORED ``lsh_sig`` column (the
+    ``ann_lsh`` table written by build_ann_index, partitioned by lsh_sig),
+    the candidate filter is ``lsh_sig IN (hamming ring)`` -- a
+    partition-pruned scan that never touches other buckets and recomputes
+    nothing. Otherwise the signature is computed inline (small/ad-hoc
+    inputs only; at scale always query the index table)."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qsig = 0
-    for p, plane in enumerate(planes):
-        if float(np.dot(qv, plane)) >= 0:
-            qsig |= 1 << p
-    sig = lsh_signature_col(vec_col, planes)
-    cand = embeddings.withColumn("_sig", sig).filter(
-        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
-    )
+    qsig = query_signature(query_vec, planes)
+    if "lsh_sig" in embeddings.columns:
+        ring = hamming_ring(qsig, n_planes, max_hamming)
+        cand = embeddings.filter(F.col("lsh_sig").isin(ring))
+    else:
+        sig = lsh_signature_col(vec_col, planes)
+        cand = embeddings.withColumn("_sig", sig).filter(
+            F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+        )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -183,9 +231,10 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate NN: search only the ``n_probe`` clusters nearest the
-    query, exact cosine within them. At scale the cluster id is a stored
-    partition column (write once at index time), making this a
-    partition-pruned scan; here it is computed inline."""
+    query, exact cosine within them. Pass the ``ann_ivf`` table (stored
+    ``ivf_c`` partition column from build_ann_index) together with its
+    trained ``centroids`` for the partition-pruned path; a plain embeddings
+    frame falls back to inline assignment (ad-hoc use only)."""
     cents = (
         centroids
         if centroids is not None
@@ -194,10 +243,96 @@ def ivf_topk(
     qv = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort(-(cents @ qv))
     probe = [int(c) for c in order[:n_probe]]
-    cand = embeddings.withColumn("_c", ivf_assign_col(vec_col, cents)).filter(
-        F.col("_c").isin(probe)
-    )
+    if "ivf_c" in embeddings.columns:
+        # stored assignment (ann_ivf table partitioned by ivf_c):
+        # partition-pruned scan of just the probed clusters
+        cand = embeddings.filter(F.col("ivf_c").isin(probe))
+    else:
+        cand = embeddings.withColumn(
+            "_c", ivf_assign_col(vec_col, cents)
+        ).filter(F.col("_c").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# materialized ANN index (build once, partition-prune per query)
+# --------------------------------------------------------------------------
+
+def build_ann_index(
+    spark,
+    catalog,
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    n_centroids: int = 16,
+    kmeans_iterations: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the ANN index: signature/cluster assignment runs ONCE
+    here, never at query time (the fix for the per-query full-table
+    signature recompute anti-pattern).
+
+    Writes through the catalog (atomic snapshot commits):
+      * ``ann_lsh``       vectors + ``lsh_sig``, PARTITIONED BY lsh_sig
+      * ``ann_ivf``       vectors + ``ivf_c``,  PARTITIONED BY ivf_c
+      * ``ann_centroids`` (c, centroid array<double>) -- the trained coarse
+        quantizer a query needs to pick its probe list
+      * ``ann_meta``      (n_planes, n_centroids, seed, dim)
+
+    Both assignment expressions are JVM-side column programs over one scan
+    each; only the (n_centroids x dim) k-means means ever reach the driver.
+    Queries (lsh_ann_topk / ivf_topk) detect the stored column and become
+    partition-pruned scans. Returns {"centroids": np.ndarray, "dim": int}.
+    """
+    first = embeddings.limit(1).select(F.size(F.col(vec_col)).alias("d")).collect()
+    if not first:
+        raise ValueError("cannot build an ANN index over an empty table")
+    dim = int(first[0]["d"])
+    planes = hyperplanes(dim, n_planes, seed)
+    cents = ivf_centroids(
+        embeddings, n_centroids, kmeans_iterations, seed, vec_col
+    )
+    base = embeddings.withColumn("vec_norm", _norm(F.col(vec_col)))
+    catalog.write_table(
+        base.withColumn("lsh_sig", lsh_signature_col(vec_col, planes)),
+        "ann_lsh",
+        partition_by=["lsh_sig"],
+    )
+    catalog.write_table(
+        base.withColumn("ivf_c", ivf_assign_col(vec_col, cents)),
+        "ann_ivf",
+        partition_by=["ivf_c"],
+    )
+    cent_rows = [(c, [float(x) for x in cents[c]]) for c in range(len(cents))]
+    catalog.write_table(
+        spark.createDataFrame(cent_rows, "c int, centroid array<double>"),
+        "ann_centroids",
+    )
+    catalog.write_table(
+        spark.createDataFrame(
+            [(n_planes, len(cents), seed, dim)],
+            "n_planes int, n_centroids int, seed int, dim int",
+        ),
+        "ann_meta",
+    )
+    return {"centroids": cents, "dim": dim}
+
+
+def load_ann_index(catalog) -> dict:
+    """Read the materialized index back: {"lsh": df, "ivf": df,
+    "centroids": np.ndarray, "meta": dict}."""
+    meta = catalog.read_table("ann_meta").collect()[0].asDict()
+    rows = sorted(
+        catalog.read_table("ann_centroids").collect(), key=lambda r: r["c"]
+    )
+    cents = np.array([[float(x) for x in r["centroid"]] for r in rows])
+    return {
+        "lsh": catalog.read_table("ann_lsh"),
+        "ivf": catalog.read_table("ann_ivf"),
+        "centroids": cents,
+        "meta": meta,
+    }
 
 
 def pairwise_cosine_neardup(

@@ -9,6 +9,12 @@ restarts through the stream checkpoint.
 
 Semantics match operators/events.sessionize (gaps-and-islands) restricted
 to CLOSED sessions -- gated by a test that runs both over the same events.
+
+Ordering contract: events within a micro-batch are sorted by event time
+before folding; ACROSS micro-batches delivery is assumed in-order (no
+watermark). A straggler that violates this never corrupts state: an open
+session's end is monotone (max), and an event older than the open session's
+start is folded into it rather than resurrecting an already-emitted session.
 """
 
 from __future__ import annotations
@@ -70,7 +76,16 @@ def _session_fn(gap_minutes: int):
                 start_us, n, sv = t, 0, 0.0
             if start_us is None:
                 start_us = t
-            last_us = t
+            # events within a micro-batch are sorted above, but a LATER
+            # micro-batch can deliver an event older than state's last_us
+            # (cross-batch out-of-order; there is no watermark here). Never
+            # move the open session's end backwards -- a late event inside
+            # the open window extends counts only. A late event older than
+            # the open session's START would belong to an earlier (possibly
+            # already-emitted) session; it is folded into the open one --
+            # the documented in-order-delivery assumption of this operator.
+            last_us = t if last_us is None else max(last_us, t)
+            start_us = min(start_us, t)
             n += 1
             sv += v
         state.update((start_us, last_us, n, sv))

@@ -85,6 +85,6 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_run(spark):
-    for name in ("lsh_ann", "simhash"):
+    for name in ("ivf_ann",):
         df = entry_mod.queries()[name](spark, SF_DIR)
         assert df.count() >= 0

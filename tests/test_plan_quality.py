@@ -57,6 +57,34 @@ def test_topk_is_take_ordered(eng):
     assert "TakeOrderedAndProject" in p
 
 
+def test_source_cap_shape_has_no_global_sort(spark, eng):
+    # the per-source window cap (SURVEY.md A6) must consume UNRANKED scores:
+    # no global Sort / TakeOrderedAndProject below the window (the window's
+    # own per-partition sort after Exchange(source) is the only Sort allowed)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = eng.score_terms(["spark"], "AND")
+    p0 = _physical(scored)
+    assert "TakeOrderedAndProject" not in p0
+    assert "Sort [" not in p0
+
+    docs = eng.catalog.read_table("documents").select(
+        "doc_id", F.pmod("doc_id", F.lit(7)).alias("source")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    capped = (
+        scored.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    p = _physical(capped)
+    assert "TakeOrderedAndProject" not in p
+    # every Sort in the plan is the window's local sort keyed by source
+    sorts = [ln for ln in p.splitlines() if "Sort [" in ln]
+    assert sorts and all("source" in ln for ln in sorts)
+
+
 def test_filter_docs_restricts_before_ranking(spark, eng):
     docs = eng.catalog.read_table("documents").select("doc_id").limit(50)
     df = eng.search_terms(["spark"], "AND", 5, filter_docs=docs)
@@ -64,3 +92,71 @@ def test_filter_docs_restricts_before_ranking(spark, eng):
     # the semi join must appear BELOW the top-k operator in the plan
     assert "TakeOrderedAndProject" in p and "LeftSemi" in p
     assert p.index("TakeOrderedAndProject") < p.index("LeftSemi")
+
+
+@pytest.fixture(scope="module")
+def ann(spark, tmp_path_factory):
+    from open_source_search_engine_spark.operators import similarity
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("ann-wh")))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.build_ann_index(spark, cat, emb, n_planes=6, n_centroids=4)
+    idx = similarity.load_ann_index(cat)
+    qv = [
+        float(x) for x in emb.limit(1).collect()[0]["embedding"]
+    ]
+    return idx, qv, emb
+
+
+def test_lsh_ann_scan_is_partition_pruned(spark, ann):
+    # the materialized-index contract (VERDICT r1 #1): a query must READ the
+    # stored lsh_sig partition column -- hamming-ring IN-filter lands in
+    # PartitionFilters -- and must NOT recompute signatures (no zip_with
+    # dot-product chain anywhere in the plan)
+    from open_source_search_engine_spark.operators import similarity
+
+    idx, qv, _ = ann
+    top = similarity.lsh_ann_topk(idx["lsh"], qv, k=5, n_planes=6, max_hamming=1)
+    p = _physical(top)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("lsh_sig" in ln for ln in pf), p
+    # exactly ONE dot product in the plan: candidate x query-vector cosine.
+    # an inline-signature plan would carry n_planes more zip_with chains
+    assert p.count("zip_with") <= 1, p.count("zip_with")
+    # stored vec_norm is reused -- the norm's transform-square chain is gone
+    assert "vec_norm" in p
+
+
+def test_ivf_scan_is_partition_pruned(spark, ann):
+    from open_source_search_engine_spark.operators import similarity
+
+    idx, qv, _ = ann
+    top = similarity.ivf_topk(
+        idx["ivf"], qv, k=5, n_probe=2, centroids=idx["centroids"]
+    )
+    p = _physical(top)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("ivf_c" in ln for ln in pf), p
+
+
+def test_indexed_ann_matches_inline(spark, ann):
+    # stored-signature path == inline-computed path, bit for bit
+    from open_source_search_engine_spark.operators import similarity
+
+    idx, qv, emb = ann
+    a = similarity.lsh_ann_topk(
+        idx["lsh"], qv, k=10, n_planes=6, max_hamming=2
+    ).collect()
+    b = similarity.lsh_ann_topk(emb, qv, k=10, n_planes=6, max_hamming=2).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
+    c = similarity.ivf_topk(
+        idx["ivf"], qv, k=10, n_probe=2, centroids=idx["centroids"]
+    ).collect()
+    d = similarity.ivf_topk(
+        emb, qv, k=10, n_probe=2, centroids=idx["centroids"]
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in c] == [
+        (r["vec_id"], r["cosine"]) for r in d
+    ]
