@@ -214,8 +214,14 @@ def q_minhash(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    # max_shingle_df caps the quadratic hot-shingle join (scale guard); the
+    # DuckDB oracle is the UNCAPPED exact computation -- hash-match proves
+    # the cap loses nothing at this corpus (near-dup pairs always share
+    # low-df shingles; boilerplate-only overlap is below threshold)
     return (
-        dedup.ngram_jaccard_pairs(documents(spark, sf_dir), n=3, threshold=0.25)
+        dedup.ngram_jaccard_pairs(
+            documents(spark, sf_dir), n=3, threshold=0.25, max_shingle_df=20
+        )
         .select(
             "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
         )

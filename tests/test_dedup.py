@@ -1,0 +1,84 @@
+"""Dedup-suite gates: the hot-shingle cap keeps ngram_jaccard_pairs exact
+while bounding the candidate join to O(docs) rows under a planted
+boilerplate shingle; SimHash preserves similarity ordering; MinHash-LSH
+banding surfaces genuine near-dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import dedup
+
+
+def _corpus(spark, n_docs: int = 300):
+    """Every doc shares one boilerplate trigram (the hot-shingle bomb);
+    otherwise unique text -- except doc 1 is a near-dup of doc 0."""
+    rows = []
+    base = "alpha beta gamma "  # df = n_docs shingle once tokenized
+    for i in range(n_docs):
+        body = " ".join(f"tok{i}x{j} tok{i}y{j} tok{i}z{j}" for j in range(6))
+        rows.append((i, base + body))
+    # near-dup pair: doc 1 copies doc 0's body with one token changed
+    rows[1] = (1, rows[0][1].replace("tok0x5", "changed"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return _corpus(spark).persist()
+
+
+def test_hot_shingle_cap_bounds_candidate_join(spark, docs):
+    sh = dedup.doc_shingles(docs, "text", 3)
+    n_docs = docs.count()
+    uncapped = dedup.candidate_shingle_pairs(sh).count()
+    # every doc pair shares the boilerplate shingles -> quadratic
+    assert uncapped >= n_docs * (n_docs - 1) / 2
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") > 20)
+        .select("shingle")
+    )
+    capped = dedup.candidate_shingle_pairs(sh, hot).count()
+    # with the bomb defused, candidates are only genuinely-overlapping docs
+    assert capped <= 4 * n_docs
+
+
+def test_capped_jaccard_equals_exact(spark, docs):
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.25).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.25, max_shingle_df=20
+        ).collect()
+    }
+    assert exact == capped
+    assert (0, 1) in capped  # the planted near-dup survives with exact J
+
+
+def test_simhash_similarity_ordering(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("lazy", "sleepy")  # near-dup
+    c = "entirely different words about spark shuffles and posting lists"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    d_ab = bin((sims[0] ^ sims[1]) & ((1 << 64) - 1)).count("1")
+    d_ac = bin((sims[0] ^ sims[2]) & ((1 << 64) - 1)).count("1")
+    assert d_ab < d_ac
+    assert d_ab <= 16  # near-identical docs land within a small radius
+
+
+def test_lsh_candidates_surface_neardups(spark, docs):
+    # r=1 rows/band: P(candidate) = 1 - (1-J)^bands ~ 1 for J ~ 0.8
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=8, shingle_n=3
+    ).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in cands}
+    assert (0, 1) in pairs
