@@ -716,6 +716,9 @@ def term_stats_from_postings(postings: DataFrame) -> DataFrame:
         F.first("term").alias("term"),
         F.sum("n_docs").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
+        # per-term block granularity profile: lets the query planner pick
+        # the WAND grouping granularity WITHOUT an extra metadata job
+        F.max("salt_bits").cast("int").alias("max_salt_bits"),
     )
 
 

@@ -105,12 +105,18 @@ class SearchEngine:
         """
         terms = sorted(set(query_terms))
         if not terms:
-            return pd.DataFrame(columns=["term", "term_id", "df", "idf"])
+            return pd.DataFrame(
+                columns=["term", "term_id", "df", "idf", "max_salt_bits"]
+            )
+        has_sb = "max_salt_bits" in self._term_stats.columns
+        cols = ["term", "term_id", "df"] + (["max_salt_bits"] if has_sb else [])
         rows = (
             self._term_stats.filter(F.col("term").isin(terms))
-            .select("term", "term_id", "df")
+            .select(*cols)
             .toPandas()
         )
+        if not has_sb:
+            rows["max_salt_bits"] = 0
         rows["idf"] = bm25_idf(rows["df"].to_numpy(np.float64), self.n_docs)
         return rows.sort_values(["df", "term"]).reset_index(drop=True)
 

@@ -132,6 +132,11 @@ def apply_updates(
             (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0)))
             .cast("long")
             .alias("cf"),
+            # carried forward (grouping-granularity hint only; new terms'
+            # delta segments are tiny -> salt_bits 0 is the right default)
+            F.coalesce("max_salt_bits", F.lit(0)).cast("int").alias(
+                "max_salt_bits"
+            ),
         )
         .filter(F.col("df") > 0)
     )

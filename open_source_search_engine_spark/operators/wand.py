@@ -10,17 +10,32 @@ at build time, codec.py doc):
 Every posting block covers an explicit hash-PREFIX range of the doc space:
 ``block_id`` = top ``salt_bits`` bits of the 63-bit doc hash, with
 ``salt_bits`` df-adaptive per term (index_build._partial_encoder). Prefix
-ranges nest, so grouping all query terms' blocks at g = the COARSEST
-granularity among them (group = block_id >> (salt_bits - g)) puts every
-doc's blocks -- one per term -- into the same group. Groups score
-independently and prune independently:
+ranges nest, so blocks of different granularities can be arranged into
+aligned groups at ANY granularity g:
+
+* a block with salt_bits >= g nests inside one group (block_id >> (s-g));
+* a COARSER block (salt_bits < g) overlaps 2^(g-s) groups and is routed
+  into each of them (sequence + explode), with its decoded rows masked to
+  the group's doc range inside the scorer.
+
+g is picked from the query plan's per-term ``max_salt_bits`` (stored in
+term_stats -- no metadata job): fine enough that heavy terms keep their
+native granularity, clamped to ``coarsest + max_group_split`` so a
+rare-term whole-range block replicates at most ~2^max_group_split times.
+This keeps a rare+stopword conjunction distributed across ~2^g scorer
+tasks instead of collapsing every posting into ONE task at the rare term's
+granularity (the r1-ADVICE failure shape).
+
+Groups score independently and prune independently:
 
 * AND: a group missing any query term cannot contain a conjunctive match --
-  dropped by a count filter before any decode (the analog of rarest-first
-  candidate intersection, `PosdbTable.cpp:1935` findCandidateDocIds).
+  dropped by a presence filter before any decode (the analog of
+  rarest-first candidate intersection, `PosdbTable.cpp:1935`).
 * Upper bound: ub(term, block) = idf * tf_norm(block_max_tf, block_min_dl)
-  (monotone in tf, anti-monotone in dl => valid bound for every doc in the
-  block); ub_sum(group) = sum of present terms' ub.
+  (monotone in tf, anti-monotone in dl => valid for every doc in the
+  block); per group the bound is sum over terms of MAX ub among the term's
+  overlapping blocks (a doc lives in exactly one block per term, so the
+  max is a valid per-doc bound -- tighter than summing every block).
 
 Two-phase threshold (batch engines have no running kth-score heap across
 partitions):
@@ -28,25 +43,27 @@ partitions):
   Phase A: score the G groups with the highest ub_sum exactly; the kth best
            score found becomes the threshold theta.
   Phase B: score every remaining group with ub_sum >= theta - eps; groups
-           below the threshold are skipped WITHOUT decoding (the whole point).
+           below the threshold are skipped WITHOUT decoding (the point).
   Final:   union + ORDER BY score DESC, doc_id ASC LIMIT k
            (TakeOrderedAndProject = per-partition TopTree + Msg3a merge,
            `TopTree.cpp:185`, `Msg3a.cpp:807-811`).
+
+Post-plan job count is TWO (fused gmeta -> phase-A selection -> phase-A
+scores -> theta; then phase-B + final top-k over the persisted phase-A
+result) -- the grouping granularity comes from term_stats and tombstones
+ship via a cogrouped join, so neither costs a job.
+
+Tombstones (incremental updates) are cogrouped into the scorer by the SAME
+group_id hash -- a distributed join, never a driver-side collected dict
+(each scorer task sees only its group's tombstones).
 
 Selection uses bounds; scoring uses the canonical float64 formula in the
 exact same operation order as the exact path (query.py `_contributions` /
 `_aggregate_scores`), so results are rank-identical -- gated by tests that
 diff the two paths on every query tier.
-
-Everything is distributed: group metadata is a slim aggregate (no binary
-columns); only surviving groups' binaries flow into the Arrow scorer UDF.
-At 10^12 turns a stopword term has ~N/128 blocks -- nothing here collects
-more than G block_ids or k result rows to the driver.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -55,6 +72,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import codec
+from ..functions.hashing import py_block_ids
 
 SCORED_SCHEMA = T.StructType(
     [
@@ -65,6 +83,10 @@ SCORED_SCHEMA = T.StructType(
 )
 
 EPS = 1e-9
+
+#: replication budget: a coarse block fans out into at most ~2^this many
+#: groups (plus one doubling headroom for per-partition granularity drift)
+MAX_GROUP_SPLIT = 6
 
 
 def _ub_col(k1: float, b: float, avgdl: float):
@@ -84,76 +106,139 @@ def _ub_col(k1: float, b: float, avgdl: float):
     )
 
 
+def pick_granularity(salt_bits_per_term, max_group_split: int = MAX_GROUP_SPLIT) -> int:
+    """Grouping granularity g for a query: the finest per-term granularity,
+    clamped so the coarsest term's blocks replicate <= ~2^max_group_split
+    times. All inputs come from term_stats.max_salt_bits (no extra job)."""
+    vals = [int(v) for v in salt_bits_per_term]
+    if not vals:
+        return 0
+    return min(max(vals), min(vals) + max_group_split)
+
+
+def _group_expr(g: int):
+    """block -> overlapping group ids at granularity g (array<long>):
+    fine blocks nest (one id); coarse blocks fan out over their sub-range."""
+    return F.expr(
+        f"CASE WHEN salt_bits >= {g} THEN array(shiftright(block_id, salt_bits - {g})) "
+        f"ELSE sequence(shiftleft(block_id, {g} - salt_bits), "
+        f"shiftleft(block_id + 1, {g} - salt_bits) - 1) END"
+    )
+
+
 def _make_scorer(
     mode: str,
     k1: float,
     b: float,
     avgdl: float,
-    tombs: dict[int, int] | None = None,
+    g: int,
     n_query_terms: int | None = None,
 ):
-    """applyInPandas scorer for one block group: decode sub-lists, build the
-    doc universe (intersection for AND, union for OR), accumulate per-term
-    contributions in term-string-ascending order (same float64 add sequence
-    as the exact path's array_sort fold)."""
+    """Cogrouped scorer for one block group: decode sub-lists, mask coarse
+    blocks' rows to the group's doc-hash range, annihilate the group's
+    tombstones, build the doc universe (intersection for AND, union for
+    OR), accumulate per-term contributions in term-string-ascending order
+    (same float64 add sequence as the exact path's array_sort fold)."""
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # decode, merging same-term sub-lists (a segmented/incremental build
-        # can leave several rows per (term, block); doc sets are disjoint, so
-        # a sorted merge is exact -- the posdbMerge_r analog, RdbList.cpp:2159)
-        by_term: dict[str, list] = {}
-        for row in pdf.itertuples(index=False):
-            ids = codec.decode_doc_ids(bytes(row.doc_ids))
-            tfs = codec.decode_counts(bytes(row.tfs))
-            dls = codec.decode_counts(bytes(row.dls))
-            if tombs:
-                seg = int(row.seg_seq)
-                keep = np.array(
-                    [not (d in tombs and seg <= tombs[d]) for d in ids.tolist()],
-                    dtype=bool,
+    def score_group(
+        key, pdf: pd.DataFrame, tomb_pdf: pd.DataFrame | None
+    ) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": np.empty(0, np.int64),
+             "score": np.empty(0, np.float64),
+             "matched": np.empty(0, np.int32)}
+        )
+        if len(pdf) == 0:
+            return empty
+        group_id = int(key[0])
+        tombs: dict[int, int] = {}
+        if tomb_pdf is not None and len(tomb_pdf):
+            tombs = dict(
+                zip(
+                    tomb_pdf["doc_id"].astype(np.int64).tolist(),
+                    tomb_pdf["upto_seq"].astype(np.int64).tolist(),
                 )
-                if not keep.all():
-                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                if ids.size == 0:
-                    continue
-            by_term.setdefault(str(row.term), [float(row.idf), [], [], []])
-            ent = by_term[str(row.term)]
-            ent[1].append(ids)
-            ent[2].append(tfs)
-            ent[3].append(dls)
+            )
+        # bucket the group's rows per term WITHOUT decoding yet; terms then
+        # decode rarest-first (smallest encoded payload first) so an AND
+        # group bails out after decoding only the cheap term when a masked
+        # rare list turns out empty in this doc range -- never paying the
+        # stopword decode (the rarest-first candidate-intersection analog,
+        # `PosdbTable.cpp:1935,1998`)
+        rows_by_term: dict[str, list] = {}
+        bytes_by_term: dict[str, int] = {}
+        idf_by_term: dict[str, float] = {}
+        for row in pdf.itertuples(index=False):
+            t = str(row.term)
+            rows_by_term.setdefault(t, []).append(row)
+            bytes_by_term[t] = bytes_by_term.get(t, 0) + len(row.doc_ids)
+            idf_by_term[t] = float(row.idf)
+        if mode == "AND" and n_query_terms is not None:
+            if len(rows_by_term) < n_query_terms:
+                return empty
         subs = []
-        for term in sorted(by_term):
-            idf_v, idl, tfl, dll = by_term[term]
+        universe = None
+        for term in sorted(rows_by_term, key=lambda t: (bytes_by_term[t], t)):
+            idl, tfl, dll = [], [], []
+            for row in rows_by_term[term]:
+                ids = codec.decode_doc_ids(bytes(row.doc_ids))
+                tfs = codec.decode_counts(bytes(row.tfs))
+                dls = codec.decode_counts(bytes(row.dls))
+                if int(row.salt_bits) < g:
+                    # replicated coarse block: keep this group's range only
+                    keep = (py_block_ids(ids, 63 - g) == group_id)
+                    if not keep.all():
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if ids.size == 0:
+                        continue
+                if tombs:
+                    seg = int(row.seg_seq)
+                    keep = np.array(
+                        [
+                            not (d in tombs and seg <= tombs[d])
+                            for d in ids.tolist()
+                        ],
+                        dtype=bool,
+                    )
+                    if not keep.all():
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if ids.size == 0:
+                        continue
+                idl.append(ids)
+                tfl.append(tfs)
+                dll.append(dls)
+            if not idl:
+                # term annihilated by masking/tombstones in this group
+                if mode == "AND":
+                    return empty
+                continue
+            # merge same-term sub-lists (segments and nested fine blocks
+            # leave several rows per term; doc sets are disjoint, so a
+            # sorted merge is exact -- posdbMerge_r, RdbList.cpp:2159)
             ids = np.concatenate(idl)
             tfs = np.concatenate(tfl)
             dls = np.concatenate(dll)
             if len(idl) > 1:
                 order = np.argsort(ids, kind="mergesort")
                 ids, tfs, dls = ids[order], tfs[order], dls[order]
-            subs.append((term, idf_v, ids, tfs, dls))
-        empty = pd.DataFrame(
-            {"doc_id": np.empty(0, np.int64),
-             "score": np.empty(0, np.float64),
-             "matched": np.empty(0, np.int32)}
-        )
+            subs.append((term, idf_by_term[term], ids, tfs, dls))
+            if mode == "AND":
+                universe = (
+                    ids
+                    if universe is None
+                    else np.intersect1d(universe, ids, assume_unique=True)
+                )
+                if universe.size == 0:
+                    return empty
         if not subs:
             return empty
-        if mode == "AND":
-            # a term annihilated by tombstones inside this group kills the
-            # conjunction even if the group-level presence check passed
-            if n_query_terms is not None and len(subs) < n_query_terms:
-                return empty
-            universe = subs[0][2]
-            for s in subs[1:]:
-                universe = np.intersect1d(universe, s[2], assume_unique=True)
-        else:
+        if mode != "AND":
             universe = np.unique(np.concatenate([s[2] for s in subs]))
-        if universe.size == 0:
-            return pd.DataFrame(
-                {"doc_id": np.empty(0, np.int64),
-                 "score": np.empty(0, np.float64),
-                 "matched": np.empty(0, np.int32)}
-            )
+        if universe is None or universe.size == 0:
+            return empty
+        # accumulation below walks subs in TERM-STRING order (float64 add
+        # sequence identical to the exact path's array_sort fold)
+        subs.sort(key=lambda s: s[0])
         acc = np.zeros(universe.size, dtype=np.float64)
         matched = np.zeros(universe.size, dtype=np.int32)
         for term, idf_v, ids, tfs, dls in subs:
@@ -183,6 +268,16 @@ def _make_scorer(
     return score_group
 
 
+def _tomb_group_udf(g: int):
+    @F.pandas_udf("long")
+    def grp(doc_ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            py_block_ids(doc_ids.to_numpy(np.int64), 63 - g)
+        )
+
+    return grp
+
+
 def wand_search(
     engine,
     query_terms: list[str],
@@ -190,6 +285,7 @@ def wand_search(
     k: int = 10,
     exclude_terms: list[str] | None = None,
     phase_a_groups: int = 8,
+    max_group_split: int = MAX_GROUP_SPLIT,
 ) -> DataFrame:
     """Block-max WAND BM25 top-k. Same result contract as
     SearchEngine.search_terms: (doc_id, score, matched) ordered
@@ -200,15 +296,12 @@ def wand_search(
     if plan.empty or (mode == "AND" and len(plan) < n_q):
         return spark.createDataFrame([], "doc_id long, score double, matched int")
     k1, b, avgdl = engine.params.k1, engine.params.b, engine.avgdl
+    g = pick_granularity(
+        plan["max_salt_bits"].fillna(0).tolist(), max_group_split
+    )
 
     meta = spark.createDataFrame(plan[["term_id", "term", "idf"]])
     term_ids = [int(t) for t in plan["term_id"]]
-    tombs: dict[int, int] | None = None
-    if engine._tombstones is not None:
-        tombs = {
-            int(r["doc_id"]): int(r["upto_seq"])
-            for r in engine._tombstones.collect()
-        }
     q_blocks = (
         engine._postings.filter(F.col("term_id").isin(term_ids))
         .select(
@@ -217,58 +310,61 @@ def wand_search(
         )
         .join(F.broadcast(meta), "term_id")
         .withColumn("ub", _ub_col(k1, b, avgdl))
+        .withColumn("group_id", F.explode(_group_expr(g)))
         .select(
-            "block_id", "salt_bits", "term", "idf", "ub", "seg_seq",
+            "group_id", "salt_bits", "term", "idf", "ub", "seg_seq",
             "doc_ids", "tfs", "dls",
         )
     )
     q_blocks = q_blocks.persist()
-    try:
-        # blocks are df-adaptive hash-prefix ranges at varying granularity;
-        # group at g = the COARSEST granularity among the scanned blocks so
-        # every block maps wholly into one group (prefix nesting) and all of
-        # a doc's blocks land in the same group
-        g_row = q_blocks.agg(F.min("salt_bits").alias("g")).collect()[0]
-        if g_row["g"] is None:
-            return spark.createDataFrame(
-                [], "doc_id long, score double, matched int"
-            )
-        g = int(g_row["g"])
-        q_blocks = q_blocks.withColumn(
-            "group_id", F.expr(f"shiftright(block_id, salt_bits - {g})")
+    tomb_groups = None
+    if engine._tombstones is not None:
+        tomb_groups = engine._tombstones.withColumn(
+            "group_id", _tomb_group_udf(g)(F.col("doc_id"))
         )
-        gmeta = q_blocks.groupBy("group_id").agg(
-            F.sum("ub").alias("ub_sum"),
-            F.countDistinct("term").alias("n_present"),
+    try:
+        # group metadata: per-(group, term) MAX bound (a doc is in exactly
+        # one of a term's blocks), summed per group; presence count for AND
+        gmeta = (
+            q_blocks.groupBy("group_id", "term")
+            .agg(F.max("ub").alias("ub_t"))
+            .groupBy("group_id")
+            .agg(
+                F.sum("ub_t").alias("ub_sum"),
+                F.count(F.lit(1)).alias("n_present"),
+            )
         )
         if mode == "AND":
             gmeta = gmeta.filter(F.col("n_present") == len(plan))
         gmeta = gmeta.persist()
 
-        scorer = _make_scorer(mode, k1, b, avgdl, tombs, len(plan))
-        group_cols = ["term", "idf", "seg_seq", "doc_ids", "tfs", "dls"]
+        scorer = _make_scorer(mode, k1, b, avgdl, g, len(plan))
+        group_cols = [
+            "group_id", "salt_bits", "term", "idf", "seg_seq",
+            "doc_ids", "tfs", "dls",
+        ]
 
-        def score_groups(sel: DataFrame) -> DataFrame:
-            return (
-                q_blocks.join(sel.select("group_id"), "group_id", "left_semi")
-                .repartition("group_id")
-                .groupBy("group_id")
-                .applyInPandas(
-                    lambda pdf: scorer(pdf[group_cols]), schema=SCORED_SCHEMA
+        def score_groups(blocks: DataFrame) -> DataFrame:
+            blocks = blocks.select(*group_cols)
+            if tomb_groups is None:
+                return blocks.groupBy("group_id").applyInPandas(
+                    lambda key, pdf: scorer(key, pdf, None),
+                    schema=SCORED_SCHEMA,
                 )
+            return (
+                blocks.groupby("group_id")
+                .cogroup(tomb_groups.groupby("group_id"))
+                .applyInPandas(scorer, schema=SCORED_SCHEMA)
             )
 
-        # Phase A: exact-score the top-ub groups to establish theta.
+        # JOB 1 (fused): group metadata -> phase-A selection (top ub_sum
+        # groups, a deterministic limit consumed via semi-join, never
+        # collected) -> exact phase-A scores -> theta (kth best score)
         g_a = gmeta.orderBy(F.desc("ub_sum"), F.asc("group_id")).limit(
             phase_a_groups
-        )
-        a_ids = [r["group_id"] for r in g_a.select("group_id").collect()]
-        if not a_ids:
-            return spark.createDataFrame(
-                [], "doc_id long, score double, matched int"
-            )
+        ).select("group_id").persist()
         scored_a = score_groups(
-            spark.createDataFrame([(i,) for i in a_ids], "group_id long")
+            q_blocks.join(F.broadcast(g_a), "group_id", "left_semi")
         )
         scored_a = _apply_exclusions(engine, scored_a, exclude_terms)
         scored_a = scored_a.persist()
@@ -277,12 +373,19 @@ def wand_search(
         )
         theta = top_a[k - 1]["score"] if len(top_a) == k else float("-inf")
 
-        # Phase B: only groups whose upper bound can still beat theta.
-        g_b = gmeta.filter(~F.col("group_id").isin(a_ids)).filter(
+        # JOB 2: phase B -- only groups whose bound can still beat theta --
+        # union with (persisted) phase A, final top-k
+        g_b = gmeta.join(g_a, "group_id", "left_anti").filter(
             F.col("ub_sum") >= F.lit(theta - EPS)
         )
         scored_b = _apply_exclusions(
-            engine, score_groups(g_b), exclude_terms
+            engine,
+            score_groups(
+                q_blocks.join(
+                    g_b.select("group_id"), "group_id", "left_semi"
+                )
+            ),
+            exclude_terms,
         )
         out = (
             scored_a.unionByName(scored_b)
@@ -291,6 +394,8 @@ def wand_search(
         )
         # materialize before unpersisting the lineage inputs
         rows = out.collect()
+        for df in (gmeta, g_a, scored_a):
+            df.unpersist()
         return spark.createDataFrame(rows, out.schema) if rows else (
             spark.createDataFrame([], "doc_id long, score double, matched int")
         )
@@ -314,31 +419,39 @@ def _apply_exclusions(
     return scored.join(ex_docs, "doc_id", "left_anti")
 
 
-def pruning_stats(engine, query_terms: list[str], mode: str = "AND") -> dict:
-    """Observability: how many block groups exist vs how many survive the
-    AND-presence filter (the decode-avoidance win). Driver-side tiny agg."""
+def pruning_stats(
+    engine,
+    query_terms: list[str],
+    mode: str = "AND",
+    max_group_split: int = MAX_GROUP_SPLIT,
+) -> dict:
+    """Observability: how many scorer groups the query fans out over, and
+    how many survive the AND-presence filter (the decode-avoidance win).
+    Driver-side tiny agg."""
     plan = engine.plan_terms(query_terms)
     if plan.empty:
-        return {"groups_total": 0, "groups_surviving": 0}
-    term_ids = [int(t) for t in plan["term_id"]]
-    blocks = engine._postings.filter(F.col("term_id").isin(term_ids)).select(
-        "term_id", "block_id", "salt_bits"
+        return {"groups_total": 0, "groups_surviving": 0, "granularity": 0}
+    g = pick_granularity(
+        plan["max_salt_bits"].fillna(0).tolist(), max_group_split
     )
-    g_row = blocks.agg(F.min("salt_bits").alias("g")).collect()[0]
-    if g_row["g"] is None:
-        return {"groups_total": 0, "groups_surviving": 0}
-    coarse = int(g_row["g"])
-    g = (
-        blocks.withColumn(
-            "group_id", F.expr(f"shiftright(block_id, salt_bits - {coarse})")
-        )
+    term_ids = [int(t) for t in plan["term_id"]]
+    grouped = (
+        engine._postings.filter(F.col("term_id").isin(term_ids))
+        .select("term_id", "block_id", "salt_bits")
+        .withColumn("group_id", F.explode(_group_expr(g)))
         .groupBy("group_id")
         .agg(F.countDistinct("term_id").alias("n_present"))
     )
-    total = g.count()
-    surviving = (
-        g.filter(F.col("n_present") == len(plan)).count()
-        if mode == "AND"
-        else total
-    )
-    return {"groups_total": total, "groups_surviving": surviving}
+    row = grouped.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(F.col("n_present") == len(plan), 1).otherwise(0)
+        ).alias("surviving"),
+    ).collect()[0]
+    total = int(row["total"] or 0)
+    surviving = int(row["surviving"] or 0) if mode == "AND" else total
+    return {
+        "groups_total": total,
+        "groups_surviving": surviving,
+        "granularity": g,
+    }

@@ -87,12 +87,17 @@ def test_wand_small_phase_a(eng):
 
 
 def test_and_presence_pruning_prunes(eng):
-    """Heavy terms split into many prefix groups; a conjunction with a rare
-    term collapses to the rare term's coarse granularity (surviving <=
-    total), while a heavy+heavy conjunction keeps fine groups."""
+    """Heavy terms split into many prefix groups and KEEP that granularity
+    even when conjoined with a rare term (the rare term's coarse block is
+    replicated into the fine groups instead of collapsing the whole query
+    into one group -- the r1-ADVICE fix)."""
     st = pruning_stats(eng, ["the", "to"], "AND")
     assert st["groups_total"] > 1  # fine-grained split happened
     assert st["groups_surviving"] <= st["groups_total"]
-    st2 = pruning_stats(eng, ["rareterm_xyzzy", "single"], "AND")
-    assert st2["groups_total"] == 1  # coarsest term dominates grouping
-    assert st2["groups_surviving"] == 1
+    st2 = pruning_stats(eng, ["the", "rareterm_xyzzy"], "AND")
+    assert st2["granularity"] > 0  # heavy term keeps grouping fine
+    assert st2["groups_total"] > 1  # no single-group collapse
+    # the replicated rare block counts as "maybe present" everywhere, so
+    # metadata-level presence cannot prune it (surviving <= total); the
+    # rarest-first early exit inside the scorer does the per-group pruning
+    assert st2["groups_surviving"] <= st2["groups_total"]
