@@ -352,6 +352,34 @@ def q_phrase_rank(spark, sf_dir):
     return _ranked(eng.search_phrase(["merge", "sort"], 10), 10)
 
 
+def q_synonyms(spark, sf_dir):
+    # X5 query-side synonym expansion (Synonyms.cpp:59 / Query.cpp:414-445):
+    # 'speedy' is ABSENT from the corpus and matches only through its
+    # expansion 'fast' (weight 0.9); 'merge' keeps its unexpanded group
+    # ('combine' is absent and drops out). AND over the two vote groups.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_synonyms(
+            ["speedy", "merge"],
+            {"speedy": ["fast"], "merge": ["combine"]},
+            "AND",
+            10,
+        ),
+        10,
+    )
+
+
+def q_query_grammar(spark, sf_dir):
+    # the FULL query-string grammar in one query (O2 boolean, O3 '-', O5
+    # quotes, F5 field restriction): parens + OR of AND-clauses, a quoted
+    # phrase, an exclusion, and a field:value filter, parsed by
+    # functions/query_parser (Query.cpp:1229 setQWords analog) and
+    # evaluated with semi/anti-join algebra
+    eng = engine_for(spark, sf_dir)
+    q = '("merge sort" -vector lang:en) OR (spark join lang:en)'
+    return _ranked(eng.search_query(q, k=10), 10)
+
+
 def q_ivf_ann(spark, sf_dir):
     # IVF approximate NN over the MATERIALIZED index: ivf_c is a stored
     # partition column, so the probe filter is a partition-pruned scan --
@@ -567,6 +595,8 @@ QUERIES = {
     "lsh_candidates": q_lsh_candidates,
     "bpe_count": q_bpe_count,
     "phrase_rank": q_phrase_rank,
+    "query_grammar": q_query_grammar,
+    "synonyms": q_synonyms,
     "ivf_ann": q_ivf_ann,
     "events_rollup": q_events_rollup,
     "sessions": q_sessions,
@@ -954,6 +984,18 @@ FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
             r"WHERE regexp_matches(lower(text), '\bmerge[^a-z0-9_]+sort\b')"
         ),
     ),
+    # eligibility = DNF of the boolean expression; scoring = OR-mode BM25
+    # over every positive term in the query (mirrors search_query semantics)
+    "query_grammar": _bm25_sql(
+        ["join", "merge", "sort", "spark"], 10, "OR",
+        restrict=r"""SELECT d.doc_id FROM documents d WHERE
+  (regexp_matches(lower(d.text), '\bmerge[^a-z0-9_]+sort\b')
+   AND d.lang = 'en'
+   AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector'))
+  OR (d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+   AND d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'join')
+   AND d.lang = 'en')""",
+    ),
     "bpe_count": f"""
 WITH {_TOKS}
 SELECT d.doc_id,
@@ -1038,6 +1080,40 @@ SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ) WHERE rn <= 3 ORDER BY user_id, rn LIMIT 60
+""",
+    # synonym expansion: 'speedy'->{'fast'} (0.9 weight), 'merge' alone;
+    # matched counts vote GROUPS (J2 union), AND requires both
+    "synonyms": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('fast', 'merge') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('fast', 'merge') GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+         * (tf.tf * ({K1_DEFAULT} + 1.0)
+            / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+               + {B_DEFAULT} * dl.dl / c.avgdl))) AS c
+  FROM tf JOIN qdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'fast' THEN 0.9 ELSE 1.0 END * c) AS s,
+         count(DISTINCT CASE WHEN term = 'fast' THEN 'speedy'
+                             ELSE 'merge' END) AS matched
+  FROM contrib GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN term = 'fast' THEN 'speedy'
+                             ELSE 'merge' END) = 2
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
 """,
     "simhash": _simhash_sql(100),
     "lsh_candidates": _lsh_candidates_sql(8, 4, 200),

@@ -231,6 +231,90 @@ class SearchEngine:
             .limit(k)
         )
 
+    def search_synonyms(
+        self,
+        query_terms: list[str],
+        synonyms: dict[str, list[str]] | None = None,
+        mode: str = "AND",
+        k: int = 10,
+        syn_weight: float = 0.9,
+    ) -> DataFrame:
+        """Query-side synonym/word-form expansion at plan time.
+
+        Reference: `Synonyms.cpp:59` getSynonyms expands each query word,
+        `Query.cpp:414-445` applies it under queryExpansion, and the
+        synonym-form posting keys score with a 0.9 weight
+        (`PosdbTable.cpp:5863-5940` synonym weight; SURVEY.md X5). The
+        system test `test/system/test_search_terms.py:8` pins the visible
+        contract: a query term matches documents containing ONLY its
+        expansion.
+
+        Each query term t becomes the vote group {t} ∪ synonyms[t] -- the
+        J2 sub-list union (`PosdbTable.cpp:1426` setQueryTermInfo: term ∪
+        bigrams ∪ synonyms counted as ONE listGroupNum vote). matched =
+        number of groups with any member present; AND requires every group.
+        score = sum over (group, member-present) of weight * BM25-contrib,
+        weight 1.0 for the base term and ``syn_weight`` for alternatives,
+        accumulated in fixed (group, member) order (float64-stable).
+        Members absent from the corpus drop out of their group; a group
+        with NO member in the corpus is unanswerable under AND.
+        """
+        from ..functions.synonyms import expand
+
+        bases = sorted(set(query_terms))
+        groups = {t: expand(t, synonyms) for t in bases}
+        members = sorted({m for g in groups.values() for m in g})
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, matched int"
+        )
+        if not bases:
+            return empty
+        plan = self.plan_terms(members)
+        present = set(plan["term"])
+        viable = {t: [m for m in groups[t] if m in present] for t in bases}
+        if not any(viable.values()):
+            return empty
+        if mode == "AND" and not all(viable.values()):
+            return empty
+        contrib = self._contributions(plan)
+        # fixed (group, member) accumulation schedule
+        entries = sorted(
+            (t, m, 1.0 if m == t else float(syn_weight))
+            for t in bases
+            for m in viable[t]
+        )
+        aggs = [
+            F.sum(F.when(F.col("term") == m, F.col("contrib"))).alias(f"_c{i}")
+            for i, (_t, m, _w) in enumerate(entries)
+        ]
+        g = contrib.groupBy("doc_id").agg(*aggs)
+        score = F.lit(0.0)
+        for i, (_t, _m, w) in enumerate(entries):
+            c = F.col(f"_c{i}")
+            score = F.when(c.isNotNull(), score + F.lit(w) * c).otherwise(score)
+        col_of = {(t, m): f"_c{i}" for i, (t, m, _w) in enumerate(entries)}
+        matched = F.lit(0)
+        for t in sorted(viable):
+            if not viable[t]:
+                continue
+            inds = [
+                F.when(F.col(col_of[(t, m)]).isNotNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+                for m in viable[t]
+            ]
+            matched = matched + (F.greatest(*inds) if len(inds) > 1 else inds[0])
+        scored = g.select(
+            "doc_id", score.alias("score"), matched.cast("int").alias("matched")
+        )
+        if mode == "AND":
+            scored = scored.filter(
+                F.col("matched") == len([t for t in bases if viable[t]])
+            )
+        else:
+            scored = scored.filter(F.col("matched") > 0)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_many(
         self, queries: list[dict], default_k: int = 10
     ) -> DataFrame:
@@ -321,7 +405,8 @@ class SearchEngine:
 
     def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
         """Parse a query string: bare terms, '-term' exclusions
-        (`Query.h:191-193` sign parsing)."""
+        (`Query.h:191-193` sign parsing). For the FULL grammar (quotes,
+        parens, OR, field:value) use search_query."""
         raw = query.split()
         include, exclude = [], []
         for w in raw:
@@ -330,6 +415,105 @@ class SearchEngine:
             else:
                 include.extend(self.tokenize_query(w))
         return self.search_terms(include, mode=mode, k=k, exclude_terms=exclude)
+
+    def search_query(self, query: str, k: int = 10) -> DataFrame:
+        """Full query-string grammar: quoted phrases, parens, OR/'|',
+        '-' exclusion, '+' forced inclusion, field:value restriction
+        (`Query.cpp:1229` setQWords; opcodes `Query.h:146-152`; field codes
+        `Query.h:33-102`; signs `Query.h:191-193`; quotes `Query.h:219-226`).
+
+        Semantics (mirroring the reference, which scores ALL query terms
+        and lets the boolean structure constrain MATCHING,
+        `PosdbTable.cpp:5408`): score = BM25 sum over every positive
+        term/phrase word in the query (OR accumulation, canonical order);
+        eligibility = the DNF of the boolean expression, each clause
+        evaluated with semi/anti-join algebra (terms AND-chained, phrases
+        by positional adjacency, fields as document-column equality).
+        Returns (doc_id, score, matched) top-k; matched counts the scoring
+        terms present in the doc."""
+        from ..functions.query_parser import parse_query, to_dnf
+
+        clauses = to_dnf(parse_query(query))
+        scoring: set[str] = set()
+        for cl in clauses:
+            for negd, atom in cl:
+                if not negd and atom[0] in ("term", "phrase"):
+                    scoring.update(self.tokenize_query(atom[1]))
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, matched int"
+        )
+        terms = sorted(scoring)
+        if not terms:
+            return empty
+        scored = self.score_terms(terms, mode="OR")
+        eligible = None
+        for cl in clauses:
+            cd = self._clause_docs(cl)
+            if cd is None:
+                continue
+            eligible = cd if eligible is None else eligible.unionByName(cd)
+        if eligible is None:
+            return empty
+        return (
+            scored.join(eligible.distinct(), "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _clause_docs(self, clause) -> DataFrame | None:
+        """One DNF clause -> doc_id frame via semi/anti-join algebra
+        (J3/O2/O3; boolean_docs generalized with phrase + field atoms)."""
+        pos, neg = [], []
+        for negd, atom in clause:
+            kind = atom[0]
+            if kind == "term":
+                words = self.tokenize_query(atom[1])
+                if not words:
+                    continue
+                f = None
+                for w in words:
+                    td = self.term_docs(w)
+                    f = td if f is None else f.join(td, "doc_id", "left_semi")
+            elif kind == "phrase":
+                words = self.tokenize_query(atom[1])
+                if not words:
+                    continue
+                f = (
+                    self.term_docs(words[0])
+                    if len(words) == 1
+                    else self._phrase_hits(words)
+                )
+            else:  # field:value -> document-column equality (F5 analog)
+                name, value = atom[1], atom[2]
+                docs = self.catalog.read_table("documents")
+                if name not in docs.columns:
+                    raise ValueError(
+                        f"unknown field '{name}:' -- queryable fields are "
+                        f"the documents columns {sorted(docs.columns)}"
+                    )
+                f = docs.filter(
+                    F.col(name).cast("string") == value
+                ).select("doc_id")
+            (neg if negd else pos).append(f)
+        if not pos:
+            return None
+        frame = pos[0]
+        for f in pos[1:]:
+            frame = frame.join(f, "doc_id", "left_semi")
+        for f in neg:
+            frame = frame.join(f, "doc_id", "left_anti")
+        return frame
+
+    def _phrase_hits(self, words: list[str], use_bigrams: bool = True) -> DataFrame:
+        """Docs containing the exact phrase; verified over the much-shorter
+        bigram termlists when the index carries them (SURVEY.md X3),
+        positional unigram intersection otherwise. Results identical."""
+        if use_bigrams and len(words) >= 2:
+            bi = [f"{a} {b}" for a, b in zip(words, words[1:])]
+            bplan = self.plan_terms(bi)
+            if len(bplan) == len(set(bi)):
+                return self.phrase_docs(bi)
+        return self.phrase_docs(words)
 
     # ------------------------------------------------------------------
     def _contributions(self, plan: pd.DataFrame) -> DataFrame:
@@ -442,16 +626,7 @@ class SearchEngine:
         ).filter(
             F.col("matched") == len(plan)
         )
-        hits = None
-        if use_bigrams and len(phrase_terms) >= 2:
-            bi = [
-                f"{a} {b}" for a, b in zip(phrase_terms, phrase_terms[1:])
-            ]
-            bplan = self.plan_terms(bi)
-            if len(bplan) == len(set(bi)):
-                hits = self.phrase_docs(bi)
-        if hits is None:
-            hits = self.phrase_docs(phrase_terms)
+        hits = self._phrase_hits(phrase_terms, use_bigrams)
         return (
             scored.join(hits, "doc_id", "left_semi")
             .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,160 @@
+"""Query-string grammar gates: the parser produces the documented DNF
+(`Query.cpp:1229` setQWords analog) and search_query over a real index is
+consistent with the primitive paths it composes."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_source_search_engine_spark.catalog import Catalog
+from open_source_search_engine_spark.functions.query_parser import (
+    QueryParseError,
+    parse_query,
+    to_dnf,
+)
+from open_source_search_engine_spark.operators.index_build import (
+    IndexConfig,
+    build_index,
+    transcripts_to_docs,
+)
+from open_source_search_engine_spark.operators.query import SearchEngine
+from open_source_search_engine_spark.sources.transcripts import synth_transcripts
+
+
+# ---------------------------------------------------------------- parser --
+
+def test_plain_terms_implicit_and():
+    assert to_dnf(parse_query("merge sort")) == [
+        [(False, ("term", "merge")), (False, ("term", "sort"))]
+    ]
+
+
+def test_signs_quotes_fields():
+    dnf = to_dnf(parse_query('"merge sort" -vector +the role:assistant'))
+    assert dnf == [
+        [
+            (False, ("phrase", "merge sort")),
+            (True, ("term", "vector")),
+            (False, ("term", "the")),
+            (False, ("field", "role", "assistant")),
+        ]
+    ]
+
+
+def test_or_and_parens_distribute():
+    dnf = to_dnf(parse_query("(a OR b) c"))
+    assert dnf == [
+        [(False, ("term", "a")), (False, ("term", "c"))],
+        [(False, ("term", "b")), (False, ("term", "c"))],
+    ]
+
+
+def test_pipe_is_or_and_nested_negation():
+    # -(a | b) => -a AND -b (De Morgan at the leaves); needs a positive atom
+    dnf = to_dnf(parse_query("base -(a | b)"))
+    assert dnf == [
+        [
+            (False, ("term", "base")),
+            (True, ("term", "a")),
+            (True, ("term", "b")),
+        ]
+    ]
+
+
+def test_errors():
+    for bad in ['"unterminated', "(unbalanced", "-onlynegative", ""]:
+        with pytest.raises(QueryParseError):
+            to_dnf(parse_query(bad))
+
+
+# ---------------------------------------------------------------- engine --
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("grammar-wh")))
+    build_index(
+        spark,
+        cat,
+        transcripts_to_docs(synth_transcripts(spark, 800)),
+        IndexConfig(tokenizer_mode="ascii"),
+    )
+    return SearchEngine(spark, cat, tokenizer_mode="ascii")
+
+
+def _rows(df):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in df.collect()]
+
+
+def test_grammar_plain_and_equals_search_terms(eng):
+    a = _rows(eng.search_query("spark index", k=10))
+    b = _rows(eng.search_terms(["spark", "index"], "AND", 10))
+    assert a == b
+
+
+def test_grammar_or_equals_search_terms_or(eng):
+    a = _rows(eng.search_query("spark OR index", k=15))
+    b = _rows(eng.search_terms(["spark", "index"], "OR", 15))
+    assert a == b
+
+
+def test_grammar_phrase_equals_search_phrase(eng):
+    a = [d for d, _ in _rows(eng.search_query('"merge sort"', k=10))]
+    b = [
+        int(r["doc_id"])
+        for r in eng.search_phrase(["merge", "sort"], 10).collect()
+    ]
+    assert a == b
+
+
+def test_grammar_exclusion_and_field(eng):
+    res = eng.search_query('spark -index role:user', k=20)
+    docs = eng.catalog.read_table("documents")
+    got = {int(r["doc_id"]) for r in res.collect()}
+    assert got  # non-empty on the synthetic corpus
+    # every hit: has spark, lacks index, role == user
+    spark_ids = {int(r["doc_id"]) for r in eng.term_docs("spark").collect()}
+    index_ids = {int(r["doc_id"]) for r in eng.term_docs("index").collect()}
+    user_ids = {
+        int(r["doc_id"])
+        for r in docs.filter(docs.role == "user").select("doc_id").collect()
+    }
+    assert got <= (spark_ids - index_ids) & user_ids
+
+
+def test_grammar_unknown_field_raises(eng):
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.search_query("spark nosuchfield:x").collect()
+
+
+# -------------------------------------------------------------- synonyms --
+
+def test_synonym_expansion_matches_docs_without_base_term(eng):
+    # the reference contract (test/system/test_search_terms.py:8): a query
+    # term matches docs containing ONLY its expansion
+    res = eng.search_synonyms(
+        ["speedy"], {"speedy": ["shuffle"]}, "AND", 10
+    ).collect()
+    assert res  # 'speedy' is absent from the corpus; 'shuffle' is not
+    alt_ids = {int(r["doc_id"]) for r in eng.term_docs("shuffle").collect()}
+    assert {int(r["doc_id"]) for r in res} <= alt_ids
+
+
+def test_synonym_weight_scales_scores(eng):
+    syn = eng.search_synonyms(["speedy"], {"speedy": ["shuffle"]}, "AND", 5).collect()
+    base = eng.search_terms(["shuffle"], "AND", 5).collect()
+    assert [r["doc_id"] for r in syn] == [r["doc_id"] for r in base]
+    for s, b in zip(syn, base):
+        assert s["score"] == pytest.approx(0.9 * b["score"], rel=1e-12)
+
+
+def test_synonym_group_is_one_vote(eng):
+    # doc containing either member counts the group ONCE (J2 union);
+    # AND over {speedy->shuffle} and {merge} needs shuffle AND merge
+    res = eng.search_synonyms(
+        ["speedy", "merge"], {"speedy": ["shuffle"]}, "AND", 20
+    ).collect()
+    alt_ids = {int(r["doc_id"]) for r in eng.term_docs("shuffle").collect()}
+    merge_ids = {int(r["doc_id"]) for r in eng.term_docs("merge").collect()}
+    got = {int(r["doc_id"]) for r in res}
+    assert got <= (alt_ids & merge_ids)
+    assert all(int(r["matched"]) == 2 for r in res)
