@@ -292,12 +292,17 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_snippet(spark, sf_dir):
-    # X12 SERP rendering: first-match window snippet + highlighting
-    from .operators.snippets import snippets
+    # X12 SERP rendering, Summary.cpp:161 setSummary rebuild: every window
+    # start scored by matched-token coverage, best window wins (earliest on
+    # ties), query terms highlighted
+    from .operators.snippets import best_window_snippets
 
     return (
-        snippets(documents(spark, sf_dir), ["merge", "vector"], before=3, width=7)
-        .select("doc_id", "first_pos", "snippet", "highlighted")
+        best_window_snippets(documents(spark, sf_dir), ["merge", "vector"], width=7)
+        .select(
+            "doc_id", "first_pos", "best_start", "n_matched",
+            "snippet", "highlighted",
+        )
         .orderBy("doc_id")
         .limit(100)
     )
@@ -350,6 +355,16 @@ def q_phrase_rank(spark, sf_dir):
     # constrains the result set, scoring stays the ordinary BM25 sum
     eng = engine_for(spark, sf_dir)
     return _ranked(eng.search_phrase(["merge", "sort"], 10), 10)
+
+
+def q_bm25_proximity(spark, sf_dir):
+    # W2/§4.5 optional proximity boost (PosdbTable.cpp:3404 sliding-window
+    # pair scoring, 1/(dist+1) shape): bm25 + min-pair-distance bonus over
+    # the stored position arrays
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_proximity(["merge", "sort"], k=10, prox_weight=1.0), 10
+    )
 
 
 def q_synonyms(spark, sf_dir):
@@ -597,6 +612,7 @@ QUERIES = {
     "phrase_rank": q_phrase_rank,
     "query_grammar": q_query_grammar,
     "synonyms": q_synonyms,
+    "bm25_proximity": q_bm25_proximity,
     "ivf_ann": q_ivf_ann,
     "events_rollup": q_events_rollup,
     "sessions": q_sessions,
@@ -935,22 +951,40 @@ SELECT doc_id,
             ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
 FROM sh ORDER BY doc_id LIMIT 100
 """,
+    # best-window selection (Summary.cpp:161): score every 1-based window
+    # start by matched tokens covered; earliest max wins; width 7
     "snippet": f"""
 WITH {_TOKS},
 m AS (
   SELECT doc_id, toks,
+         list_transform(toks, t -> CASE WHEN list_contains(['merge', 'vector'], t)
+                                        THEN 1 ELSE 0 END) AS flags,
          list_min(list_filter(
            [list_position(toks, 'merge'), list_position(toks, 'vector')],
            p -> p > 0)) AS first_pos
   FROM toks
+),
+w AS (
+  SELECT doc_id, toks, first_pos,
+         list_transform(range(1, greatest(len(toks) - 6, 1) + 1),
+                        s -> list_sum(flags[s : s + 6])) AS counts
+  FROM m
+),
+b AS (
+  SELECT doc_id, toks, first_pos,
+         list_max(counts) AS n_matched,
+         list_position(counts, list_max(counts)) AS best_start
+  FROM w
 )
 SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
-       array_to_string(toks[greatest(1, first_pos - 3): greatest(1, first_pos - 3) + 6], ' ') AS snippet,
+       CAST(best_start AS BIGINT) AS best_start,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       array_to_string(toks[best_start : best_start + 6], ' ') AS snippet,
        array_to_string(list_transform(
-         toks[greatest(1, first_pos - 3): greatest(1, first_pos - 3) + 6],
+         toks[best_start : best_start + 6],
          t -> CASE WHEN list_contains(['merge', 'vector'], t)
                    THEN '[' || t || ']' ELSE t END), ' ') AS highlighted
-FROM m WHERE first_pos IS NOT NULL ORDER BY doc_id LIMIT 100
+FROM b WHERE n_matched > 0 ORDER BY doc_id LIMIT 100
 """,
     "events_range_agg": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -1080,6 +1114,32 @@ SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ) WHERE rn <= 3 ORDER BY user_id, rn LIMIT 60
+""",
+    # bm25 + proximity boost: min |pos(merge) - pos(sort)| per doc (1-based
+    # ordinals; distances are ordinal differences, identical to the
+    # engine's 0-based ones), bonus 1/(d+1), AND over both terms
+    "bm25_proximity": f"""
+WITH {_bm25_ctes(['merge', 'sort'], 'AND')},
+posd AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM toks
+),
+pd AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos)) AS d
+  FROM posd a JOIN posd b
+    ON a.doc_id = b.doc_id AND a.term = 'merge' AND b.term = 'sort'
+  GROUP BY a.doc_id
+),
+boosted AS (
+  SELECT s.doc_id,
+         s.s + coalesce(1.0 / (pd.d + 1.0), 0.0) AS s,
+         s.matched
+  FROM scored s LEFT JOIN pd ON pd.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM boosted ORDER BY rank LIMIT 10
 """,
     # synonym expansion: 'speedy'->{'fast'} (0.9 weight), 'merge' alone;
     # matched counts vote GROUPS (J2 union), AND requires both

@@ -231,6 +231,88 @@ class SearchEngine:
             .limit(k)
         )
 
+    def search_proximity(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        prox_weight: float = 1.0,
+        mode: str = "AND",
+    ) -> DataFrame:
+        """BM25 with an optional term-pair proximity boost.
+
+        Reference: proximity is CORE ranking there -- the sliding-window
+        minimum term-pair score (`PosdbTable.cpp:3404-3620`
+        getMinTermPairScoreSlidingWindow; pair formula `:744-810` scores
+        ~ 1/(dist+1)). Our BM25 engine keeps base ranking position-free
+        (north rule) and exposes the pair-distance boost as an OPTIONAL
+        additive component over the already-stored position arrays:
+
+          score = bm25 + prox_weight * sum_{a<b} 1 / (min |p_a - p_b| + 1)
+
+        min over all occurrence pairs of the two terms in the doc; absent
+        pairs contribute 0; pairs fold in lexicographic term order
+        (float64-stable). prox_weight=0 is rank-identical to search_terms
+        (gated). Positions decode only for the query's terms -- the scan
+        prunes on term_id and reads the positions column only here."""
+        plan = self.plan_terms(query_terms)
+        n_q = len(set(query_terms))
+        if plan.empty or (mode == "AND" and len(plan) < n_q):
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, matched int"
+            )
+        scored = self.score_terms(query_terms, mode=mode)
+        terms = sorted(plan["term"])
+        if prox_weight == 0.0 or len(terms) < 2:
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        tid_of = dict(zip(plan["term"], plan["term_id"]))
+        decoded = self.decoded_postings(
+            [int(t) for t in plan["term_id"]], include_positions=True
+        )
+        # one positions row per (term, doc): segments concat (min-dist is
+        # order-invariant)
+        posd = decoded.groupBy("term_id", "doc_id").agg(
+            F.flatten(F.collect_list("positions")).alias("ps")
+        )
+        pairs = [
+            (a, b) for i, a in enumerate(terms) for b in terms[i + 1:]
+        ]
+        out = scored
+        for i, (a, b) in enumerate(pairs):
+            pa = posd.filter(F.col("term_id") == int(tid_of[a])).select(
+                "doc_id", F.col("ps").alias("_pa")
+            )
+            pb = posd.filter(F.col("term_id") == int(tid_of[b])).select(
+                "doc_id", F.col("ps").alias("_pb")
+            )
+            mind = F.array_min(
+                F.flatten(
+                    F.transform(
+                        F.col("_pa"),
+                        lambda x: F.transform(
+                            F.col("_pb"), lambda y: F.abs(x - y)
+                        ),
+                    )
+                )
+            )
+            pair = pa.join(pb, "doc_id").select(
+                "doc_id",
+                (F.lit(1.0) / (mind.cast("double") + F.lit(1.0))).alias(
+                    f"_b{i}"
+                ),
+            )
+            out = out.join(pair, "doc_id", "left_outer")
+        score = F.col("score")
+        for i in range(len(pairs)):
+            c = F.col(f"_b{i}")
+            score = F.when(
+                c.isNotNull(), score + F.lit(float(prox_weight)) * c
+            ).otherwise(score)
+        return (
+            out.select("doc_id", score.alias("score"), "matched")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_synonyms(
         self,
         query_terms: list[str],

@@ -1,12 +1,17 @@
 """Snippet generation + query-term highlighting (the SERP rendering path).
 
-Reference: Summary.cpp:161 setSummary picks the best window of matched query
-terms from the doc text; Highlight.cpp wraps matched terms; Matches.cpp:252
-locates term positions (SURVEY.md X12). Transcript rebuild: a deterministic
-"first-match window" -- the window of ``width`` tokens starting ``before``
-tokens before the FIRST matched query term -- entirely in JVM array
-functions (array_position / slice / transform), so it is SQL-expressible
-and oracle-checked in DuckDB with the same 1-based clamped-slice semantics.
+Reference: `Summary.cpp:161` setSummary SCORES candidate windows of matched
+query terms and keeps the best one (`Matches.cpp:252` locates positions;
+`Highlight.cpp` wraps matches; SURVEY.md X12). Two operators:
+
+* ``best_window_snippets`` -- the setSummary rebuild: every window start is
+  scored by how many matched tokens it covers; the best-scoring window wins,
+  earliest start on ties (Summary.cpp prefers earlier candidates at equal
+  score). Entirely JVM higher-order functions (transform / slice /
+  aggregate), so it is SQL-expressible and oracle-checked in DuckDB with
+  identical 1-based clamped-slice semantics.
+* ``snippets`` -- the cheaper first-match window (kept for callers that
+  only need a fixed anchor).
 """
 
 from __future__ import annotations
@@ -15,6 +20,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import with_tokens
+
+
+def best_window_snippets(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    width: int = 11,
+) -> DataFrame:
+    """(doc_id, first_pos, best_start, n_matched, snippet, highlighted) for
+    docs matching ANY term.
+
+    Window scoring (`Summary.cpp:161`): for every 1-based start s in
+    [1, max(1, len - width + 1)], score = number of matched tokens
+    (counting repeats) in toks[s .. s+width-1]; best_start = the earliest s
+    with the maximum score; n_matched = that maximum. first_pos = earliest
+    matched position (kept for anchor/debug parity with the first-match
+    operator)."""
+    t = with_tokens(docs, text_col)
+    terms_sorted = sorted(set(terms))
+    term_arr = F.array(*[F.lit(x) for x in terms_sorted])
+    flags = F.transform(
+        F.col("toks"),
+        lambda tok: F.when(F.array_contains(term_arr, tok), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    t = t.withColumn("_flags", flags)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - F.lit(width - 1), F.lit(1))
+    )
+    counts = F.transform(
+        starts,
+        lambda s: F.aggregate(
+            F.slice(F.col("_flags"), s, width), F.lit(0), lambda a, x: a + x
+        ),
+    )
+    t = t.withColumn("_counts", counts)
+    n_matched = F.array_max("_counts")
+    best_start = F.array_position(F.col("_counts"), F.array_max("_counts"))
+    pos_cols = [
+        F.array_position(F.col("toks"), F.lit(term)) for term in terms_sorted
+    ]
+    first_pos = F.array_min(F.filter(F.array(*pos_cols), lambda p: p > 0))
+    window = F.slice(F.col("toks"), best_start.cast("int"), width)
+    highlighted = F.transform(
+        window,
+        lambda tok: F.when(
+            F.array_contains(term_arr, tok), F.concat(F.lit("["), tok, F.lit("]"))
+        ).otherwise(tok),
+    )
+    return (
+        t.withColumn("n_matched", n_matched)
+        .filter(F.col("n_matched") > 0)
+        .select(
+            "doc_id",
+            first_pos.cast("long").alias("first_pos"),
+            best_start.cast("long").alias("best_start"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.concat_ws(" ", window).alias("snippet"),
+            F.concat_ws(" ", highlighted).alias("highlighted"),
+        )
+    )
 
 
 def snippets(
@@ -66,9 +133,12 @@ def snippets_for_topk(
     launchMsg20s; SURVEY.md J4). The top-k side is tiny, so the join to
     documents broadcasts it."""
     top = engine.search_terms(terms, mode, k).select("doc_id", "score")
-    snip = snippets(docs, terms)
+    snip = best_window_snippets(docs, terms)
     return (
         snip.join(F.broadcast(top), "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .select("doc_id", "score", "first_pos", "snippet", "highlighted")
+        .select(
+            "doc_id", "score", "first_pos", "best_start", "n_matched",
+            "snippet", "highlighted",
+        )
     )

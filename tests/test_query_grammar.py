@@ -126,6 +126,25 @@ def test_grammar_unknown_field_raises(eng):
         eng.search_query("spark nosuchfield:x").collect()
 
 
+# ------------------------------------------------------------- proximity --
+
+def test_proximity_weight_zero_is_rank_identical(eng):
+    a = _rows(eng.search_proximity(["spark", "index"], k=10, prox_weight=0.0))
+    b = _rows(eng.search_terms(["spark", "index"], "AND", 10))
+    assert a == b
+
+
+def test_proximity_boost_bounded_and_additive(eng):
+    base = {
+        d: s
+        for d, s in _rows(eng.search_terms(["spark", "index"], "AND", 100_000))
+    }
+    boosted = _rows(eng.search_proximity(["spark", "index"], k=50, prox_weight=1.0))
+    for d, s in boosted:
+        # bonus is 1/(mindist+1) in (0, 1]; both terms present under AND
+        assert base[d] < s <= base[d] + 1.0 + 1e-12
+
+
 # -------------------------------------------------------------- synonyms --
 
 def test_synonym_expansion_matches_docs_without_base_term(eng):
