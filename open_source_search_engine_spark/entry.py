@@ -54,7 +54,7 @@ def engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
             spark,
             cat,
             documents(spark, sf_dir),
-            IndexConfig(tokenizer_mode="ascii"),
+            IndexConfig(tokenizer_mode="ascii", hot_cache_k=1024),
         )
         _ENGINES[key] = SearchEngine(spark, cat, tokenizer_mode="ascii")
     return _ENGINES[key]
@@ -357,6 +357,14 @@ def q_phrase_rank(spark, sf_dir):
     return _ranked(eng.search_phrase(["merge", "sort"], 10), 10)
 
 
+def q_bm25_hot(spark, sf_dir):
+    # high-frequency-term shortcut (HighFrequencyTermShortcuts.cpp rebuild):
+    # a single-stopword query served from the precomputed hot_topk cache,
+    # bit-identical to the full-scan oracle, no postings decode
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_terms(["the"], "AND", 10), 10)
+
+
 def q_bm25_proximity(spark, sf_dir):
     # W2/§4.5 optional proximity boost (PosdbTable.cpp:3404 sliding-window
     # pair scoring, 1/(dist+1) shape): bm25 + min-pair-distance bonus over
@@ -613,6 +621,7 @@ QUERIES = {
     "query_grammar": q_query_grammar,
     "synonyms": q_synonyms,
     "bm25_proximity": q_bm25_proximity,
+    "bm25_hot": q_bm25_hot,
     "ivf_ann": q_ivf_ann,
     "events_rollup": q_events_rollup,
     "sessions": q_sessions,
@@ -807,6 +816,7 @@ ORACLES: dict[str, str] = {
     "bm25_or": _bm25_sql(["vector", "window", "stream"], 15, "OR"),
     "bm25_not": _bm25_sql(["spark"], 10, "AND", exclude=["vector"]),
     "bm25_stopwords": _bm25_sql(["the", "a"], 10, "AND"),
+    "bm25_hot": _bm25_sql(["the"], 10, "AND"),
     "wand": _bm25_sql(["merge", "sort", "hash"], 10, "AND"),
     "lang_filter_bm25": _bm25_sql(
         ["table"], 10, "AND",

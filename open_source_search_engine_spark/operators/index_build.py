@@ -106,6 +106,12 @@ class IndexConfig:
     #: ascii tokenizer mode only; accelerates search_phrase via direct
     #: bigram-termlist lookup instead of positional intersection
     bigrams: bool = False
+    #: >0 enables the high-frequency-term shortcut cache
+    #: (HighFrequencyTermShortcuts.cpp rebuild, operators/hot_cache.py):
+    #: per-term top-k postings precomputed at build for terms with
+    #: df >= n_docs * hot_cache_min_df_frac
+    hot_cache_k: int = 0
+    hot_cache_min_df_frac: float = 0.05
 
 
 @dataclass
@@ -787,6 +793,17 @@ def build_index(
         "n_docs long, avgdl double, block_bits int, n_terms long, n_blocks long",
     )
     catalog.write_table(corpus, "corpus_stats")
+    if config.hot_cache_k:
+        from .hot_cache import build_hot_term_cache
+
+        build_hot_term_cache(
+            spark,
+            catalog,
+            min_df=max(2, int(n_docs * config.hot_cache_min_df_frac)),
+            cache_k=config.hot_cache_k,
+            params=config.bm25,
+            max_seg=0,
+        )
     return BuildResult(
         n_docs=n_docs,
         avgdl=avgdl,

@@ -92,6 +92,23 @@ class SearchEngine:
             self._tombstones = t if t.limit(1).count() else None
         else:
             self._tombstones = None
+        # high-frequency-term shortcut cache (operators/hot_cache.py);
+        # consulted only while FRESH: any update bumps max_seg past the
+        # cached snapshot and the fast path falls back to the full scan
+        self._hot_topk = None
+        self._hot_meta: dict | None = None
+        if catalog.table_exists("hot_meta") and catalog.table_exists("hot_topk"):
+            meta = catalog.read_table("hot_meta").collect()[0].asDict()
+            cur_seg = 0
+            if catalog.table_exists("index_meta"):
+                cur_seg = int(
+                    catalog.read_table("index_meta").collect()[0]["max_seg"]
+                )
+            if int(meta["max_seg"]) == cur_seg and float(
+                meta["avgdl"]
+            ) == self.avgdl:
+                self._hot_meta = meta
+                self._hot_topk = catalog.read_table("hot_topk")
 
     # ------------------------------------------------------------------
     def plan_terms(self, query_terms: list[str]) -> pd.DataFrame:
@@ -224,9 +241,58 @@ class SearchEngine:
         """Exact BM25 top-k. Returns (doc_id, score, matched) DataFrame,
         ordered score desc / doc_id asc, limited to k (Spark executes this
         as TakeOrderedAndProject: per-partition partial top-k + tiny final
-        merge, the TopTree -> Msg3a shape)."""
+        merge, the TopTree -> Msg3a shape).
+
+        Unrestricted single-term queries on precomputed hot terms answer
+        from the shortcut cache (hot_cache.py) -- bit-identical results,
+        no postings decode (plan-gated)."""
+        uniq = sorted(set(query_terms))
+        if len(uniq) == 1 and not exclude_terms and filter_docs is None:
+            fast = self._hot_single_term(uniq[0], k)
+            if fast is not None:
+                return fast
         return (
             self.score_terms(query_terms, mode, exclude_terms, filter_docs)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _hot_single_term(self, term: str, k: int) -> DataFrame | None:
+        """Shortcut-cache path for one term (HighFrequencyTermShortcuts.cpp
+        analog): serve top-k from hot_topk, recomputing the score with the
+        live idf/avgdl through the exact path's float64 expression -- the
+        within-term ORDER is tf_norm desc, doc_id asc both at build and
+        here (idf is a positive per-term constant), so results are
+        bit-identical to the full scan. Returns None when inapplicable
+        (cache cold/stale, term not hot, or k beyond the cached depth)."""
+        if self._hot_topk is None or self._hot_meta is None:
+            return None
+        plan = self.plan_terms([term])
+        if plan.empty:
+            return None
+        df_t = int(plan["df"].iloc[0])
+        if df_t < int(self._hot_meta["min_df"]):
+            return None
+        if k > int(self._hot_meta["cache_k"]) and df_t > int(
+            self._hot_meta["cache_k"]
+        ):
+            return None  # cache not deep enough for this k
+        from .hot_cache import tf_norm_col
+
+        tid = int(plan["term_id"].iloc[0])
+        idf_v = float(plan["idf"].iloc[0])
+        k1, b = self.params.k1, self.params.b
+        score = F.lit(idf_v) * tf_norm_col(
+            F.col("tf"), F.col("dl"), k1, b, self.avgdl
+        )
+        return (
+            self._hot_topk.filter(F.col("term_id") == tid)
+            .filter(F.col("rnk") <= k)
+            .select(
+                "doc_id",
+                score.alias("score"),
+                F.lit(1).cast("int").alias("matched"),
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
