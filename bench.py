@@ -64,6 +64,10 @@ def main() -> None:
         "dedup_exact", "minhash", "jaccard_pairs", "simhash",
         "cosine_topk", "lsh_ann", "quality", "lang_id", "fingerprint",
         "token_counts", "events_window",
+        # round 2: grammar/synonym/proximity query surface, hot-term
+        # shortcut, materialized-ANN ivf, best-window snippets
+        "query_grammar", "synonyms", "bm25_proximity", "bm25_hot",
+        "ivf_ann", "lsh_candidates", "snippet", "bm25_source_cap",
     ]
     for name in headline:
         if name not in qfns:

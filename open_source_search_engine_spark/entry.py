@@ -428,7 +428,8 @@ def q_lsh_candidates(spark, sf_dir):
     # the whole banding pipeline reproducible in DuckDB -> hash-match gated
     return (
         dedup.minhash_lsh_candidates(
-            documents(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+            documents(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3,
+            max_bucket_degree=32,
         )
         .select(
             "doc_id_a", "doc_id_b",

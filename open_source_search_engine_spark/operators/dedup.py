@@ -216,10 +216,22 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_degree: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     num_hashes/bands rows; pairs sharing any band bucket are candidates.
-    Output: (doc_id_a, doc_id_b, n_shared_bands)."""
+    Output: (doc_id_a, doc_id_b, n_shared_bands).
+
+    ``max_bucket_degree`` is the 100x-scale guard for DEGENERATE buckets
+    (a boilerplate cluster of B near-identical docs shares a bucket =>
+    B^2/2 pairs from one key): members are ranked by doc_id within each
+    (band, bucket) and each member pairs only with its next
+    ``max_bucket_degree`` successors, bounding the bucket's output at
+    B * degree rows. Duplicate CLUSTERS stay discoverable through chain
+    transitivity (m1-m2, m2-m3, ...); only distant same-bucket pairs in a
+    pathological bucket are dropped -- for dedup that is the desired
+    behavior (you keep one representative per chain anyway). ``None``
+    keeps the exact all-pairs join."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(docs, text_col, num_hashes, shingle_n)
@@ -240,18 +252,35 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-        )
+        _bucket_pairs(banded, ["band_idx", "bucket"], max_bucket_degree)
+        .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _bucket_pairs(
+    members: DataFrame, bucket_cols: list[str], max_degree: int | None
+) -> DataFrame:
+    """(doc_id, *bucket_cols) -> (doc_id_a < doc_id_b) same-bucket pairs.
+    With ``max_degree`` each member pairs only with its ``max_degree``
+    doc_id-ordered successors (rank window, one shuffle) -- the degenerate-
+    bucket guard shared by the MinHash-LSH and embedding-LSH joins."""
+    from pyspark.sql import Window
+
+    if max_degree is not None:
+        w = Window.partitionBy(*bucket_cols).orderBy("doc_id")
+        members = members.withColumn("_r", F.row_number().over(w))
+    a, b = members.alias("a"), members.alias("b")
+    cond = F.lit(True)
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if max_degree is not None:
+        cond = cond & (F.col("b._r") - F.col("a._r") <= max_degree)
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
     )
 
 

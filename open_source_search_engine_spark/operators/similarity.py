@@ -342,29 +342,47 @@ def pairwise_cosine_neardup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_degree: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket join (same signature
-    bucket) then exact cosine filter. Output (id_a, id_b, cosine)."""
+    bucket) then exact cosine filter. Output (id_a, id_b, cosine).
+
+    ``max_bucket_degree`` bounds a DEGENERATE bucket's pair blow-up (B
+    near-identical vectors => B^2/2 pairs from one signature): each member
+    pairs only with its ``max_bucket_degree`` id-ordered bucket successors;
+    duplicate clusters stay discoverable via chain transitivity (see
+    dedup._bucket_pairs). None = exact all-pairs."""
+    from .dedup import _bucket_pairs
+
     first = embeddings.limit(1).select(F.size(F.col(vec_col)).alias("d")).collect()
     if not first:
         return embeddings.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, cosine double"
+            [], "id_a long, id_b long, cosine double"
         )
     planes = hyperplanes(int(first[0]["d"]), n_planes, seed)
     e = embeddings.withColumn("_sig", lsh_signature_col(vec_col, planes))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a._sig") == F.col("b._sig"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    pairs = _bucket_pairs(
+        e.select(F.col(id_col).alias("doc_id"), "_sig"),
+        ["_sig"],
+        max_bucket_degree,
     )
-    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
+    va = e.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
+    vb = e.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pairs.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .select(
+            F.col("doc_id_a").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -217,4 +217,18 @@ def compact_updates(spark: SparkSession, catalog: Catalog) -> int:
     catalog.write_table(
         spark.createDataFrame([(0,)], "max_seg long"), "index_meta"
     )
+    # compaction resets max_seg to 0, which would make a STALE hot-term
+    # shortcut cache (hot_cache.py) look fresh again -- rebuild it against
+    # the compacted postings so the freshness marker is truthful
+    if catalog.table_exists("hot_meta"):
+        from .hot_cache import build_hot_term_cache
+
+        meta = catalog.read_table("hot_meta").collect()[0]
+        build_hot_term_cache(
+            spark,
+            catalog,
+            min_df=int(meta["min_df"]),
+            cache_k=int(meta["cache_k"]),
+            max_seg=0,
+        )
     return n_tombs

@@ -75,6 +75,52 @@ def test_simhash_similarity_ordering(spark):
     assert d_ab <= 16  # near-identical docs land within a small radius
 
 
+def test_degenerate_bucket_degree_cap(spark):
+    # 200 IDENTICAL docs share every band bucket: all-pairs would emit
+    # 200*199/2 = 19900 rows per band; the degree cap bounds it at
+    # ~200*degree while the duplicate CLUSTER stays connected as a chain
+    n = 200
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated through the corpus here")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    capped = dedup.minhash_lsh_candidates(
+        df, num_hashes=8, bands=4, shingle_n=3, max_bucket_degree=3
+    ).collect()
+    assert len(capped) <= n * 3
+    # chain connectivity: union-find over emitted pairs keeps ONE cluster
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped:
+        a, b = find(int(r["doc_id_a"])), find(int(r["doc_id_b"]))
+        parent[a] = b
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_neardup_bucket_degree_cap(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in base]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from open_source_search_engine_spark.operators import similarity
+
+    capped = similarity.pairwise_cosine_neardup(
+        emb, threshold=0.99, n_planes=4, max_bucket_degree=2
+    ).collect()
+    assert 0 < len(capped) <= 100 * 2
+    for r in capped:
+        assert r["cosine"] >= 0.99
+
+
 def test_lsh_candidates_surface_neardups(spark, docs):
     # r=1 rows/band: P(candidate) = 1 - (1-J)^bands ~ 1 for J ~ 0.8
     cands = dedup.minhash_lsh_candidates(

@@ -94,3 +94,21 @@ def test_cache_invalidates_after_updates(spark, tmp_path_factory):
     assert "postings" in p
     top = _rows(eng.search_terms(["replacement"], "AND", 5))
     assert [d for d, _s, _m in top] == [int(first["doc_id"])]
+
+    # compaction resets max_seg to 0 -- the cache must be REBUILT there,
+    # not resurrected stale: fresh again AND reflecting the new corpus
+    from open_source_search_engine_spark.operators.updates import (
+        compact_updates,
+    )
+
+    compact_updates(spark, cat)
+    eng2 = SearchEngine(spark, cat, tokenizer_mode="ascii")
+    p2 = _physical(eng2.search_terms(["the"], "AND", 10))
+    assert "hot_topk" in p2 and "postings" not in p2
+    cold = Catalog(spark, str(tmp_path_factory.mktemp("inv-cold-wh")))
+    new_docs = cat.read_table("documents").select("doc_id", "text")
+    build_index(spark, cold, new_docs, IndexConfig(tokenizer_mode="ascii"))
+    eng_cold = SearchEngine(spark, cold, tokenizer_mode="ascii")
+    assert _rows(eng2.search_terms(["the"], "AND", 10)) == _rows(
+        eng_cold.search_terms(["the"], "AND", 10)
+    )
