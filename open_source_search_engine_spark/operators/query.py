@@ -85,6 +85,9 @@ class SearchEngine:
                 "seg_seq", F.lit(0).cast("long")
             )
         self._term_stats = catalog.read_table("term_stats")
+        #: term -> (term_id, df, max_salt_bits) | None for confirmed-absent
+        #: (the g_termFreqCache analog, `Posdb.cpp:306`; snapshot-bound)
+        self._plan_cache: dict[str, tuple | None] = {}
         # ranged tombstones from incremental updates (operators/updates.py):
         # ignore a doc's postings from segments with seg_seq <= upto_seq
         if catalog.table_exists("tombstones"):
@@ -119,21 +122,49 @@ class SearchEngine:
         page-map estimate). Duplicate query terms are dropped (`Query.h:137`
         IGNORE_REPEAT). Returns terms sorted by df ascending (rarest first,
         `PosdbTable.cpp:1998` -- drives candidate generation order).
+
+        Lookups memoize per engine instance -- the reference caches term
+        freqs for 500 s (`Posdb.cpp:306` g_termFreqCache); an engine is
+        bound to one index snapshot, so its cache never goes stale. Only
+        UNSEEN terms (including confirmed-absent ones, cached as misses)
+        cost a metadata job; an all-cached plan costs none.
         """
         terms = sorted(set(query_terms))
         if not terms:
             return pd.DataFrame(
                 columns=["term", "term_id", "df", "idf", "max_salt_bits"]
             )
-        has_sb = "max_salt_bits" in self._term_stats.columns
-        cols = ["term", "term_id", "df"] + (["max_salt_bits"] if has_sb else [])
-        rows = (
-            self._term_stats.filter(F.col("term").isin(terms))
-            .select(*cols)
-            .toPandas()
+        missing = [t for t in terms if t not in self._plan_cache]
+        if missing:
+            has_sb = "max_salt_bits" in self._term_stats.columns
+            cols = ["term", "term_id", "df"] + (
+                ["max_salt_bits"] if has_sb else []
+            )
+            fetched = (
+                self._term_stats.filter(F.col("term").isin(missing))
+                .select(*cols)
+                .toPandas()
+            )
+            if not has_sb:
+                fetched["max_salt_bits"] = 0
+            for r in fetched.itertuples(index=False):
+                self._plan_cache[r.term] = (
+                    int(r.term_id), int(r.df), int(r.max_salt_bits),
+                )
+            for t in missing:
+                self._plan_cache.setdefault(t, None)  # confirmed absent
+        hits = [
+            (t, *self._plan_cache[t])
+            for t in terms
+            if self._plan_cache[t] is not None
+        ]
+        rows = pd.DataFrame(
+            hits, columns=["term", "term_id", "df", "max_salt_bits"]
         )
-        if not has_sb:
-            rows["max_salt_bits"] = 0
+        if rows.empty:
+            return pd.DataFrame(
+                columns=["term", "term_id", "df", "idf", "max_salt_bits"]
+            )
         rows["idf"] = bm25_idf(rows["df"].to_numpy(np.float64), self.n_docs)
         return rows.sort_values(["df", "term"]).reset_index(drop=True)
 

@@ -119,7 +119,7 @@ def test_lsh_ann_scan_is_partition_pruned(spark, ann):
     top = similarity.lsh_ann_topk(idx["lsh"], qv, k=5, n_planes=6, max_hamming=1)
     p = _physical(top)
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
-    assert pf and any("lsh_sig" in ln for ln in pf), p
+    assert pf and any("lsh_bucket" in ln for ln in pf), p
     # exactly ONE dot product in the plan: candidate x query-vector cosine.
     # an inline-signature plan would carry n_planes more zip_with chains
     assert p.count("zip_with") <= 1, p.count("zip_with")
