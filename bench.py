@@ -68,6 +68,7 @@ def main() -> None:
         # shortcut, materialized-ANN ivf, best-window snippets
         "query_grammar", "synonyms", "bm25_proximity", "bm25_hot",
         "ivf_ann", "lsh_candidates", "snippet", "bm25_source_cap",
+        "dedup_clusters", "doc_keywords",
     ]
     for name in headline:
         if name not in qfns:

@@ -357,6 +357,45 @@ def q_phrase_rank(spark, sf_dir):
     return _ranked(eng.search_phrase(["merge", "sort"], 10), 10)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # transitive duplicate clusters: connected components over the capped
+    # near-dup pair graph, cluster_id = min doc_id (A5 generalized); only
+    # non-singleton components reported
+    docs = documents(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.25, max_shingle_df=20
+    )
+    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "doc_id", "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+def q_doc_keywords(spark, sf_dir):
+    # per-doc top-3 keywords by tf-idf (keyword extraction / curation)
+    return (
+        text_analysis.doc_keywords(documents(spark, sf_dir), top_k=3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.round("tfidf", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rnk")
+        .limit(300)
+    )
+
+
 def q_bm25_hot(spark, sf_dir):
     # high-frequency-term shortcut (HighFrequencyTermShortcuts.cpp rebuild):
     # a single-stopword query served from the precomputed hot_topk cache,
@@ -623,6 +662,8 @@ QUERIES = {
     "synonyms": q_synonyms,
     "bm25_proximity": q_bm25_proximity,
     "bm25_hot": q_bm25_hot,
+    "dedup_clusters": q_dedup_clusters,
+    "doc_keywords": q_doc_keywords,
     "ivf_ann": q_ivf_ann,
     "events_rollup": q_events_rollup,
     "sessions": q_sessions,
@@ -1185,6 +1226,62 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM scored ORDER BY rank LIMIT 10
+""",
+    # transitive duplicate clusters via recursive reachability; cluster_id =
+    # min reachable doc_id; non-singleton components only
+    "dedup_clusters": f"""
+WITH RECURSIVE {_TOKS}, {_SHINGLES3},
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+cs AS (SELECT cluster_id AS cid, count(*) AS n FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, CAST(cs.n AS BIGINT) AS cluster_size
+FROM lab l JOIN cs ON cs.cid = l.cluster_id
+WHERE cs.n > 1 ORDER BY l.doc_id LIMIT 300
+""",
+    "doc_keywords": f"""
+WITH {_TOKS}, {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(nd.n::DOUBLE / dfs.df) AS tfidf
+  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, round(tfidf, 4) AS tfidf
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk LIMIT 300
 """,
     "simhash": _simhash_sql(100),
     "lsh_candidates": _lsh_candidates_sql(8, 4, 200),

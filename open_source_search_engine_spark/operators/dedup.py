@@ -284,6 +284,79 @@ def _bucket_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a near-dup
+    pair graph, cluster_id = the smallest doc_id in the component (the
+    deterministic "keep one representative" rule, generalizing
+    exact_dedup's min-doc_id winner to TRANSITIVE duplicate chains --
+    result-dedup clusters, `Msg40.cpp:1173-1300` A5 taken to its corpus
+    conclusion). Output: (doc_id, cluster_id) for every node.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels -- one join + one partial-agg
+    groupBy per round, converging in O(component diameter) rounds, with a
+    driver-side changed-row count as the stop condition. Near-dup graphs
+    are overwhelmingly tiny stars/chains, so 2-3 rounds settle real
+    corpora; pathological long-chain graphs at 10^12 scale would swap this
+    primitive for the alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), which uses the
+    same join shape with O(log^2 n) rounds.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).persist()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("_nl"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_min_nl"))
+            .select(F.col("src").alias("doc_id"), "_min_nl")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_min_nl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc, token hash = first 16 hex chars of md5(token)
     (bit i = bit i%4 of hex nibble 15 - i//4), weighted by tf.

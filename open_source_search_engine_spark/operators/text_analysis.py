@@ -126,3 +126,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text", shingle_n: int = 5) -> 
         .otherwise(F.md5(full))
         .alias("fingerprint"),
     )
+
+
+def doc_keywords(
+    docs: DataFrame, text_col: str = "text", top_k: int = 3
+) -> DataFrame:
+    """Per-doc top-k keywords by tf-idf (keyword extraction for curation
+    pipelines; the reference's count-table + termfreq-weight machinery,
+    `XmlDoc.cpp` getCountTable + `Msg3a.cpp:1003-1008`, combined into the
+    textbook score). score = tf * ln(n_docs / df); ties break term
+    ascending. Output: (doc_id, rnk, term, tfidf). Three hash
+    aggregations + one per-doc window -- no UDF, fully SQL-expressible."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(df, "term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )

@@ -121,6 +121,42 @@ def test_neardup_bucket_degree_cap(spark):
         assert r["cosine"] >= 0.99
 
 
+def test_connected_components_chain_and_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3, pair 5-6, singletons 4 and 7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        int(r["doc_id"]): int(r["cluster_id"])
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_doc_keywords_rank_order(spark):
+    from open_source_search_engine_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple apple banana common common"),
+            (1, "banana banana cherry common common"),
+            (2, "cherry common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text_analysis.doc_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r["term"])
+    # 'common' appears everywhere -> idf = ln(1) = 0 -> never a keyword
+    assert by_doc[0][0] == "apple"
+    assert by_doc[1][0] == "banana"
+    assert by_doc[2][0] == "cherry"
+    for terms in by_doc.values():
+        assert "common" not in terms[:1]
+
+
 def test_lsh_candidates_surface_neardups(spark, docs):
     # r=1 rows/band: P(candidate) = 1 - (1-J)^bands ~ 1 for J ~ 0.8
     cands = dedup.minhash_lsh_candidates(
