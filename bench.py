@@ -87,6 +87,17 @@ def main() -> None:
         synth_transcripts(spark, n_turns).write.mode("overwrite").parquet(corpus_dir)
     cat = Catalog(spark, wh)
     tr = spark.read.parquet(corpus_dir)
+    # untimed warmup (same policy as scripts/scaling_bench.py): fork the
+    # Python worker pool + JIT the codegen paths on a small slice so the
+    # timed run measures steady-state engine throughput, not per-JVM
+    # one-time constants
+    warm_cat = Catalog(spark, wh + "-warm")
+    build_index(
+        spark,
+        warm_cat,
+        transcripts_to_docs(tr).limit(20_000),
+        IndexConfig(tokenizer_mode="ascii"),
+    )
     t0 = time.time()
     build_index(
         spark, cat, transcripts_to_docs(tr), IndexConfig(tokenizer_mode="ascii")
