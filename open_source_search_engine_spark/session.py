@@ -73,6 +73,15 @@ def get_spark(
         # parquet scans: keep row-group pruning + pushdown on
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # posting-block rows carry ~50 KB binary cells (doc_ids/tfs/dls/
+        # positions); the 4096-row default columnar batch then needs
+        # ~200 MB of contiguous heap PER reader and OOMs a 10M-turn scan.
+        # 512 rows keeps a batch ~25 MB regardless of index size -- the
+        # spill-aware sizing rule the 100 TB design depends on
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("OSSE_PARQUET_BATCH_ROWS", "512"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("OSSE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
