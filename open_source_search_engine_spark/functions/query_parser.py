@@ -78,6 +78,9 @@ def _lex(query: str) -> list[tuple[str, str]]:
             out.append(("OR", w))
         elif w == "AND":
             out.append(("AND", w))
+        elif w == "NOT":
+            # keyword negation (OP_NOT, `Query.h:148`) binds to the next item
+            out.append(("NEG", w))
         else:
             out.append(("WORD", w))
         i = j

@@ -61,6 +61,16 @@ def test_pipe_is_or_and_nested_negation():
     ]
 
 
+def test_not_keyword_equals_minus_sign():
+    assert to_dnf(parse_query("base NOT vector")) == to_dnf(
+        parse_query("base -vector")
+    )
+    # NOT over a paren group distributes like -(...)
+    assert to_dnf(parse_query("base NOT (a | b)")) == to_dnf(
+        parse_query("base -(a | b)")
+    )
+
+
 def test_errors():
     for bad in ['"unterminated', "(unbalanced", "-onlynegative", ""]:
         with pytest.raises(QueryParseError):
@@ -124,6 +134,13 @@ def test_grammar_exclusion_and_field(eng):
 def test_grammar_unknown_field_raises(eng):
     with pytest.raises(ValueError, match="unknown field"):
         eng.search_query("spark nosuchfield:x").collect()
+
+
+def test_grammar_docid_restriction(eng):
+    # F4 gbdocid: analog -- doc_id is an ordinary queryable column
+    some = eng.term_docs("spark").limit(1).collect()[0]["doc_id"]
+    res = eng.search_query(f"spark doc_id:{some}", k=10).collect()
+    assert [int(r["doc_id"]) for r in res] == [int(some)]
 
 
 # ------------------------------------------------------------- proximity --
