@@ -361,43 +361,76 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc, token hash = first 16 hex chars of md5(token)
     (bit i = bit i%4 of hex nibble 15 - i//4), weighted by tf.
 
-    JVM-side: explode tokens, per bit i accumulate sum(+-1), sign -> bit.
-    Output: (doc_id, simhash long). The md5 basis (not xxhash64) makes the
-    whole operator reproducible in ANY engine -- the DuckDB oracle computes
-    the identical value, so simhash is hash-match gated, and property tests
-    additionally check the similarity-preservation contract.
-    """
-    toks = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("t"))
-    h = toks.withColumn("hh", F.md5("t"))
-    # 16 hex nibbles of the 64-bit prefix, decoded once each
-    nibbles = [
-        F.conv(F.substring("hh", j + 1, 1), 16, 10).cast("int").alias(f"n{j}")
-        for j in range(16)
-    ]
-    hn = h.select("doc_id", *nibbles)
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"n{15 - i // 4}"), i % 4).bitwiseAND(
-                    F.lit(1)
-                )
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = hn.groupBy("doc_id").agg(*aggs)
-    expr = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        shifted = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
-            F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        expr = shifted if expr is None else expr + shifted
-    return sums.select("doc_id", expr.alias("simhash"))
+    Output: (doc_id, simhash long). The md5 basis (not a JVM-only hash)
+    makes the operator reproducible in ANY engine -- the DuckDB oracle
+    computes the identical value, so simhash is hash-match gated, and
+    property tests additionally check the similarity-preservation contract.
+
+    One Arrow-vectorized pass per batch (mapInPandas): tokenize, md5 each
+    DISTINCT token once (token reuse within a batch is high), unpack the
+    64-bit prefix into a bit matrix, accumulate tf-weighted +-1 per bit
+    with np.add.at, take signs. Replaces a 64-conditional-sum JVM
+    aggregation (~2x wall) and needs no shuffle at all: simhash is a
+    per-row function of the text."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    split = re.compile(r"[^a-z0-9_]+")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        weights = (1 << np.arange(63, dtype=np.uint64)).astype(np.uint64)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            doc_ids = b["doc_id"].to_numpy(np.int64)
+            toks_per_doc = [
+                [t for t in split.split(str(x).lower()) if t]
+                for x in b[text_col].fillna("")
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc), np.int64, len(toks_per_doc)
+            )
+            flat = [t for ts in toks_per_doc for t in ts]
+            if not flat:
+                continue
+            codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+            # md5 prefix -> 64xU matrix of bits, hashed once per DISTINCT token
+            hvals = np.fromiter(
+                (
+                    int(hashlib.md5(u.encode("utf-8")).hexdigest()[:16], 16)
+                    for u in uniq
+                ),
+                np.uint64,
+                len(uniq),
+            )
+            bits = (
+                (hvals[None, :] >> np.arange(64, dtype=np.uint64)[:, None]) & 1
+            ).astype(np.int64)  # (64, n_uniq)
+            pm = 2 * bits - 1  # +-1 per (bit, uniq token)
+            doc_of = np.repeat(np.arange(len(b)), lens)
+            acc = np.zeros((len(b), 64), dtype=np.int64)
+            np.add.at(acc, doc_of, pm[:, codes].T)
+            keep = lens > 0
+            sign = (acc[keep] > 0).astype(np.uint64)
+            low = (sign[:, :63] * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out = low.view(np.int64) + np.where(
+                sign[:, 63] == 1, np.int64(-(1 << 63)), np.int64(0)
+            )
+            yield pd.DataFrame({"doc_id": doc_ids[keep], "simhash": out})
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=schema)
 
 
 def hamming64(a: Column, b: Column) -> Column:
