@@ -193,21 +193,70 @@ def minhash_signatures(
     identical in Spark / DuckDB / Python, so signatures are oracle-checkable.
 
     Output: (doc_id, mh_0 .. mh_{num_hashes-1}) string columns.
-    """
-    if shingle_n and shingle_n > 1:
-        items = with_tokens(docs, text_col).select(
-            "doc_id", F.explode(shingles_expr("toks", shingle_n)).alias("item")
-        )
-    else:
-        items = docs.select(
-            "doc_id", F.explode(tokens_col(F.col(text_col))).alias("item")
-        )
-    items = items.distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("item")))).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return items.groupBy("doc_id").agg(*aggs)
+
+    One Arrow-vectorized pass (mapInPandas), ZERO shuffles: a signature is
+    a per-row function of the text, so the explode+distinct+groupBy plan
+    (two shuffles of the exploded item stream) was pure overhead at any
+    scale. Items are factorized per batch and each distinct (seed, item)
+    is hashed exactly once; lexicographic min over lowercase-hex strings
+    is identical to the SQL/JVM min."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    split = re.compile(r"[^a-z0-9_]+")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [
+            T.StructField(f"mh_{s}", T.StringType(), False)
+            for s in range(num_hashes)
+        ]
+    )
+
+    def items_of(text: str) -> list[str]:
+        toks = [t for t in split.split(text.lower()) if t]
+        if shingle_n and shingle_n > 1:
+            return [
+                " ".join(toks[i: i + shingle_n])
+                for i in range(max(len(toks) - shingle_n + 1, 0))
+            ]
+        return toks
+
+    def run(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            doc_ids = b["doc_id"].to_numpy(np.int64)
+            per_doc = [
+                sorted(set(items_of(str(x)))) for x in b[text_col].fillna("")
+            ]
+            lens = np.fromiter((len(p) for p in per_doc), np.int64, len(per_doc))
+            flat = [it for p in per_doc for it in p]
+            if not flat:
+                continue
+            codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+            # hash each distinct (seed, item) once
+            hmat = np.empty((num_hashes, len(uniq)), dtype="<U32")
+            for s in range(num_hashes):
+                pre = f"{s}:".encode("utf-8")
+                hmat[s] = [
+                    hashlib.md5(pre + u.encode("utf-8")).hexdigest()
+                    for u in uniq
+                ]
+            keep = lens > 0
+            doc_of = np.repeat(np.arange(len(b)), lens)
+            out = {"doc_id": doc_ids[keep]}
+            for s in range(num_hashes):
+                mins = (
+                    pd.Series(hmat[s][codes]).groupby(doc_of).min()
+                )  # index = docs with >=1 item, ascending = keep order
+                out[f"mh_{s}"] = mins.to_numpy()
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=schema)
 
 
 def minhash_lsh_candidates(
