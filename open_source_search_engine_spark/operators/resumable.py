@@ -199,6 +199,17 @@ def resumable_build(
         "n_docs long, avgdl double, block_bits int, n_terms long, n_blocks long",
     )
     catalog.write_table(corpus, "corpus_stats")
+    if config.hot_cache_k:
+        from .hot_cache import build_hot_term_cache
+
+        build_hot_term_cache(
+            spark,
+            catalog,
+            min_df=max(2, int(n_docs * config.hot_cache_min_df_frac)),
+            cache_k=config.hot_cache_k,
+            params=config.bm25,
+            max_seg=0,
+        )
     elapsed = time.time() - t0
     catalog.append_table(
         spark.createDataFrame(
