@@ -125,9 +125,12 @@ class _Parser:
         t = self.next()
         if t[0] in ("NEG", "POS"):
             inner = self.parse_item()
-            # '+' = forced inclusion: no query-side stopword dropping exists
-            # in this engine, so it is the identity (`Query.h:192`)
-            return ("not", inner) if t[0] == "NEG" else inner
+            if t[0] == "NEG":
+                return ("not", inner)
+            # '+' = forced inclusion (`Query.h:192`): survives query-side
+            # stopword dropping (the QW_SIGN_PLUS contract); a no-op when
+            # stopword dropping is off (the engine default)
+            return ("force", inner)
         if t[0] == "(":
             e = self.parse_expr()
             if not self.peek() or self.next()[0] != ")":
@@ -164,6 +167,13 @@ def to_dnf(ast) -> list[list[tuple[bool, tuple]]]:
         kind = node[0]
         if kind == "not":
             return norm(node[1], not neg)
+        if kind == "force":
+            # forced atoms keep a marker so stopword dropping can skip them
+            inner = norm(node[1], neg)
+            return [
+                [(n, ("force", a) if a[0] != "force" else a) for n, a in cl]
+                for cl in inner
+            ]
         if kind == "and":
             parts = [norm(c, neg) for c in node[1]]
             return _cross(parts) if not neg else _union(parts)
@@ -196,3 +206,43 @@ def to_dnf(ast) -> list[list[tuple[bool, tuple]]]:
                 "the reference requires a positive term too)"
             )
     return clauses
+
+
+def unwrap_forced(atom) -> tuple[tuple, bool]:
+    """('force', inner) -> (inner, True); plain atom -> (atom, False)."""
+    if atom[0] == "force":
+        return atom[1], True
+    return atom, False
+
+
+def drop_stopword_terms(
+    clauses: list[list[tuple[bool, tuple]]], stop_words: set[str]
+) -> list[list[tuple[bool, tuple]]]:
+    """Query-side stopword dropping (`Query.h:136-143` IGNORE_DEFAULT /
+    IGNORE_QSTOP): positive, UNFORCED plain-term atoms made only of
+    stopwords are removed from a clause; '+'-signed terms, quoted phrases,
+    fields, and negations always survive (`Query.h:192`; quoted terms keep
+    their stop status off per the quote rules). A clause that would lose
+    every positive atom keeps its original atoms -- an all-stopword query
+    is answered as-is, like the reference."""
+    out = []
+    for cl in clauses:
+        kept = []
+        for negd, atom in cl:
+            inner, forced = unwrap_forced(atom)
+            droppable = (
+                not negd
+                and not forced
+                and inner[0] == "term"
+                and all(
+                    w in stop_words
+                    for w in inner[1].lower().replace("-", " ").split()
+                )
+            )
+            if not droppable:
+                kept.append((negd, atom))
+        if any(not negd for negd, _ in kept):
+            out.append(kept)
+        else:
+            out.append(cl)
+    return out

@@ -595,7 +595,13 @@ class SearchEngine:
                 include.extend(self.tokenize_query(w))
         return self.search_terms(include, mode=mode, k=k, exclude_terms=exclude)
 
-    def search_query(self, query: str, k: int = 10) -> DataFrame:
+    def search_query(
+        self,
+        query: str,
+        k: int = 10,
+        drop_stopwords: bool = False,
+        stop_words: set[str] | None = None,
+    ) -> DataFrame:
         """Full query-string grammar: quoted phrases, parens, OR/'|',
         '-' exclusion, '+' forced inclusion, field:value restriction
         (`Query.cpp:1229` setQWords; opcodes `Query.h:146-152`; field codes
@@ -609,13 +615,31 @@ class SearchEngine:
         evaluated with semi/anti-join algebra (terms AND-chained, phrases
         by positional adjacency, fields as document-column equality).
         Returns (doc_id, score, matched) top-k; matched counts the scoring
-        terms present in the doc."""
-        from ..functions.query_parser import parse_query, to_dnf
+        terms present in the doc.
+
+        ``drop_stopwords`` enables the reference's query-side stopword
+        dropping (`Query.h:136-143` IGNORE_DEFAULT): unforced plain
+        stopword terms leave the query; ``+term`` (`Query.h:192`), quoted
+        phrases, and fields always survive, and an all-stopword clause is
+        answered as-is. ``stop_words`` overrides the default English set."""
+        from ..functions.query_parser import (
+            drop_stopword_terms,
+            parse_query,
+            to_dnf,
+            unwrap_forced,
+        )
 
         clauses = to_dnf(parse_query(query))
+        if drop_stopwords:
+            if stop_words is None:
+                from .text_analysis import LANG_MARKERS
+
+                stop_words = set(LANG_MARKERS["en"]) | {"a", "an"}
+            clauses = drop_stopword_terms(clauses, set(stop_words))
         scoring: set[str] = set()
         for cl in clauses:
             for negd, atom in cl:
+                atom, _forced = unwrap_forced(atom)
                 if not negd and atom[0] in ("term", "phrase"):
                     scoring.update(self.tokenize_query(atom[1]))
         empty = self.spark.createDataFrame(
@@ -642,8 +666,11 @@ class SearchEngine:
     def _clause_docs(self, clause) -> DataFrame | None:
         """One DNF clause -> doc_id frame via semi/anti-join algebra
         (J3/O2/O3; boolean_docs generalized with phrase + field atoms)."""
+        from ..functions.query_parser import unwrap_forced
+
         pos, neg = [], []
         for negd, atom in clause:
+            atom, _forced = unwrap_forced(atom)
             kind = atom[0]
             if kind == "term":
                 words = self.tokenize_query(atom[1])

@@ -35,10 +35,31 @@ def test_signs_quotes_fields():
         [
             (False, ("phrase", "merge sort")),
             (True, ("term", "vector")),
-            (False, ("term", "the")),
+            (False, ("force", ("term", "the"))),
             (False, ("field", "role", "assistant")),
         ]
     ]
+
+
+def test_stopword_dropping_rules():
+    from open_source_search_engine_spark.functions.query_parser import (
+        drop_stopword_terms,
+    )
+
+    stops = {"the", "a", "of"}
+    # plain stopword drops; '+' survives; phrase survives; all-stop keeps
+    assert drop_stopword_terms(
+        to_dnf(parse_query("the merge")), stops
+    ) == to_dnf(parse_query("merge"))
+    assert drop_stopword_terms(
+        to_dnf(parse_query("+the merge")), stops
+    ) == to_dnf(parse_query("+the merge"))
+    assert drop_stopword_terms(
+        to_dnf(parse_query('"the merge"')), stops
+    ) == to_dnf(parse_query('"the merge"'))
+    assert drop_stopword_terms(
+        to_dnf(parse_query("the a")), stops
+    ) == to_dnf(parse_query("the a"))
 
 
 def test_or_and_parens_distribute():
@@ -141,6 +162,17 @@ def test_grammar_docid_restriction(eng):
     some = eng.term_docs("spark").limit(1).collect()[0]["doc_id"]
     res = eng.search_query(f"spark doc_id:{some}", k=10).collect()
     assert [int(r["doc_id"]) for r in res] == [int(some)]
+
+
+def test_grammar_drop_stopwords_end_to_end(eng):
+    # 'the merge' with dropping == plain 'merge'; '+the merge' keeps the
+    # conjunction with the stopword (reference IGNORE_DEFAULT + QW_SIGN_PLUS)
+    a = _rows(eng.search_query("the merge", k=10, drop_stopwords=True))
+    b = _rows(eng.search_terms(["merge"], "AND", 10))
+    assert a == b
+    c = _rows(eng.search_query("+the merge", k=10, drop_stopwords=True))
+    d = _rows(eng.search_terms(["merge", "the"], "AND", 10))
+    assert c == d
 
 
 # ------------------------------------------------------------- proximity --
