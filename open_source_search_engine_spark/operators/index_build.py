@@ -102,9 +102,9 @@ class IndexConfig:
     target_reduce_docs: int = 8192
     bm25: BM25Params = field(default_factory=BM25Params)
     store_positions: bool = True
-    #: also index 2-word phrase terms (SURVEY.md X3); term string "t1 t2".
-    #: ascii tokenizer mode only; accelerates search_phrase via direct
-    #: bigram-termlist lookup instead of positional intersection
+    #: also index 2-word phrase terms (SURVEY.md X3); term string "t1 t2";
+    #: accelerates search_phrase via direct bigram-termlist lookup instead
+    #: of positional intersection (both tokenizer modes)
     bigrams: bool = False
     #: >0 enables the high-frequency-term shortcut cache
     #: (HighFrequencyTermShortcuts.cpp rebuild, operators/hot_cache.py):
@@ -276,6 +276,61 @@ def _tokenize_batch_fast(
         "dl": dl[d_s[g_starts]],
         "pos_flat": p_s,
     }
+
+def _tokenize_batch_with_bigrams(
+    b: pd.DataFrame, pattern, term_strings: dict[int, str]
+):
+    """Regex-path tokenizer emitting unigram AND bigram entries (SURVEY.md
+    X3) -- the unicode-mode counterpart of _tokenize_batch_fast(bigrams=
+    True). Term ids come from py_term_ids (value-identical to the byte
+    path's vectorized FNV), and bigram ids from the same member-id mix
+    (_bigram_ids), so a bigram indexed through either path gets one id.
+    Returns (doc_id, tid, tf, dl, pos_flat) arrays or None."""
+    if len(b) == 0:
+        return None
+    doc_ids_in = b["doc_id"].to_numpy(dtype=np.int64)
+    token_lists = b["text"].fillna("").str.lower().str.findall(pattern).to_numpy()
+    lens = np.fromiter((len(t) for t in token_lists), np.int64, len(b))
+    if not (lens > 0).any():
+        return None
+    flat = np.concatenate([t for t in token_lists if t])
+    doc_rep = np.repeat(np.arange(len(b)), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
+    codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+    tids_u = py_term_ids(np.asarray(uniques, dtype=object))
+    for u, t in zip(tids_u.tolist(), uniques):
+        if u not in term_strings:
+            term_strings[u] = t
+    tid = tids_u[codes]
+    g_doc, g_tid, g_pos = doc_rep, tid, pos
+    adj = doc_rep[1:] == doc_rep[:-1]
+    bi_idx = np.flatnonzero(adj)
+    if bi_idx.size:
+        bh = _bigram_ids(tid[bi_idx], tid[bi_idx + 1])
+        ub, fb = np.unique(bh, return_index=True)
+        for u, fi in zip(ub.tolist(), fb.tolist()):
+            if u not in term_strings:
+                i = bi_idx[fi]
+                term_strings[u] = f"{flat[i]} {flat[i + 1]}"
+        g_doc = np.concatenate([doc_rep, doc_rep[bi_idx]])
+        g_tid = np.concatenate([tid, bh])
+        g_pos = np.concatenate([pos, pos[bi_idx]])
+    order = np.lexsort((g_pos, g_tid, g_doc))
+    d_s, t_s, p_s = g_doc[order], g_tid[order], g_pos[order]
+    new_group = np.empty(d_s.size, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+    g_starts = np.flatnonzero(new_group)
+    tf = np.diff(np.append(g_starts, d_s.size)).astype(np.int64)
+    return (
+        doc_ids_in[d_s[g_starts]],
+        t_s[g_starts],
+        tf,
+        lens[d_s[g_starts]].astype(np.int64),
+        p_s,
+    )
+
 
 def _tokenize_batch(b: pd.DataFrame, pattern):
     """One Arrow batch -> per-(doc, term) numpy arrays.
@@ -476,25 +531,30 @@ def _partial_encoder(
         parts = []
         fa = b[is_ascii]
         if len(fa):
-            tk = _tokenize_batch_fast(fa, term_strings)
+            tk = _tokenize_batch_fast(fa, term_strings, bigrams)
             if tk is not None:
                 parts.append(
                     (tk["doc_id"], tk["tid"], tk["tf"], tk["dl"], tk["pos_flat"])
                 )
         fu = b[~is_ascii]
         if len(fu):
-            tk = _tokenize_batch(fu, pattern)
-            if tk is not None:
-                tids_u = py_term_ids(tk["terms"])
-                for u, t in zip(tids_u.tolist(), tk["terms"]):
-                    if u not in term_strings:
-                        term_strings[u] = t
-                parts.append(
-                    (
-                        tk["doc_id"], tids_u[tk["codes"]], tk["tf"],
-                        tk["dl"], tk["pos_flat"],
+            if bigrams:
+                out = _tokenize_batch_with_bigrams(fu, pattern, term_strings)
+                if out is not None:
+                    parts.append(out)
+            else:
+                tk = _tokenize_batch(fu, pattern)
+                if tk is not None:
+                    tids_u = py_term_ids(tk["terms"])
+                    for u, t in zip(tids_u.tolist(), tk["terms"]):
+                        if u not in term_strings:
+                            term_strings[u] = t
+                    parts.append(
+                        (
+                            tk["doc_id"], tids_u[tk["codes"]], tk["tf"],
+                            tk["dl"], tk["pos_flat"],
+                        )
                     )
-                )
         if not parts:
             return None
         if len(parts) == 1:
@@ -694,8 +754,6 @@ def build_postings(
     if n_map < par * 2:
         n_map = par * 2
         src = src.repartition(n_map)
-    if bigrams and tokenizer_mode != "ascii":
-        raise NotImplementedError("bigram indexing requires tokenizer_mode='ascii'")
     partial = src.mapInPandas(
         _partial_encoder(
             tokenizer_mode, store_positions, n_map, target_reduce_docs, bigrams

@@ -83,3 +83,38 @@ def test_unigram_rankings_unaffected(spark, engines):
         for r in plain.search_terms(["spark", "index"], "AND", 10).collect()
     ]
     assert a == b
+
+
+def test_unicode_mode_bigrams_with_non_ascii(spark, tmp_path_factory):
+    """X3 in unicode tokenizer mode: non-ASCII docs take the regex path and
+    still emit bigram terms with ids identical to the byte path's, so
+    phrase-over-bigrams == positional intersection on a mixed corpus."""
+    rows = [
+        (0, "the quick merge sort runs fast"),
+        (1, "café crème is café crème here"),
+        (2, "merge sort and café crème together"),
+        (3, "nothing relevant in this row"),
+        (4, "sort merge is not merge sort"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("unibi-wh")))
+    build_index(
+        spark, cat, docs, IndexConfig(tokenizer_mode="unicode", bigrams=True)
+    )
+    eng = SearchEngine(spark, cat, tokenizer_mode="unicode")
+    ts = eng.catalog.read_table("term_stats")
+    row = ts.filter(F.col("term") == "café crème").collect()
+    assert row and int(row[0]["df"]) == 2 and int(row[0]["cf"]) == 3
+    for phrase, expect in [
+        (["café", "crème"], {1, 2}),
+        (["merge", "sort"], {0, 2, 4}),
+    ]:
+        via_bigram = {
+            int(r["doc_id"])
+            for r in eng.search_phrase(phrase, 10, use_bigrams=True).collect()
+        }
+        via_positional = {
+            int(r["doc_id"])
+            for r in eng.search_phrase(phrase, 10, use_bigrams=False).collect()
+        }
+        assert via_bigram == via_positional == expect
