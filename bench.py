@@ -37,7 +37,6 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     from open_source_search_engine_spark.catalog import Catalog
-    from open_source_search_engine_spark.entry import _ENGINES
     from open_source_search_engine_spark.operators.index_build import (
         IndexConfig,
         build_index,
@@ -50,13 +49,30 @@ def main() -> None:
     qfns = entry_mod.queries()
 
     # ---- per-query latency over the driver's sf tables -------------------
-    # First call of any engine-backed query builds the index; time that
-    # separately so per-query numbers reflect serving latency.
+    # ONE-TIME BUILD STAGES are timed as their own entries so per-query
+    # numbers measure serving latency, not amortized build cost (r2 VERDICT:
+    # lsh_ann "6.4 s" was 5 s of lazy ANN-index build + 0.7 s of serving):
+    #   index_build_sf -- inverted index + hot-term shortcut cache
+    #   ann_build      -- materialized LSH/IVF ANN index (partitioned writes)
+    #   pair_graph     -- capped near-dup pair graph (shared by
+    #                     jaccard_pairs + dedup_clusters)
     t0 = time.time()
-    from open_source_search_engine_spark.entry import engine_for
+    from open_source_search_engine_spark.entry import (
+        ann_for,
+        engine_for,
+        pairs_for,
+    )
 
     engine_for(spark, sf_dir)
     queries["index_build_sf"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    ann_for(spark, sf_dir)
+    queries["ann_build"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    pairs_for(spark, sf_dir)
+    queries["pair_graph"] = round(time.time() - t0, 4)
 
     headline = [
         "bm25_and", "bm25_or", "bm25_not", "bm25_stopwords", "wand",
@@ -69,13 +85,24 @@ def main() -> None:
         "query_grammar", "synonyms", "bm25_proximity", "bm25_hot",
         "ivf_ann", "lsh_candidates", "snippet", "bm25_source_cap",
         "dedup_clusters", "doc_keywords",
+        # round 3: bigram vote-group boost, possessive word forms,
+        # score-free-clause grammar
+        "bm25_bigram_boost", "possessive", "query_scorefree",
     ]
+    # median-of-N per query (default 3): shared-host noise flipped the
+    # r1->r2 comparison on queries whose code had not changed; the median
+    # makes a round-over-round delta attributable to the code again
+    n_reps = int(os.environ.get("OSSE_BENCH_REPS", "3"))
     for name in headline:
         if name not in qfns:
             continue
-        t0 = time.time()
-        qfns[name](spark, sf_dir).collect()
-        queries[name] = round(time.time() - t0, 4)
+        samples = []
+        for _ in range(n_reps):
+            t0 = time.time()
+            qfns[name](spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+        samples.sort()
+        queries[name] = round(samples[len(samples) // 2], 4)
 
     # ---- transcript-corpus build throughput (the north-rule metric) ------
     # corpus is materialized to parquet first (untimed) so the build number

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..functions.bm25 import BM25Params
 
-HOT_META_SCHEMA = "max_seg long, cache_k int, min_df long, avgdl double"
+#: k1/b are part of the cache identity: the within-term ranking (tf_norm
+#: order) DEPENDS on them, so an engine may only serve from a cache built
+#: with ITS parameters (SearchEngine checks at load; compact_updates passes
+#: the stored values through when it rebuilds)
+HOT_META_SCHEMA = (
+    "max_seg long, cache_k int, min_df long, avgdl double, k1 double, b double"
+)
 
 
 def tf_norm_col(tf, dl, k1: float, b: float, avgdl: float):
@@ -74,7 +80,8 @@ def build_hot_term_cache(
         )
         catalog.write_table(
             spark.createDataFrame(
-                [(max_seg, cache_k, min_df, avgdl)], HOT_META_SCHEMA
+                [(max_seg, cache_k, min_df, avgdl, params.k1, params.b)],
+                HOT_META_SCHEMA,
             ),
             "hot_meta",
         )
@@ -97,7 +104,10 @@ def build_hot_term_cache(
     )
     catalog.write_table(topk, "hot_topk")
     catalog.write_table(
-        spark.createDataFrame([(max_seg, cache_k, min_df, avgdl)], HOT_META_SCHEMA),
+        spark.createDataFrame(
+            [(max_seg, cache_k, min_df, avgdl, params.k1, params.b)],
+            HOT_META_SCHEMA,
+        ),
         "hot_meta",
     )
     return len(hot)

@@ -97,7 +97,12 @@ class SearchEngine:
             self._tombstones = None
         # high-frequency-term shortcut cache (operators/hot_cache.py);
         # consulted only while FRESH: any update bumps max_seg past the
-        # cached snapshot and the fast path falls back to the full scan
+        # cached snapshot and the fast path falls back to the full scan.
+        # The cache's BM25 k1/b must ALSO match this engine's params: the
+        # cached within-term ranking is the tf_norm order, which depends on
+        # k1/b -- a cache built under different params would silently serve
+        # a wrongly-selected top-k (r2 ADVICE). Caches predating the k1/b
+        # columns are rejected the same way (missing -> mismatch).
         self._hot_topk = None
         self._hot_meta: dict | None = None
         if catalog.table_exists("hot_meta") and catalog.table_exists("hot_topk"):
@@ -107,9 +112,17 @@ class SearchEngine:
                 cur_seg = int(
                     catalog.read_table("index_meta").collect()[0]["max_seg"]
                 )
-            if int(meta["max_seg"]) == cur_seg and float(
-                meta["avgdl"]
-            ) == self.avgdl:
+            params_ok = (
+                meta.get("k1") is not None
+                and meta.get("b") is not None
+                and float(meta["k1"]) == self.params.k1
+                and float(meta["b"]) == self.params.b
+            )
+            if (
+                int(meta["max_seg"]) == cur_seg
+                and float(meta["avgdl"]) == self.avgdl
+                and params_ok
+            ):
                 self._hot_meta = meta
                 self._hot_topk = catalog.read_table("hot_topk")
 

@@ -219,16 +219,24 @@ def compact_updates(spark: SparkSession, catalog: Catalog) -> int:
     )
     # compaction resets max_seg to 0, which would make a STALE hot-term
     # shortcut cache (hot_cache.py) look fresh again -- rebuild it against
-    # the compacted postings so the freshness marker is truthful
+    # the compacted postings so the freshness marker is truthful. The
+    # ORIGINAL build's k1/b are read back from hot_meta and passed through:
+    # rebuilding with defaults would silently change the cached tf_norm
+    # ranking for a non-default-params index (r2 ADVICE)
     if catalog.table_exists("hot_meta"):
+        from ..functions.bm25 import BM25Params
         from .hot_cache import build_hot_term_cache
 
-        meta = catalog.read_table("hot_meta").collect()[0]
+        meta = catalog.read_table("hot_meta").collect()[0].asDict()
+        params = None
+        if meta.get("k1") is not None and meta.get("b") is not None:
+            params = BM25Params(k1=float(meta["k1"]), b=float(meta["b"]))
         build_hot_term_cache(
             spark,
             catalog,
             min_df=int(meta["min_df"]),
             cache_k=int(meta["cache_k"]),
+            params=params,
             max_seg=0,
         )
     return n_tombs

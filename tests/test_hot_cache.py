@@ -74,6 +74,68 @@ def test_fast_path_declines_when_inapplicable(pair):
     assert "postings" in p3
 
 
+def test_cache_rejected_on_bm25_param_mismatch(pair):
+    """The cached within-term ranking is the tf_norm order, which depends
+    on k1/b -- an engine whose params differ from the cache's build params
+    must fall back to the full scan (and still rank correctly)."""
+    from open_source_search_engine_spark.functions.bm25 import BM25Params
+
+    hot, _cold = pair
+    eng = SearchEngine(
+        hot.spark, hot.catalog,
+        params=BM25Params(k1=0.4, b=0.1), tokenizer_mode="ascii",
+    )
+    assert eng._hot_topk is None  # cache not accepted
+    p = _physical(eng.search_terms(["the"], "AND", 10))
+    assert "postings" in p
+    # matching params still accept it
+    eng2 = SearchEngine(
+        hot.spark, hot.catalog, params=BM25Params(), tokenizer_mode="ascii"
+    )
+    assert eng2._hot_topk is not None
+
+
+def test_compact_rebuilds_cache_with_original_params(spark, tmp_path_factory):
+    """compact_updates must rebuild the hot cache with the k1/b the index
+    was BUILT with, not defaults -- gated by rank identity between the
+    non-default-params engine's cached path and a cold engine."""
+    from open_source_search_engine_spark.functions.bm25 import BM25Params
+    from open_source_search_engine_spark.operators.updates import (
+        apply_updates,
+        compact_updates,
+    )
+
+    params = BM25Params(k1=0.6, b=0.3)
+    docs = transcripts_to_docs(synth_transcripts(spark, 300))
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("pp-wh")))
+    build_index(
+        spark, cat, docs,
+        IndexConfig(tokenizer_mode="ascii", hot_cache_k=64, bm25=params),
+    )
+    first = docs.limit(1).collect()[0]
+    upsert = spark.createDataFrame(
+        [(first["doc_id"], "the the the changed text")],
+        "doc_id long, text string",
+    )
+    apply_updates(
+        spark, cat, upserts=upsert, config=IndexConfig(tokenizer_mode="ascii")
+    )
+    compact_updates(spark, cat)
+    eng = SearchEngine(spark, cat, params=params, tokenizer_mode="ascii")
+    assert eng._hot_topk is not None  # rebuilt with the ORIGINAL params
+    p = _physical(eng.search_terms(["the"], "AND", 10))
+    assert "hot_topk" in p and "postings" not in p
+    cold = Catalog(spark, str(tmp_path_factory.mktemp("pp-cold-wh")))
+    build_index(
+        spark, cold, cat.read_table("documents").select("doc_id", "text"),
+        IndexConfig(tokenizer_mode="ascii"),
+    )
+    eng_cold = SearchEngine(spark, cold, params=params, tokenizer_mode="ascii")
+    assert _rows(eng.search_terms(["the"], "AND", 10)) == _rows(
+        eng_cold.search_terms(["the"], "AND", 10)
+    )
+
+
 def test_cache_invalidates_after_updates(spark, tmp_path_factory):
     from open_source_search_engine_spark.operators.updates import apply_updates
 
