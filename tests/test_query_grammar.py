@@ -194,6 +194,54 @@ def test_proximity_boost_bounded_and_additive(eng):
         assert base[d] < s <= base[d] + 1.0 + 1e-12
 
 
+def test_proximity_multiterm_matches_bruteforce(spark, tmp_path_factory):
+    """3-term proximity: the one-pass kernel's pair bonuses equal the
+    brute-force all-pairs min-distance computed in Python over the raw
+    texts (multi-pair coverage; the 2-term gates can't see pair-order or
+    pair-accumulation bugs)."""
+    import itertools
+
+    from open_source_search_engine_spark.functions.tokenizer import tokenize
+
+    texts = [
+        "alpha x x beta x x x gamma",          # pairwise dists 3, 4, 7
+        "alpha beta gamma",                     # adjacent everything
+        "gamma x alpha x x beta alpha",         # repeated term, min over occ
+        "alpha x beta",                         # gamma missing
+        "x x x alpha x gamma x beta x alpha",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("prox3-wh")))
+    build_index(spark, cat, docs, IndexConfig(tokenizer_mode="ascii"))
+    e = SearchEngine(spark, cat, tokenizer_mode="ascii")
+    got = {
+        int(r["doc_id"]): float(r["score"])
+        for r in e.search_proximity(
+            ["alpha", "beta", "gamma"], k=10, prox_weight=1.0, mode="AND"
+        ).collect()
+    }
+    base = {
+        int(r["doc_id"]): float(r["score"])
+        for r in e.search_terms(["alpha", "beta", "gamma"], "AND", 10).collect()
+    }
+    assert set(got) == set(base)  # AND semantics unchanged
+    for doc_id, text in enumerate(texts):
+        if doc_id not in got:
+            continue
+        pos: dict[str, list[int]] = {}
+        for p, tok in enumerate(tokenize(text, "ascii")):
+            pos.setdefault(tok, []).append(p)
+        expect = 0.0
+        for a, b in itertools.combinations(sorted(["alpha", "beta", "gamma"]), 2):
+            d = min(
+                abs(pa - pb) for pa in pos[a] for pb in pos[b]
+            )
+            expect += 1.0 / (d + 1.0)
+        assert got[doc_id] == pytest.approx(base[doc_id] + expect, rel=1e-12)
+
+
 # -------------------------------------------------------------- synonyms --
 
 def test_synonym_expansion_matches_docs_without_base_term(eng):
