@@ -642,18 +642,23 @@ def _decode_rows(pdf: pd.DataFrame, with_positions: bool):
 
 def _merge_stream_factory(
     store_positions: bool,
-    tombs: dict[int, int] | None = None,
     has_seg: bool = False,
+    packed_tombs: bool = False,
 ):
     """Streaming merge over rows sorted by (term_id, salt_bits, block_id
     [, seg_seq]): each group's partial rows (one per map partition /
     segment) merge into ONE posting block row.
 
-    tombs -> {doc_id: upto_seq} annihilation (needs has_seg).
+    ``packed_tombs``: rows carry a ``tombs`` column
+    (array<struct<doc_id, upto_seq>> | null) holding exactly THEIR block's
+    tombstones, shipped by the distributed (salt_bits, block_id) join in
+    resumable.route_tombstones -- a posting dies iff its doc is in the
+    row's tomb list with seg_seq <= upto_seq (needs has_seg). No global
+    tombstone state exists anywhere in the stream.
     """
 
     def merge_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
-        doc_ids, tfs, dls, pos_flat, counts, _ = _decode_rows(
+        doc_ids, tfs, dls, pos_flat, counts, row_starts = _decode_rows(
             pdf, store_positions
         )
         n_rows = len(pdf)
@@ -661,20 +666,40 @@ def _merge_stream_factory(
         tid = pdf["term_id"].to_numpy(np.int64)[row_idx]
         bid = pdf["block_id"].to_numpy(np.int64)[row_idx]
         sbits = pdf["salt_bits"].to_numpy(np.int64)[row_idx]
-        if tombs:
-            segs = (
-                pdf["seg_seq"].to_numpy(np.int64)[row_idx]
+        if packed_tombs:
+            segs_row = (
+                pdf["seg_seq"].to_numpy(np.int64)
                 if has_seg
-                else np.zeros(doc_ids.size, np.int64)
+                else np.zeros(n_rows, np.int64)
             )
-            keep = np.array(
-                [
-                    not (d in tombs and s <= tombs[d])
-                    for d, s in zip(doc_ids.tolist(), segs.tolist())
-                ],
-                dtype=bool,
-            )
-            if not keep.all():
+            keep = np.ones(doc_ids.size, dtype=bool)
+            touched = False
+            tomb_cells = pdf["tombs"].tolist()
+            for r_i, cell in enumerate(tomb_cells):
+                if cell is None or len(cell) == 0:
+                    continue
+                # annihilate within this row only: postings from segment
+                # seg die when tombstoned up to >= seg
+                seg = int(segs_row[r_i])
+                dead = np.array(
+                    [
+                        t["doc_id"]
+                        for t in cell
+                        if int(t["upto_seq"]) >= seg
+                    ],
+                    dtype=np.int64,
+                )
+                if dead.size == 0:
+                    continue
+                sl = slice(
+                    int(row_starts[r_i]),
+                    int(row_starts[r_i] + counts[r_i]),
+                )
+                hit = np.isin(doc_ids[sl], dead)
+                if hit.any():
+                    keep[sl] &= ~hit
+                    touched = True
+            if touched:
                 if pos_flat is not None and pos_flat.size:
                     pos_keep = np.repeat(keep, tfs)
                     pos_flat = pos_flat[pos_keep]

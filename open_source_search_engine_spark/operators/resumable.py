@@ -34,6 +34,8 @@ import os
 import time
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -235,6 +237,40 @@ def resumable_build(
     )
 
 
+def route_tombstones(
+    tombstone_df: DataFrame, salt_bits_values: list[int]
+) -> DataFrame:
+    """Tombstones -> per-block packed tombstone rows: for every granularity
+    ``s`` present in the postings table, a tombstoned doc belongs to exactly
+    ONE block (block_id = top s bits of the splitmix doc hash -- the same
+    routing the build combiner uses, `index_build._partial_encoder`).
+    Output: (salt_bits, block_id, tombs array<struct<doc_id, upto_seq>>),
+    one row per block that has any tombstoned doc.
+
+    This is the distributed replacement for collecting the tombstone table
+    into a driver dict (r1/r2 anti-pattern): the posting-side join on
+    (salt_bits, block_id) ships each block ONLY its own tombstones, so
+    heavy churn between compactions never serializes an unbounded dict
+    into every task closure."""
+    from ..functions.hashing import py_block_ids
+
+    @F.pandas_udf("long")
+    def blk(doc_ids: pd.Series, sbits: pd.Series) -> pd.Series:
+        h = py_block_ids(doc_ids.to_numpy("int64"), 0)  # full 63-bit hash
+        s = sbits.to_numpy("int64")
+        return pd.Series(h >> (np.int64(63) - s))
+
+    sb = F.array(*[F.lit(int(s)) for s in sorted(set(salt_bits_values))])
+    return (
+        tombstone_df.withColumn("salt_bits", F.explode(sb))
+        .withColumn("block_id", blk(F.col("doc_id"), F.col("salt_bits")))
+        .groupBy("salt_bits", "block_id")
+        .agg(
+            F.collect_list(F.struct("doc_id", "upto_seq")).alias("tombs")
+        )
+    )
+
+
 def merge_postings(
     spark: SparkSession,
     catalog: Catalog,
@@ -245,23 +281,32 @@ def merge_postings(
     rewrite_data_files), annihilating tombstoned postings on the way
     (`RdbList.cpp:2159` posdbMerge_r removeNegKeys). A posting survives iff
     NOT (its doc_id is tombstoned AND its segment seg_seq <= upto_seq).
-    Output rows all carry seg_seq 0. Returns the file-set fan-in merged."""
+    Output rows all carry seg_seq 0. Returns the file-set fan-in merged.
+
+    Tombstones ship via a distributed (salt_bits, block_id) equi-join
+    (route_tombstones) -- each merge task sees only its blocks' tombstones;
+    nothing tombstone-sized ever reaches the driver. The only driver-side
+    metadata is the distinct salt_bits set (one int per granularity level,
+    ~40 values max by construction)."""
     from .index_build import POSTINGS_SCHEMA, _merge_stream_factory
 
     postings = catalog.read_table("postings")
     if "seg_seq" not in postings.columns:
         postings = postings.withColumn("seg_seq", F.lit(0).cast("long"))
     fan_in = len(catalog.data_dirs("postings"))
-    tomb_map: dict[int, int] = {}
-    if tombstone_df is not None:
-        tomb_map = {
-            int(r["doc_id"]): int(r["upto_seq"]) for r in tombstone_df.collect()
-        }
-    store_positions = True
+    packed_tombs = False
+    if tombstone_df is not None and tombstone_df.limit(1).count():
+        sbits_vals = [
+            int(r["salt_bits"])
+            for r in postings.select("salt_bits").distinct().collect()
+        ]
+        routed = route_tombstones(tombstone_df, sbits_vals)
+        postings = postings.join(routed, ["salt_bits", "block_id"], "left_outer")
+        packed_tombs = True
     stream = _merge_stream_factory(
-        store_positions=store_positions,
-        tombs=tomb_map or None,
+        store_positions=True,
         has_seg=True,
+        packed_tombs=packed_tombs,
     )
     merged = (
         postings.repartition(

@@ -117,6 +117,58 @@ def test_term_stats_delta_exact(spark, updated_catalog, expected_catalog):
     assert a == b
 
 
+def test_route_tombstones_routing_is_exact(spark):
+    """route_tombstones: every (doc, granularity) pair lands in exactly one
+    block row, and the block_id equals the build combiner's routing hash
+    (top salt_bits bits of the splitmix doc hash)."""
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.hashing import py_block_ids
+    from open_source_search_engine_spark.operators.resumable import (
+        route_tombstones,
+    )
+
+    tombs = spark.createDataFrame(
+        [(int(d), 3) for d in range(0, 5000, 7)], "doc_id long, upto_seq long"
+    )
+    routed = route_tombstones(tombs, [0, 5, 12]).collect()
+    seen: dict[tuple[int, int], int] = {}
+    for r in routed:
+        s, bid = int(r["salt_bits"]), int(r["block_id"])
+        for t in r["tombs"]:
+            d = int(t["doc_id"])
+            assert (d, s) not in seen
+            seen[(d, s)] = bid
+            h = int(py_block_ids(np.array([d], dtype=np.int64), 0)[0])
+            assert bid == (h >> (63 - s)) if s else bid == 0
+    assert len(seen) == 3 * len(range(0, 5000, 7))
+
+
+def test_mass_tombstone_compaction(spark, tmp_path_factory):
+    """Planted mass-deletion gate: half the corpus tombstoned in one
+    update, then compacted -- the tombstones flow through the distributed
+    (salt_bits, block_id) join (route_tombstones), never a driver dict,
+    and the compacted index is rank-identical to a fresh build of the
+    surviving corpus."""
+    n = 20_000
+    docs = transcripts_to_docs(synth_transcripts(spark, n))
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("mass-live")))
+    build_index(spark, cat, docs)
+    delete_ids = docs.filter(F.col("turn_idx") % 2 == 0).select("doc_id")
+    n_del = delete_ids.count()
+    assert n_del > 5_000
+    apply_updates(spark, cat, delete_ids=delete_ids)
+    assert compact_updates(spark, cat) == n_del
+    cold = Catalog(spark, str(tmp_path_factory.mktemp("mass-cold")))
+    build_index(
+        spark, cold, docs.filter(F.col("turn_idx") % 2 != 0)
+    )
+    for terms, mode, k in QUERIES[:2]:
+        assert _topk(spark, cat, terms, mode, k) == _topk(
+            spark, cold, terms, mode, k
+        )
+
+
 def test_compaction_annihilates(spark, updated_catalog, expected_catalog):
     n = compact_updates(spark, updated_catalog)
     assert n > 0
