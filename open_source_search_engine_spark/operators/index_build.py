@@ -53,6 +53,7 @@ from ..functions.hashing import (
     doc_id_col,
     pick_block_bits,
     py_block_ids,
+    py_term_id,
     py_term_ids,
 )
 from ..functions.tokenizer import _pattern
@@ -277,6 +278,20 @@ def _tokenize_batch_fast(
         "pos_flat": p_s,
     }
 
+def py_any_term_id(term: str) -> int:
+    """Term id for unigram OR bigram term strings. A bigram term is the
+    space-joined member pair ("t1 t2" -- the tokenizer never emits spaces,
+    so the space is unambiguous); its id mixes the member unigram ids
+    exactly like the build combiner (_bigram_ids), so incremental updates
+    assign NEW bigram terms the same id a full rebuild would."""
+    if " " in term:
+        a, b = term.split(" ", 1)
+        ha = np.array([py_term_id(a)], dtype=np.int64)
+        hb = np.array([py_term_id(b)], dtype=np.int64)
+        return int(_bigram_ids(ha, hb)[0])
+    return py_term_id(term)
+
+
 def _tokenize_batch_with_bigrams(
     b: pd.DataFrame, pattern, term_strings: dict[int, str]
 ):
@@ -367,18 +382,62 @@ def _tokenize_batch(b: pd.DataFrame, pattern):
     }
 
 
-def tokenize_docs(docs: DataFrame, mode: str = "unicode") -> DataFrame:
+def tokenize_docs(
+    docs: DataFrame, mode: str = "unicode", bigrams: bool = False
+) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, term, tf, positions, dl) tuples.
 
     The "metaList" (reference `XmlDoc.cpp:12322` getMetaList) as a
     DataFrame. Used for term-stats deltas and tests; the BUILD path uses the
     fused combiner (build_postings) instead of materializing these rows.
+
+    ``bigrams`` additionally emits the 2-word phrase terms ("t1 t2",
+    positioned at the first word; SURVEY.md X3) so stats deltas on a
+    bigram-enabled index stay exact (operators/updates.py).
     """
     pattern = _pattern(mode)
     src = docs.select("doc_id", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            if bigrams:
+                term_strings: dict[int, str] = {}
+                if mode == "ascii":
+                    tk = _tokenize_batch_fast(b, term_strings, bigrams=True)
+                    out = (
+                        None
+                        if tk is None
+                        else (
+                            tk["doc_id"], tk["tid"], tk["tf"], tk["dl"],
+                            tk["pos_flat"],
+                        )
+                    )
+                else:
+                    out = _tokenize_batch_with_bigrams(
+                        b, pattern, term_strings
+                    )
+                if out is None:
+                    continue
+                doc_id, tid, tf, dl, pos_flat = out
+                g_starts = np.cumsum(tf) - tf
+                pos_gaps = codec.delta_encode_groups(
+                    pos_flat.astype(np.uint64), g_starts
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_id,
+                        "term": np.array(
+                            [term_strings[t] for t in tid.tolist()],
+                            dtype=object,
+                        ),
+                        "tf": tf.astype(np.int32),
+                        "positions": codec.varbyte_encode_groups(
+                            pos_gaps, g_starts
+                        ),
+                        "dl": dl.astype(np.int32),
+                    }
+                )
+                continue
             tk = _tokenize_batch(b, pattern)
             if tk is None:
                 continue

@@ -36,20 +36,23 @@ from pyspark.sql import functions as F
 import pandas as pd
 
 from ..catalog import Catalog
-from ..functions.hashing import py_term_id
 from .index_build import (
     IndexConfig,
     build_postings,
     doc_length_col,
+    py_any_term_id,
     tokenize_docs,
 )
 
 
 def _py_term_id_udf():
-    # built lazily: pandas_udf type resolution needs an active SparkSession
+    # built lazily: pandas_udf type resolution needs an active SparkSession.
+    # py_any_term_id handles unigram AND bigram ("t1 t2") term strings, so
+    # a NEW bigram term first seen in a delta gets the same id a rebuild
+    # would assign (the member-id mix, index_build._bigram_ids)
     @F.pandas_udf("long")
     def udf(terms: pd.Series) -> pd.Series:
-        return terms.map(py_term_id).astype("int64")
+        return terms.map(py_any_term_id).astype("int64")
 
     return udf
 
@@ -77,13 +80,14 @@ def apply_updates(
 ) -> dict:
     """Apply upserts (rows with doc_id + text; new or replacing) and deletes
     (doc_id column) to a built index. Visible to queries immediately --
-    compaction is optional housekeeping."""
+    compaction is optional housekeeping.
+
+    ``config`` must match the BUILD config (tokenizer_mode, bigrams): with
+    bigrams=True the stats deltas and the delta segment both emit the
+    2-word phrase terms, so bigram-enabled indexes update exactly like
+    unigram ones (gated: update-then-query rank identity on bigrams=True,
+    tests/test_bigrams.py)."""
     config = config or IndexConfig()
-    if config.bigrams:
-        raise NotImplementedError(
-            "incremental updates on bigram indexes: the stats-delta tokenize "
-            "path does not emit bigram terms yet -- rebuild instead"
-        )
     docs = catalog.read_table("documents")
     corpus = catalog.read_table("corpus_stats").collect()[0]
     block_bits = int(corpus["block_bits"])
@@ -107,10 +111,10 @@ def apply_updates(
     n_new = upserts.count()
 
     # ---- stats deltas: negative keys for old text, positive for new ------
-    neg = tokenize_docs(old_docs, config.tokenizer_mode).select(
+    neg = tokenize_docs(old_docs, config.tokenizer_mode, config.bigrams).select(
         "term", F.lit(-1).alias("ddf"), (-F.col("tf")).cast("long").alias("dcf")
     )
-    pos = tokenize_docs(upserts, config.tokenizer_mode).select(
+    pos = tokenize_docs(upserts, config.tokenizer_mode, config.bigrams).select(
         "term", F.lit(1).alias("ddf"), F.col("tf").cast("long").alias("dcf")
     )
     delta = (
@@ -174,6 +178,7 @@ def apply_updates(
         config.target_reduce_docs,
         config.tokenizer_mode,
         config.store_positions,
+        config.bigrams,
     ).withColumn("seg_seq", F.lit(new_seq).cast("long"))
     catalog.append_table(delta_postings, "postings")
     catalog.write_table(

@@ -85,6 +85,74 @@ def test_unigram_rankings_unaffected(spark, engines):
     assert a == b
 
 
+@pytest.mark.parametrize("mode", ["ascii", "unicode"])
+def test_bigram_index_incremental_updates(spark, tmp_path_factory, mode):
+    """Incremental updates on a bigrams=True index (SURVEY.md §2.9 + X3):
+    after upsert + delete, term_stats (including bigram terms) and
+    phrase/BM25 results are identical to a fresh bigram build of the
+    edited corpus, both before and after compaction."""
+    from open_source_search_engine_spark.operators.updates import (
+        apply_updates,
+        compact_updates,
+    )
+
+    cfg = IndexConfig(tokenizer_mode=mode, bigrams=True)
+    base = transcripts_to_docs(synth_transcripts(spark, 400))
+    live = Catalog(spark, str(tmp_path_factory.mktemp(f"biup-{mode}")))
+    build_index(spark, live, base, cfg)
+
+    changed = base.filter(F.col("turn_idx") == 1).withColumn(
+        "text", F.concat(F.lit("brandnew bigramword pair here "), F.col("text"))
+    )
+    deletes = base.filter(F.col("turn_idx") == 4).select("doc_id")
+    apply_updates(
+        spark, live, upserts=changed, delete_ids=deletes, config=cfg
+    )
+    edited = (
+        base.filter(~F.col("turn_idx").isin(1, 4)).unionByName(changed)
+    )
+    cold = Catalog(spark, str(tmp_path_factory.mktemp(f"biup-cold-{mode}")))
+    build_index(spark, cold, edited, cfg)
+
+    def check():
+        e_live = SearchEngine(spark, live, tokenizer_mode=mode)
+        e_cold = SearchEngine(spark, cold, tokenizer_mode=mode)
+        # stats identity incl. the NEW bigram terms from the upsert
+        a = {
+            r["term"]: (r["term_id"], r["df"], r["cf"])
+            for r in live.read_table("term_stats").collect()
+        }
+        b = {
+            r["term"]: (r["term_id"], r["df"], r["cf"])
+            for r in cold.read_table("term_stats").collect()
+        }
+        assert a == b
+        assert "brandnew bigramword" in a  # new bigram term, correct id
+        for phrase in [["brandnew", "bigramword"], ["to", "be"]]:
+            x = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in e_live.search_phrase(phrase, 20).collect()
+            ]
+            y = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in e_cold.search_phrase(phrase, 20).collect()
+            ]
+            assert x == y
+        x = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in e_live.search_terms(["spark", "index"], "AND", 10).collect()
+        ]
+        y = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in e_cold.search_terms(["spark", "index"], "AND", 10).collect()
+        ]
+        assert x == y
+
+    check()  # tombstone-filtered read path
+    compact_updates(spark, live)
+    check()  # after physical annihilation
+
+
 def test_unicode_mode_bigrams_with_non_ascii(spark, tmp_path_factory):
     """X3 in unicode tokenizer mode: non-ASCII docs take the regex path and
     still emit bigram terms with ids identical to the byte path's, so
