@@ -333,12 +333,47 @@ def _bucket_pairs(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star contraction step (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", alg. 2): every node connects its STRICTLY
+    LARGER neighbors to the minimum of its neighborhood (incl. itself)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star contraction step: edges orient toward the larger
+    endpoint; every node connects its smaller-or-equal neighborhood
+    (incl. itself) to the neighborhood minimum."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a near-dup
     pair graph, cluster_id = the smallest doc_id in the component (the
@@ -347,62 +382,56 @@ def connected_components(
     result-dedup clusters, `Msg40.cpp:1173-1300` A5 taken to its corpus
     conclusion). Output: (doc_id, cluster_id) for every node.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own and its neighbors' labels -- one join + one partial-agg
-    groupBy per round, converging in O(component diameter) rounds, with a
-    driver-side changed-row count as the stop condition. Near-dup graphs
-    are overwhelmingly tiny stars/chains, so 2-3 rounds settle real
-    corpora; pathological long-chain graphs at 10^12 scale would swap this
-    primitive for the alternating large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce"), which uses the
-    same join shape with O(log^2 n) rounds.
-    """
-    sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): O(log^2 n) rounds on
+    ANY graph shape -- a duplicate chain of length L needs ~log L rounds
+    where min-label propagation needed L (the r2 silent-split failure on
+    >max_iter chains). Each round is two groupBy+join star steps; the
+    convergence check is FOLDED into the round's aggregation (count +
+    order-independent hash of the edge set computed on the same persisted
+    frame -- no separate compare-join job). Non-convergence at max_iter
+    raises instead of silently returning split clusters."""
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).persist()
+    prev_sig = None
+    converged = False
     for _ in range(max_iter):
-        neigh = (
-            sym.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("cluster_id").alias("_nl"),
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("_nl").alias("_min_nl"))
-            .select(F.col("src").alias("doc_id"), "_min_nl")
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left_outer")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("_min_nl"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        nxt = _small_star(_large_star(e)).persist()
+        # one action: materialize + convergence signature (count and an
+        # order-independent XOR of per-edge hashes -- edges are distinct,
+        # so set equality <=> signature equality up to hash collision)
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (int(row["n"] or 0), int(row["h"] or 0))
+        e.unpersist()
+        e = nxt
+        if sig == prev_sig:
+            converged = True
             break
-    sym.unpersist()
+        prev_sig = sig
+    if not converged and prev_sig is not None and prev_sig[0] > 0:
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "alternating rounds -- graph is adversarial beyond the bound; "
+            "raise max_iter"
+        )
+    # converged: the edge set is a star forest (u -> component min)
+    lbl = e.groupBy("u").agg(F.min("v").alias("_lbl")).select(
+        F.col("u").alias("doc_id"), "_lbl"
+    )
+    labels = nodes.select("doc_id").join(lbl, "doc_id", "left_outer").select(
+        "doc_id",
+        F.least(
+            F.col("doc_id"), F.coalesce(F.col("_lbl"), F.col("doc_id"))
+        ).alias("cluster_id"),
+    )
     return labels
 
 

@@ -865,8 +865,12 @@ def term_stats_from_postings(postings: DataFrame) -> DataFrame:
         F.sum("n_docs").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
         # per-term block granularity profile: lets the query planner pick
-        # the WAND grouping granularity WITHOUT an extra metadata job
+        # the WAND grouping granularity WITHOUT an extra metadata job.
+        # min_salt_bits bounds the COARSEST block of the term: WAND clamps
+        # its grouping granularity so no single block fans out more than
+        # 2^max_group_split groups (wand.pick_granularity)
         F.max("salt_bits").cast("int").alias("max_salt_bits"),
+        F.min("salt_bits").cast("int").alias("min_salt_bits"),
     )
 
 

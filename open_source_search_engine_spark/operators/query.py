@@ -196,15 +196,19 @@ class SearchEngine:
         cost a metadata job; an all-cached plan costs none.
         """
         terms = sorted(set(query_terms))
+        cols_out = [
+            "term", "term_id", "df", "idf", "max_salt_bits", "min_salt_bits"
+        ]
         if not terms:
-            return pd.DataFrame(
-                columns=["term", "term_id", "df", "idf", "max_salt_bits"]
-            )
+            return pd.DataFrame(columns=cols_out)
         missing = [t for t in terms if t not in self._plan_cache]
         if missing:
             has_sb = "max_salt_bits" in self._term_stats.columns
-            cols = ["term", "term_id", "df"] + (
-                ["max_salt_bits"] if has_sb else []
+            has_minsb = "min_salt_bits" in self._term_stats.columns
+            cols = (
+                ["term", "term_id", "df"]
+                + (["max_salt_bits"] if has_sb else [])
+                + (["min_salt_bits"] if has_minsb else [])
             )
             fetched = (
                 self._term_stats.filter(F.col("term").isin(missing))
@@ -213,9 +217,14 @@ class SearchEngine:
             )
             if not has_sb:
                 fetched["max_salt_bits"] = 0
+            if not has_minsb:
+                # pre-min_salt_bits snapshots: assume no coarse straggler
+                # blocks below the term's max (the old clamping behavior)
+                fetched["min_salt_bits"] = fetched["max_salt_bits"]
             for r in fetched.itertuples(index=False):
                 self._plan_cache[r.term] = (
-                    int(r.term_id), int(r.df), int(r.max_salt_bits),
+                    int(r.term_id), int(r.df),
+                    int(r.max_salt_bits), int(r.min_salt_bits),
                 )
             for t in missing:
                 self._plan_cache.setdefault(t, None)  # confirmed absent
@@ -225,12 +234,11 @@ class SearchEngine:
             if self._plan_cache[t] is not None
         ]
         rows = pd.DataFrame(
-            hits, columns=["term", "term_id", "df", "max_salt_bits"]
+            hits,
+            columns=["term", "term_id", "df", "max_salt_bits", "min_salt_bits"],
         )
         if rows.empty:
-            return pd.DataFrame(
-                columns=["term", "term_id", "df", "idf", "max_salt_bits"]
-            )
+            return pd.DataFrame(columns=cols_out)
         rows["idf"] = bm25_idf(rows["df"].to_numpy(np.float64), self.n_docs)
         return rows.sort_values(["df", "term"]).reset_index(drop=True)
 

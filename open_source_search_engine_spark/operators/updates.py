@@ -137,10 +137,13 @@ def apply_updates(
             .cast("long")
             .alias("cf"),
             # carried forward (grouping-granularity hint only; new terms'
-            # delta segments are tiny -> salt_bits 0 is the right default)
+            # delta segments are tiny -> salt_bits 0 is the right default).
+            # A delta segment's blocks are built at salt_bits 0, so the
+            # term's min drops to 0 until compaction recomputes it
             F.coalesce("max_salt_bits", F.lit(0)).cast("int").alias(
                 "max_salt_bits"
             ),
+            F.lit(0).cast("int").alias("min_salt_bits"),
         )
         .filter(F.col("df") > 0)
     )
@@ -216,6 +219,15 @@ def compact_updates(spark: SparkSession, catalog: Catalog) -> int:
     # annihilation must look INSIDE blocks (a block's doc_ids are packed):
     # the decode-merge-encode pass applies the tombstone set row-locally
     merge_postings(spark, catalog, tombstone_df=tombs)
+    # recompute term_stats from the compacted postings: df/cf stay exact
+    # (tombstoned postings are physically gone) and the per-term salt-bits
+    # profile -- which updates conservatively zeroed -- recovers, restoring
+    # WAND's grouping granularity
+    from .index_build import term_stats_from_postings
+
+    catalog.write_table(
+        term_stats_from_postings(catalog.read_table("postings")), "term_stats"
+    )
     catalog.write_table(
         spark.createDataFrame([], TOMBSTONES_SCHEMA), "tombstones"
     )

@@ -106,14 +106,30 @@ def _ub_col(k1: float, b: float, avgdl: float):
     )
 
 
-def pick_granularity(salt_bits_per_term, max_group_split: int = MAX_GROUP_SPLIT) -> int:
+def pick_granularity(
+    salt_bits_per_term,
+    min_salt_bits_per_term=None,
+    max_group_split: int = MAX_GROUP_SPLIT,
+) -> int:
     """Grouping granularity g for a query: the finest per-term granularity,
-    clamped so the coarsest term's blocks replicate <= ~2^max_group_split
-    times. All inputs come from term_stats.max_salt_bits (no extra job)."""
+    clamped so the coarsest BLOCK of any query term replicates
+    <= 2^max_group_split times. All inputs come from term_stats (no extra
+    metadata job).
+
+    The clamp uses each term's min_salt_bits -- its coarsest block -- not
+    just the per-term max: within one term, a straggler partial block
+    salted far below the term's typical granularity would otherwise fan
+    out 2^(g - s) times through _group_expr's sequence+explode, unbounded
+    by the across-term clamp (r2 ADVICE). Older snapshots without
+    min_salt_bits fall back to max (the previous behavior)."""
     vals = [int(v) for v in salt_bits_per_term]
     if not vals:
         return 0
-    return min(max(vals), min(vals) + max_group_split)
+    if min_salt_bits_per_term is None:
+        floor = min(vals)
+    else:
+        floor = min(int(v) for v in min_salt_bits_per_term)
+    return min(max(vals), floor + max_group_split)
 
 
 def _group_expr(g: int):
@@ -297,7 +313,11 @@ def wand_search(
         return spark.createDataFrame([], "doc_id long, score double, matched int")
     k1, b, avgdl = engine.params.k1, engine.params.b, engine.avgdl
     g = pick_granularity(
-        plan["max_salt_bits"].fillna(0).tolist(), max_group_split
+        plan["max_salt_bits"].fillna(0).tolist(),
+        plan["min_salt_bits"].fillna(0).tolist()
+        if "min_salt_bits" in plan.columns
+        else None,
+        max_group_split,
     )
 
     meta = spark.createDataFrame(plan[["term_id", "term", "idf"]])
@@ -432,7 +452,11 @@ def pruning_stats(
     if plan.empty:
         return {"groups_total": 0, "groups_surviving": 0, "granularity": 0}
     g = pick_granularity(
-        plan["max_salt_bits"].fillna(0).tolist(), max_group_split
+        plan["max_salt_bits"].fillna(0).tolist(),
+        plan["min_salt_bits"].fillna(0).tolist()
+        if "min_salt_bits" in plan.columns
+        else None,
+        max_group_split,
     )
     term_ids = [int(t) for t in plan["term_id"]]
     grouped = (

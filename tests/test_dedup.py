@@ -134,6 +134,38 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """The large-star/small-star contraction handles a 10k-node chain --
+    the shape that silently split under 20 rounds of min-label propagation
+    (O(diameter)) -- inside the default round budget (O(log^2 n))."""
+    n = 10_000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
+    )
+    got = dedup.connected_components(edges, nodes, max_iter=30)
+    assert (
+        got.filter(F.col("cluster_id") != 0).count() == 0
+    )  # one component, min-label 0
+
+
+def test_connected_components_two_components_and_star(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    # star centered at 9 (out-of-order ids) + triangle 2-5-7 + singletons
+    edges = spark.createDataFrame(
+        [(9, 11), (9, 3), (9, 10), (2, 5), (5, 7), (2, 7)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {
+        int(r["doc_id"]): int(r["cluster_id"])
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 2, 6: 6,
+        7: 2, 8: 8, 9: 3, 10: 3, 11: 3,
+    }
+
+
 def test_doc_keywords_rank_order(spark):
     from open_source_search_engine_spark.operators import text_analysis
 

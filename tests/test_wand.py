@@ -86,6 +86,27 @@ def test_wand_small_phase_a(eng):
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact]
 
 
+def test_pick_granularity_bounds_within_term_fanout():
+    """The clamp must bound the COARSEST block of any query term, not just
+    the per-term max: a term whose max is 20 but that carries one salt_bits
+    0 straggler block must not see g = 20 (the straggler would replicate
+    2^20 times through _group_expr)."""
+    from open_source_search_engine_spark.operators.wand import (
+        MAX_GROUP_SPLIT,
+        pick_granularity,
+    )
+
+    # homogeneous terms: behavior unchanged
+    assert pick_granularity([12, 0], [12, 0]) == 0 + MAX_GROUP_SPLIT
+    assert pick_granularity([12, 12], [12, 12]) == 12
+    # within-term straggler: clamped by the straggler, not the max
+    assert pick_granularity([20], [0]) == MAX_GROUP_SPLIT
+    assert pick_granularity([20, 12], [3, 12]) == 3 + MAX_GROUP_SPLIT
+    # legacy snapshots (no min column): old behavior
+    assert pick_granularity([20]) == 20
+    assert pick_granularity([20, 0]) == MAX_GROUP_SPLIT
+
+
 def test_and_presence_pruning_prunes(eng):
     """Heavy terms split into many prefix groups and KEEP that granularity
     even when conjoined with a rare term (the rare term's coarse block is
