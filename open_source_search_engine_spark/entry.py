@@ -463,6 +463,36 @@ def q_query_grammar(spark, sf_dir):
     return _ranked(eng.search_query(q, k=10), 10)
 
 
+def q_bm25_bigram_boost(spark, sf_dir):
+    # query-time bigram vote-group boost (Query.cpp:364 setQTerms;
+    # PosdbTable.h:21 WIKI_BIGRAM_WEIGHT 1.4; system goldens
+    # test/system/test_search_terms.py:4-18): BM25 AND over the word
+    # groups, plus 1.4x the "merge sort" bigram-term contribution for docs
+    # containing the adjacency. This index carries no bigram termlists, so
+    # the engine derives the bigram postings from unigram positions -- the
+    # indexed-bigram path is identity-gated in tests/test_query_grammar.py
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_expanded(["merge", "sort"], "AND", 10), 10)
+
+
+def q_possessive(spark, sf_dir):
+    # X4 possessive/apostrophe word forms (XmlDoc_Indexing.cpp:2072-2115:
+    # "bob's" indexes base "bob" at synonym weight): the query word
+    # "value's" matches docs containing only "value", scored at 0.9
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_expanded(["value's"], "AND", 10, use_bigrams=False), 10
+    )
+
+
+def q_query_scorefree(spark, sf_dir):
+    # score-free clause eligibility (Query.h boolean semantics): the
+    # 'lang:fr' arm contributes docs with NO scoring term -- they rank at
+    # score 0.0 / matched 0 instead of being dropped (r2 ADVICE fix)
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_query("(merge) OR (lang:fr)", k=50), 50)
+
+
 def q_ivf_ann(spark, sf_dir):
     # IVF approximate NN over the MATERIALIZED index: ivf_c is a stored
     # partition column, so the probe filter is a partition-pruned scan --
@@ -683,6 +713,9 @@ QUERIES = {
     "synonyms": q_synonyms,
     "bm25_proximity": q_bm25_proximity,
     "bm25_hot": q_bm25_hot,
+    "bm25_bigram_boost": q_bm25_bigram_boost,
+    "possessive": q_possessive,
+    "query_scorefree": q_query_scorefree,
     "dedup_clusters": q_dedup_clusters,
     "doc_keywords": q_doc_keywords,
     "ivf_ann": q_ivf_ann,
@@ -769,6 +802,43 @@ _SHINGLES3 = (
     "sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2,0)+1), "
     "i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM toks)"
 )
+
+
+def _lang_id_sql(k: int = 200) -> str:
+    """DuckDB replica of text_analysis.lang_id, GENERATED from the same
+    LANG_MARKERS / SCRIPT_RANGES tables so the two sides cannot drift."""
+    from .operators.text_analysis import LANG_MARKERS, SCRIPT_RANGES
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(t.toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"], x))) AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    script_cases = "\n       ".join(
+        f"WHEN regexp_matches(text, '[\\x{{{lo:04x}}}-\\x{{{hi:04x}}}]') "
+        f"THEN '{lang}'"
+        for lang, lo, hi in SCRIPT_RANGES
+    )
+    marker_cases = "\n       ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH {_TOKS},
+hits AS (
+  SELECT d.doc_id, d.text, {hit_cols}
+  FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+)
+SELECT doc_id,
+  CASE {script_cases}
+       WHEN {best} = 0 THEN 'und'
+       {marker_cases}
+       END AS lang_pred,
+  CAST({best} AS BIGINT) AS lang_score
+FROM hits ORDER BY doc_id LIMIT {k}
+"""
 
 
 def _simhash_sql(k: int = 100) -> str:
@@ -984,26 +1054,7 @@ SELECT doc_id, n_chars, n_tokens,
        round(CASE WHEN n_chars > 0 THEN (n_chars - alnum)::DOUBLE / n_chars ELSE 0.0 END, 4) AS non_alnum_ratio
 FROM feat ORDER BY doc_id LIMIT 100
 """,
-    "lang_id": f"""
-WITH {_TOKS},
-hits AS (
-  SELECT d.doc_id, d.text,
-    len(list_filter(t.toks, x -> list_contains(['the','and','of','to','in','is','it','that','for','with'], x))) AS h_en,
-    len(list_filter(t.toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS h_de,
-    len(list_filter(t.toks, x -> list_contains(['el','la','los','las','es','que','de','un','una','por'], x))) AS h_es,
-    len(list_filter(t.toks, x -> list_contains(['le','la','les','est','que','des','un','une','dans','pour'], x))) AS h_fr
-  FROM documents d JOIN toks t ON t.doc_id = d.doc_id
-)
-SELECT doc_id,
-  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
-       WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
-       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
-       ELSE 'fr' END AS lang_pred,
-  CAST(greatest(h_en, h_de, h_es, h_fr) AS BIGINT) AS lang_score
-FROM hits ORDER BY doc_id LIMIT 200
-""",
+    "lang_id": _lang_id_sql(200),
     "token_counts": f"""
 WITH {_TOKS}, {_TOK}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -1303,6 +1354,72 @@ r AS (
 )
 SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, round(tfidf, 4) AS tfidf
 FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk LIMIT 300
+""",
+    # bm25 AND over the word groups + 1.4x the 'merge sort' bigram-term
+    # contribution (adjacency tf over 2-gram shingles, its own df/idf)
+    "bm25_bigram_boost": f"""
+WITH {_bm25_ctes(['merge', 'sort'], 'AND')},
+sh2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1,0)+1),
+        i -> array_to_string(toks[i:i+1], ' '))) AS shingle FROM toks),
+bi AS (
+  SELECT s2.doc_id, count(*) AS btf, any_value(dl.dl) AS bdl
+  FROM sh2 s2 JOIN dl ON dl.doc_id = s2.doc_id
+  WHERE s2.shingle = 'merge sort' GROUP BY s2.doc_id
+),
+bdf AS (SELECT count(*) AS df FROM bi),
+boosted AS (
+  SELECT s.doc_id,
+         CASE WHEN bi.btf IS NULL THEN s.s
+              ELSE s.s + 1.4 * (ln((c.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+                   * (bi.btf * ({K1_DEFAULT} + 1.0)
+                      / (bi.btf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                         + {B_DEFAULT} * bi.bdl / c.avgdl)))) END AS s,
+         s.matched
+  FROM scored s
+  LEFT JOIN bi ON bi.doc_id = s.doc_id
+  CROSS JOIN bdf CROSS JOIN corpus c
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM boosted ORDER BY rank LIMIT 10
+""",
+    # "value's" -> possessive-stripped base 'value' at 0.9 weight (X4)
+    "possessive": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term = 'value' GROUP BY term
+),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'value' GROUP BY doc_id
+),
+scored AS (
+  SELECT tf.doc_id,
+         0.9 * (ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+            * (tf.tf * ({K1_DEFAULT} + 1.0)
+               / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                  + {B_DEFAULT} * dl.dl / c.avgdl)))) AS s,
+         1 AS matched
+  FROM tf CROSS JOIN qdf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus c
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
+""",
+    # '(merge) OR (lang:fr)': the field-only arm's docs rank at score 0.0
+    "query_scorefree": f"""
+WITH {_bm25_ctes(['merge'], 'OR')},
+elig AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
+  UNION SELECT doc_id FROM documents WHERE lang = 'fr'
+),
+outq AS (
+  SELECT e.doc_id, coalesce(s.s, 0.0) AS s, coalesce(s.matched, 0) AS matched
+  FROM elig e LEFT JOIN scored s ON s.doc_id = e.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM outq ORDER BY rank LIMIT 50
 """,
     "simhash": _simhash_sql(100),
     "lsh_candidates": _lsh_candidates_sql(8, 4, 200),

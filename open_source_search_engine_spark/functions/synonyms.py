@@ -35,6 +35,22 @@ DEFAULT_SYNONYMS: dict[str, list[str]] = {
 }
 
 
+#: number-word <-> digit forms (the reference's number synonyms: the query
+#: 'the one' expands with '1', `test/system/test_search_terms.py:4-18`,
+#: `Query.cpp:364` setQTerms). Both directions are generated below.
+_NUMBER_WORDS: dict[str, str] = {
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "ten": "10", "eleven": "11", "twelve": "12", "twenty": "20",
+    "thirty": "30", "forty": "40", "fifty": "50", "hundred": "100",
+    "thousand": "1000", "million": "1000000",
+}
+NUMBER_FORMS: dict[str, str] = {
+    **_NUMBER_WORDS,
+    **{v: k for k, v in _NUMBER_WORDS.items()},
+}
+
+
 def expand(term: str, table: dict[str, list[str]] | None = None) -> list[str]:
     """Group members for one query term: [term] + its alternatives
     (deduplicated, term first -- the base form keeps weight 1.0)."""
@@ -46,3 +62,117 @@ def expand(term: str, table: dict[str, list[str]] | None = None) -> list[str]:
             seen.add(a)
             out.append(a)
     return out
+
+
+def strip_possessive(word: str) -> str:
+    """Possessive/apostrophe base form (`XmlDoc_Indexing.cpp:2072-2115`:
+    "bob's" indexes "bob" at synonym weight): drop a trailing 's / ' and
+    any remaining apostrophes ("don't" -> "dont")."""
+    w = word
+    for apo in ("'s", "’s"):
+        if w.lower().endswith(apo):
+            w = w[: -len(apo)]
+            break
+    else:
+        if w.endswith(("'", "’")):
+            w = w[:-1]
+    return w.replace("'", "").replace("’", "")
+
+
+def fold_accents(word: str) -> str:
+    """Accent-stripped form (`Synonyms.cpp` accent folding): NFD decompose
+    and drop combining marks ("café" -> "cafe")."""
+    import unicodedata
+
+    return "".join(
+        c
+        for c in unicodedata.normalize("NFD", word)
+        if not unicodedata.combining(c)
+    )
+
+
+def word_forms(
+    raw_word: str, tokenizer_mode: str = "unicode", form_weight: float = 0.9
+) -> list[tuple[str, float]]:
+    """Derived word forms of one RAW query word (before tokenization),
+    as (index term, weight) members of the word's vote group:
+
+    * no apostrophe: the tokenized word itself at weight 1.0, plus its
+      accent-folded form at ``form_weight`` when different.
+    * apostrophe word ("bob's"): the possessive-stripped base at
+      ``form_weight`` -- the index never contains apostrophe terms (the
+      tokenizer splits on them), and the reference scores the base form at
+      synonym weight, so "bob's" matches docs containing only "bob".
+
+    Multi-token words after normalization (e.g. hyphenations the tokenizer
+    splits) contribute each token as its own member."""
+    from .tokenizer import tokenize
+
+    out: list[tuple[str, float]] = []
+    seen: set[str] = set()
+
+    def add(term: str, w: float):
+        if term and term not in seen:
+            seen.add(term)
+            out.append((term, w))
+
+    has_apo = "'" in raw_word or "’" in raw_word
+    if has_apo:
+        base = strip_possessive(raw_word)
+        for t in tokenize(base, tokenizer_mode):
+            add(t, form_weight)
+            folded = fold_accents(t)
+            if folded != t:
+                add(folded, form_weight)
+    else:
+        for t in tokenize(raw_word, tokenizer_mode):
+            add(t, 1.0)
+            folded = fold_accents(t)
+            if folded != t:
+                add(folded, form_weight)
+    return out
+
+
+def load_synonyms(source) -> dict[str, list[str]]:
+    """User synonym table loader (the ``mysynonyms.txt`` analog,
+    `Synonyms.cpp:59`): accepts
+
+    * a path to a text file -- one group per line, whitespace-separated,
+      first word is the base term, the rest its alternatives; '#' starts a
+      comment; a line "a, b, c" with commas also works;
+    * a Spark DataFrame with columns (term, alt) or (term, alts array);
+    * a dict (returned as-is).
+
+    Returns {term: [alternatives...]} for SearchEngine.search_synonyms /
+    search_expanded."""
+    if isinstance(source, dict):
+        return source
+    if hasattr(source, "collect"):  # DataFrame
+        out: dict[str, list[str]] = {}
+        cols = source.columns
+        for r in source.collect():
+            term = str(r["term"]).lower()
+            if "alts" in cols:
+                alts = [str(a).lower() for a in (r["alts"] or [])]
+            else:
+                alts = [str(r["alt"]).lower()]
+            out.setdefault(term, [])
+            for a in alts:
+                if a and a != term and a not in out[term]:
+                    out[term].append(a)
+        return out
+    table: dict[str, list[str]] = {}
+    with open(source, encoding="utf-8") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            words = [w.lower() for w in line.replace(",", " ").split() if w]
+            if len(words) < 2:
+                continue
+            base, alts = words[0], words[1:]
+            table.setdefault(base, [])
+            for a in alts:
+                if a != base and a not in table[base]:
+                    table[base].append(a)
+    return table

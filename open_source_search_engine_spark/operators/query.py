@@ -510,16 +510,38 @@ class SearchEngine:
         from ..functions.synonyms import expand
 
         bases = sorted(set(query_terms))
-        groups = {t: expand(t, synonyms) for t in bases}
-        members = sorted({m for g in groups.values() for m in g})
+        groups = {
+            t: [
+                (m, 1.0 if m == t else float(syn_weight))
+                for m in expand(t, synonyms)
+            ]
+            for t in bases
+        }
+        scored = self._vote_group_scores(groups, mode)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _vote_group_scores(
+        self, groups: dict[str, list[tuple[str, float]]], mode: str = "AND"
+    ) -> DataFrame:
+        """The J2 vote-group scorer shared by search_synonyms and
+        search_expanded: ``groups`` maps group_key -> [(member term,
+        weight)] (`PosdbTable.cpp:1426` setQueryTermInfo listGroupNum).
+        Returns (doc_id, score, matched) UNORDERED; matched counts groups
+        with any member present; AND filters to every viable group. Score
+        accumulates weight * BM25-contrib in fixed sorted (group, member,
+        weight) order (float64-stable)."""
+        bases = sorted(groups)
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, matched int"
         )
         if not bases:
             return empty
+        members = sorted({m for g in groups.values() for m, _w in g})
         plan = self.plan_terms(members)
         present = set(plan["term"])
-        viable = {t: [m for m in groups[t] if m in present] for t in bases}
+        viable = {
+            t: [(m, w) for m, w in groups[t] if m in present] for t in bases
+        }
         if not any(viable.values()):
             return empty
         if mode == "AND" and not all(viable.values()):
@@ -527,9 +549,7 @@ class SearchEngine:
         contrib = self._contributions(plan)
         # fixed (group, member) accumulation schedule
         entries = sorted(
-            (t, m, 1.0 if m == t else float(syn_weight))
-            for t in bases
-            for m in viable[t]
+            (t, m, float(w)) for t in bases for m, w in viable[t]
         )
         aggs = [
             F.sum(F.when(F.col("term") == m, F.col("contrib"))).alias(f"_c{i}")
@@ -549,7 +569,7 @@ class SearchEngine:
                 F.when(F.col(col_of[(t, m)]).isNotNull(), F.lit(1)).otherwise(
                     F.lit(0)
                 )
-                for m in viable[t]
+                for m, _w in viable[t]
             ]
             matched = matched + (F.greatest(*inds) if len(inds) > 1 else inds[0])
         scored = g.select(
@@ -561,7 +581,173 @@ class SearchEngine:
             )
         else:
             scored = scored.filter(F.col("matched") > 0)
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return scored
+
+    def bigram_postings(self, a: str, b: str) -> DataFrame:
+        """(doc_id, tf, dl) of the adjacency "a b": tf = number of positions
+        p with a@p and b@p+1 (the bigram termlist payload, SURVEY.md X3).
+
+        Served from the indexed bigram termlist when the index carries one
+        (partition-pruned scan, no position decode); otherwise derived from
+        the two unigram termlists' positions via array_intersect of
+        (positions_a + 1) with positions_b -- positions are unique per
+        (term, doc), so the intersection size is the exact adjacency count.
+        Both paths produce identical rows (gated)."""
+        empty = self.spark.createDataFrame([], "doc_id long, tf int, dl int")
+        bplan = self.plan_terms([f"{a} {b}"])
+        if not bplan.empty:
+            return (
+                self.decoded_postings([int(bplan["term_id"].iloc[0])])
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("tf").cast("int").alias("tf"),
+                    F.max("dl").cast("int").alias("dl"),
+                )
+            )
+        plan = self.plan_terms([a, b])
+        if len(plan) < len({a, b}):
+            return empty
+        tid_of = dict(zip(plan["term"], plan["term_id"]))
+        decoded = self.decoded_postings(
+            [int(t) for t in plan["term_id"]], include_positions=True
+        )
+        pa = (
+            decoded.filter(F.col("term_id") == int(tid_of[a]))
+            .groupBy("doc_id")
+            .agg(
+                F.flatten(F.collect_list("positions")).alias("_pa"),
+                F.max("dl").alias("dl"),
+            )
+        )
+        pb = (
+            decoded.filter(F.col("term_id") == int(tid_of[b]))
+            .groupBy("doc_id")
+            .agg(F.flatten(F.collect_list("positions")).alias("_pb"))
+        )
+        return (
+            pa.join(pb, "doc_id")
+            .select(
+                "doc_id",
+                F.size(
+                    F.array_intersect(
+                        F.transform(F.col("_pa"), lambda x: x + F.lit(1)),
+                        F.col("_pb"),
+                    )
+                ).cast("int").alias("tf"),
+                F.col("dl").cast("int").alias("dl"),
+            )
+            .filter(F.col("tf") > 0)
+        )
+
+    def search_expanded(
+        self,
+        query: str | list[str],
+        mode: str = "AND",
+        k: int = 10,
+        synonyms: dict[str, list[str]] | None = None,
+        syn_weight: float = 0.9,
+        bigram_weight: float = 1.4,
+        use_bigrams: bool = True,
+        number_forms: bool = True,
+        use_word_forms: bool = True,
+    ) -> DataFrame:
+        """Full query-TERM expansion at plan time (`Query.cpp:364` setQTerms;
+        system goldens `test/system/test_search_terms.py:4-18`: 'the one'
+        expands to ['the one', 'the', 'one', '1']):
+
+        * each raw query word becomes ONE vote group (J2) holding its word
+          forms (possessive/apostrophe strip, accent fold -- SURVEY.md X4,
+          `XmlDoc_Indexing.cpp:2072-2115`), its synonym-table alternatives
+          (X5), and its number word<->digit forms, alternatives weighted
+          ``syn_weight`` (`PosdbTable.cpp:5863-5940`);
+        * each consecutive word pair adds its bigram term's BM25
+          contribution scaled by ``bigram_weight`` -- the wiki-bigram boost
+          analog (`PosdbTable.h:21` WIKI_BIGRAM_WEIGHT 1.4). The bigram is
+          an additive score component, not a vote group: ``matched`` counts
+          word groups only, and AND requires every word group, exactly like
+          search_terms.
+
+        ``query`` is a raw string (whitespace-split BEFORE tokenization, so
+        apostrophe forms survive) or a pre-split word list."""
+        from ..functions.synonyms import NUMBER_FORMS, expand, word_forms
+
+        words = query.split() if isinstance(query, str) else list(query)
+        words = [w for w in words if w]
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, matched int"
+        )
+        if not words:
+            return empty
+        groups: dict[str, list[tuple[str, float]]] = {}
+        bases: list[str] = []  # per-word primary term, for bigram pairs
+        for w in words:
+            if use_word_forms:
+                forms = word_forms(w, self.tokenizer_mode, syn_weight)
+            else:
+                forms = [(t, 1.0) for t in self.tokenize_query(w)]
+            members: list[tuple[str, float]] = []
+            seen: set[str] = set()
+
+            def add(term: str, weight: float):
+                if term and term not in seen:
+                    seen.add(term)
+                    members.append((term, weight))
+
+            for m, wt in forms:
+                add(m, wt)
+                for alt in expand(m, synonyms)[1:]:
+                    add(alt, float(syn_weight))
+                if number_forms and m in NUMBER_FORMS:
+                    add(NUMBER_FORMS[m], float(syn_weight))
+            key = w.lower()
+            if members and key not in groups:
+                groups[key] = members
+            bases.append(members[0][0] if members else "")
+        if not groups:
+            return empty
+        scored = self._vote_group_scores(groups, mode)
+        pairs = sorted(
+            {
+                (x, y)
+                for x, y in zip(bases, bases[1:])
+                if x and y
+            }
+        )
+        if not use_bigrams or not pairs:
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from .hot_cache import tf_norm_col
+
+        out = scored
+        score = F.col("score")
+        k1, b = self.params.k1, self.params.b
+        for i, (x, y) in enumerate(pairs):
+            bi = f"{x} {y}"
+            bplan = self.plan_terms([bi])
+            hits = self.bigram_postings(x, y)
+            if not bplan.empty:
+                df_bi = int(bplan["df"].iloc[0])
+            else:
+                df_bi = hits.count()  # one pruned-scan job (fallback path)
+            if df_bi <= 0:
+                continue
+            idf_bi = float(bm25_idf(float(df_bi), self.n_docs))
+            pair = hits.select(
+                "doc_id",
+                (
+                    F.lit(idf_bi)
+                    * tf_norm_col(F.col("tf"), F.col("dl"), k1, b, self.avgdl)
+                ).alias(f"_bg{i}"),
+            )
+            out = out.join(pair, "doc_id", "left_outer")
+            c = F.col(f"_bg{i}")
+            score = F.when(
+                c.isNotNull(), score + F.lit(float(bigram_weight)) * c
+            ).otherwise(score)
+        return (
+            out.select("doc_id", score.alias("score"), "matched")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_many(
         self, queries: list[dict], default_k: int = 10
@@ -715,9 +901,6 @@ class SearchEngine:
             [], "doc_id long, score double, matched int"
         )
         terms = sorted(scoring)
-        if not terms:
-            return empty
-        scored = self.score_terms(terms, mode="OR")
         eligible = None
         for cl in clauses:
             cd = self._clause_docs(cl)
@@ -726,8 +909,32 @@ class SearchEngine:
             eligible = cd if eligible is None else eligible.unionByName(cd)
         if eligible is None:
             return empty
+        el = eligible.distinct()
+        # eligibility without scoring terms still returns the doc at score
+        # 0.0 / matched 0 (left-outer, NOT semi-join): a field-only query
+        # ('lang:en') or a scoring-term-free clause ('... OR (lang:fr)')
+        # must not silently drop its eligible docs (r2 ADVICE). Ties at
+        # 0.0 break doc_id asc as everywhere else.
+        if not terms:
+            return (
+                el.select(
+                    "doc_id",
+                    F.lit(0.0).alias("score"),
+                    F.lit(0).cast("int").alias("matched"),
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        scored = self.score_terms(terms, mode="OR")
         return (
-            scored.join(eligible.distinct(), "doc_id", "left_semi")
+            el.join(scored, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+                F.coalesce(F.col("matched"), F.lit(0)).cast("int").alias(
+                    "matched"
+                ),
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

@@ -18,12 +18,42 @@ from ..functions.tokenizer import ASCII_SPLIT_REGEX
 from .dedup import shingles_expr, tokens_col, with_tokens
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# (the GbLanguage.cpp:11 / CLD2 analog, deliberately SQL-expressible:
+# marker-word hit counts + script-range checks, argmax with deterministic
+# ascending-code tie-break). Latin-script languages use ASCII-only marker
+# words (the ascii tokenizer drops diacritic words); non-Latin scripts are
+# detected by unicode range (SCRIPT_RANGES) before any marker vote.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
     "es": ["el", "la", "los", "las", "es", "que", "de", "un", "una", "por"],
     "fr": ["le", "la", "les", "est", "que", "des", "un", "une", "dans", "pour"],
+    "it": ["il", "che", "di", "non", "per", "con", "una", "sono", "questo", "della"],
+    "pt": ["que", "uma", "para", "com", "por", "mais", "isso", "ele", "seu", "dos"],
+    "nl": ["de", "het", "een", "van", "niet", "dat", "je", "zijn", "voor", "met"],
+    "sv": ["och", "att", "det", "som", "jag", "inte", "har", "den", "med", "ett"],
+    "no": ["og", "ikke", "det", "som", "en", "er", "til", "av", "har", "den"],
+    "fi": ["ja", "on", "ei", "mutta", "kun", "niin", "se", "ovat", "olla", "kuin"],
+    "pl": ["nie", "jest", "czy", "tak", "ale", "jak", "przez", "tego", "oraz", "bardzo"],
+    "tr": ["bir", "ve", "bu", "ile", "olarak", "ancak", "gibi", "daha", "sonra", "var"],
+    "id": ["yang", "dan", "di", "untuk", "dengan", "tidak", "ini", "itu", "dari", "akan"],
 }
+
+#: (lang, range_lo, range_hi): any character in the range decides the
+#: language BEFORE marker voting, checked in THIS order -- kana before the
+#: CJK-ideograph range because Japanese text mixes kanji with kana, while
+#: Chinese has ideographs only
+SCRIPT_RANGES: list[tuple[str, int, int]] = [
+    ("ja", 0x3040, 0x30FF),  # hiragana + katakana
+    ("ko", 0xAC00, 0xD7AF),  # hangul syllables
+    ("zh", 0x4E00, 0x9FFF),  # CJK unified ideographs
+    ("ru", 0x0400, 0x04FF),  # cyrillic
+    ("el", 0x0370, 0x03FF),  # greek
+    ("ar", 0x0600, 0x06FF),  # arabic
+    ("he", 0x0590, 0x05FF),  # hebrew
+    ("hi", 0x0900, 0x097F),  # devanagari
+    ("th", 0x0E00, 0x0E7F),  # thai
+]
 
 
 def token_count_col(text_col: str) -> Column:
@@ -76,11 +106,15 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: argmax over per-language stopword-marker hit
-    counts; 'und' (undetermined) when no marker hits. CJK detection by
-    unicode-range character presence.
+    """Heuristic language ID (GbLanguage.cpp:11 / CLD2 analog): non-Latin
+    scripts decide by unicode-range presence (SCRIPT_RANGES order -- kana
+    before CJK so Japanese beats the shared-ideograph check); otherwise
+    argmax over per-language marker-word hit counts with a deterministic
+    ascending-language tie-break; 'und' when nothing fires.
 
-    Output: (doc_id, lang_pred, lang_score).
+    Output: (doc_id, lang_pred, lang_score). Everything is JVM-side
+    (split/filter/rlike), whole-stage-codegen friendly, and mirrored
+    exactly by the generated DuckDB oracle (entry._lang_id_sql).
     """
     cols = []
     for lang, markers in LANG_MARKERS.items():
@@ -92,11 +126,16 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias(f"hits_{lang}")
         )
     scored = docs.select("doc_id", F.col(text_col), *cols)
-    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
     best_score = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
-    # priority: CJK chars -> zh; no marker hits -> und; else argmax with
-    # deterministic tie-break (language key ascending)
-    lang_pred = F.when(has_cjk, F.lit("zh")).when(best_score == 0, F.lit("und"))
+    lang_pred = None
+    for lang, lo, hi in SCRIPT_RANGES:
+        cond = F.col(text_col).rlike(f"[\\u{lo:04x}-\\u{hi:04x}]")
+        lang_pred = (
+            F.when(cond, F.lit(lang))
+            if lang_pred is None
+            else lang_pred.when(cond, F.lit(lang))
+        )
+    lang_pred = lang_pred.when(best_score == 0, F.lit("und"))
     for lang in sorted(LANG_MARKERS):
         lang_pred = lang_pred.when(
             F.col(f"hits_{lang}") == best_score, F.lit(lang)

@@ -72,6 +72,27 @@ def test_bigram_phrase_equals_positional(spark, engines, phrase):
     assert via_bigram == via_positional == on_plain_index
 
 
+def test_bigram_postings_termlist_equals_positional(spark, engines):
+    """SearchEngine.bigram_postings: the indexed-bigram-termlist path and
+    the unigram positional-adjacency fallback produce identical
+    (doc_id, tf, dl) rows -- so search_expanded's bigram boost is
+    index-layout independent."""
+    big, plain = engines
+    for a, b in [("to", "be"), ("repeat", "repeat"), ("zz_no", "zz_nada")]:
+        x = sorted(
+            (int(r["doc_id"]), int(r["tf"]), int(r["dl"]))
+            for r in big.bigram_postings(a, b).collect()
+        )
+        y = sorted(
+            (int(r["doc_id"]), int(r["tf"]), int(r["dl"]))
+            for r in plain.bigram_postings(a, b).collect()
+        )
+        assert x == y, (a, b)
+    assert sorted(
+        int(r["tf"]) for r in big.bigram_postings("to", "be").collect()
+    )  # non-empty for the planted phrase
+
+
 def test_unigram_rankings_unaffected(spark, engines):
     big, plain = engines
     a = [

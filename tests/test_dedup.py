@@ -166,6 +166,45 @@ def test_connected_components_two_components_and_star(spark):
     }
 
 
+def test_lang_id_breadth(spark):
+    """Extended language ID (X11): marker votes for ~13 Latin-script
+    languages + script-range detection for 9 non-Latin scripts, kana
+    winning over the shared CJK-ideograph range."""
+    from open_source_search_engine_spark.operators import text_analysis
+
+    rows = [
+        (0, "the cat is on the mat and it is fine"),          # en
+        (1, "der hund ist nicht mit der katze"),               # de
+        (2, "il gatto che non sono per la casa della nonna"),  # it
+        (3, "het is een huis van de straat niet dat"),         # nl
+        (4, "och det som jag inte har den med ett hus"),       # sv
+        (5, "yang dan di untuk dengan tidak ini itu"),         # id
+        (6, "bir ve bu ile olarak ancak gibi daha"),           # tr
+        (7, "nie jest czy tak ale jak przez tego"),            # pl
+        (8, "这是中文文本"),                                     # zh: ideographs only
+        (9, "これは日本語のテキストです 漢字もある"),              # ja: kana beats kanji
+        (10, "한국어 텍스트입니다"),                              # ko
+        (11, "это русский текст"),                             # ru
+        (12, "αυτό είναι ελληνικό κείμενο"),                   # el
+        (13, "هذا نص عربي"),                                   # ar
+        (14, "זהו טקסט בעברית"),                               # he
+        (15, "यह हिंदी पाठ है"),                                # hi
+        (16, "นี่คือข้อความภาษาไทย"),                            # th
+        (17, "xyzzy qwerty zzz"),                              # und
+    ]
+    expect = {
+        0: "en", 1: "de", 2: "it", 3: "nl", 4: "sv", 5: "id", 6: "tr",
+        7: "pl", 8: "zh", 9: "ja", 10: "ko", 11: "ru", 12: "el",
+        13: "ar", 14: "he", 15: "hi", 16: "th", 17: "und",
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        int(r["doc_id"]): r["lang_pred"]
+        for r in text_analysis.lang_id(docs).collect()
+    }
+    assert got == expect
+
+
 def test_doc_keywords_rank_order(spark):
     from open_source_search_engine_spark.operators import text_analysis
 

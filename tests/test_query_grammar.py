@@ -242,6 +242,98 @@ def test_proximity_multiterm_matches_bruteforce(spark, tmp_path_factory):
         assert got[doc_id] == pytest.approx(base[doc_id] + expect, rel=1e-12)
 
 
+# ------------------------------------------------- expansion (setQTerms) --
+
+def test_word_forms_and_number_forms_units():
+    from open_source_search_engine_spark.functions.synonyms import (
+        NUMBER_FORMS,
+        fold_accents,
+        strip_possessive,
+        word_forms,
+    )
+
+    assert strip_possessive("bob's") == "bob"
+    assert strip_possessive("boys'") == "boys"
+    assert strip_possessive("don't") == "dont"
+    assert fold_accents("café") == "cafe"
+    assert word_forms("bob's", "ascii") == [("bob", 0.9)]
+    assert word_forms("merge", "ascii") == [("merge", 1.0)]
+    assert word_forms("café", "unicode") == [("café", 1.0), ("cafe", 0.9)]
+    assert NUMBER_FORMS["one"] == "1" and NUMBER_FORMS["1"] == "one"
+
+
+def test_expanded_number_form_matches_digit_docs(eng):
+    # reference golden (test/system/test_search_terms.py:4-18): 'one'
+    # expands with '1'; the corpus contains '1' (planted "1,000 items...")
+    # but never the word 'one'
+    got = _rows(eng.search_expanded(["one"], "AND", 10))
+    assert got  # matched via the number form only
+    base = _rows(eng.search_terms(["1"], "AND", 10))
+    assert [d for d, _ in got] == [d for d, _ in base]
+    for (d, s), (_d2, s2) in zip(got, base):
+        # _rows rounds to 9 dp; compare at that precision
+        assert s == pytest.approx(0.9 * s2, abs=2e-9)
+
+
+def test_expanded_possessive_matches_base_docs(eng):
+    # planted "bob's cd-rom and alice's x-ray": query word "bob's" matches
+    # via the possessive-stripped base 'bob' at 0.9 (X4)
+    got = _rows(eng.search_expanded(["bob's"], "AND", 10, use_bigrams=False))
+    base = _rows(eng.search_terms(["bob"], "AND", 10))
+    assert got and [d for d, _ in got] == [d for d, _ in base]
+    for (d, s), (_d2, s2) in zip(got, base):
+        assert s == pytest.approx(0.9 * s2, abs=2e-9)
+
+
+def test_expanded_bigram_weight_zero_is_rank_identical(eng):
+    a = _rows(eng.search_expanded(["to", "be"], "AND", 10, bigram_weight=0.0))
+    b = _rows(eng.search_terms(["to", "be"], "AND", 10))
+    assert a == b
+
+
+def test_expanded_bigram_boost_lifts_adjacent_docs(eng):
+    base = {d: s for d, s in _rows(eng.search_terms(["to", "be"], "AND", 10_000))}
+    boosted = dict(_rows(eng.search_expanded(["to", "be"], "AND", 10_000)))
+    assert set(boosted) == set(base)  # AND semantics unchanged
+    adjacent = {
+        int(r["doc_id"]) for r in eng.bigram_postings("to", "be").collect()
+    }
+    assert adjacent  # planted "to be or not to be"
+    for d in base:
+        if d in adjacent:
+            assert boosted[d] > base[d]
+        else:
+            assert boosted[d] == base[d]
+
+
+def test_synonym_table_loader_roundtrip(eng, tmp_path):
+    from open_source_search_engine_spark.functions.synonyms import (
+        load_synonyms,
+    )
+
+    p = tmp_path / "mysynonyms.txt"
+    p.write_text(
+        "# user synonym table\n"
+        "speedy shuffle, fast\n"
+        "merge combine\n"
+        "\n"
+    )
+    table = load_synonyms(str(p))
+    assert table == {"speedy": ["shuffle", "fast"], "merge": ["combine"]}
+    df_table = load_synonyms(
+        eng.spark.createDataFrame(
+            [("speedy", ["shuffle", "fast"]), ("merge", ["combine"])],
+            "term string, alts array<string>",
+        )
+    )
+    assert df_table == table
+    # expansion round-trip: 'speedy' (absent) matches via 'shuffle'
+    res = eng.search_synonyms(["speedy"], table, "AND", 5).collect()
+    assert res
+    alt_ids = {int(r["doc_id"]) for r in eng.term_docs("shuffle").collect()}
+    assert {int(r["doc_id"]) for r in res} <= alt_ids
+
+
 # -------------------------------------------------------------- synonyms --
 
 def test_synonym_expansion_matches_docs_without_base_term(eng):
