@@ -395,12 +395,18 @@ def connected_components(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(e)).persist()
+        # localCheckpoint TRUNCATES the lineage each round: a star round
+        # references its input several times (self-join + union), so plain
+        # persist() grows the logical plan exponentially across rounds and
+        # melts the driver after ~15 iterations -- the classic iterative-
+        # algorithm failure. The checkpoint materializes under the same
+        # action as the convergence signature.
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # one action: materialize + convergence signature (count and an
         # order-independent XOR of per-edge hashes -- edges are distinct,
         # so set equality <=> signature equality up to hash collision)
@@ -409,14 +415,12 @@ def connected_components(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         sig = (int(row["n"] or 0), int(row["h"] or 0))
-        e.unpersist()
         e = nxt
         if sig == prev_sig:
             converged = True
             break
         prev_sig = sig
     if not converged and prev_sig is not None and prev_sig[0] > 0:
-        e.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "alternating rounds -- graph is adversarial beyond the bound; "
