@@ -116,25 +116,42 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (split/filter/rlike), whole-stage-codegen friendly, and mirrored
     exactly by the generated DuckDB oracle (entry._lang_id_sql).
     """
+    # tokenize ONCE into a materialized array column -- one split per row,
+    # not one per language (13 marker filters reference the same array;
+    # see with_tokens for why the projection must be explicit)
+    toked = docs.select(
+        "doc_id",
+        F.col(text_col),
+        F.expr(
+            f"filter(split(lower({text_col}), '{ASCII_SPLIT_REGEX}'), "
+            "t -> t <> '')"
+        ).alias("_lt"),
+    )
     cols = []
     for lang, markers in LANG_MARKERS.items():
         arr = "array(" + ",".join(f"'{w}'" for w in markers) + ")"
         cols.append(
             F.expr(
-                f"size(filter(filter(split(lower({text_col}), '{ASCII_SPLIT_REGEX}'), "
-                f"t -> t <> ''), t -> array_contains({arr}, t)))"
+                f"size(filter(_lt, t -> array_contains({arr}, t)))"
             ).alias(f"hits_{lang}")
         )
-    scored = docs.select("doc_id", F.col(text_col), *cols)
+    scored = toked.select("doc_id", F.col(text_col), *cols)
     best_score = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
-    lang_pred = None
+    # fast path: ONE combined any-script regex guards the 9 per-range
+    # checks -- on a mostly-Latin corpus the per-row cost stays one regex
+    # scan, not nine (CASE arms evaluate lazily per row)
+    any_script = F.col(text_col).rlike(
+        "[" + "".join(f"\\u{lo:04x}-\\u{hi:04x}" for _l, lo, hi in SCRIPT_RANGES) + "]"
+    )
+    script_pred = None
     for lang, lo, hi in SCRIPT_RANGES:
         cond = F.col(text_col).rlike(f"[\\u{lo:04x}-\\u{hi:04x}]")
-        lang_pred = (
+        script_pred = (
             F.when(cond, F.lit(lang))
-            if lang_pred is None
-            else lang_pred.when(cond, F.lit(lang))
+            if script_pred is None
+            else script_pred.when(cond, F.lit(lang))
         )
+    lang_pred = F.when(any_script, script_pred)
     lang_pred = lang_pred.when(best_score == 0, F.lit("und"))
     for lang in sorted(LANG_MARKERS):
         lang_pred = lang_pred.when(
