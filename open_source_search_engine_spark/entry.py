@@ -73,11 +73,12 @@ def pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r2 VERDICT: the recompute was 6.6 s of dedup_clusters' 12.5 s)."""
     key = os.path.abspath(sf_dir)
     if key not in _PAIRS:
-        p = dedup.ngram_jaccard_pairs(
-            documents(spark, sf_dir), n=3, threshold=0.25, max_shingle_df=20
-        ).persist()
-        p.count()  # materialize now so every consumer pays only the scan
-        _PAIRS[key] = p
+        # eager: the pair set materializes now (localCheckpoint) and the
+        # internal shingle cache is released -- consumers pay only a scan
+        _PAIRS[key] = dedup.ngram_jaccard_pairs(
+            documents(spark, sf_dir), n=3, threshold=0.25, max_shingle_df=20,
+            eager=True,
+        )
     return _PAIRS[key]
 
 

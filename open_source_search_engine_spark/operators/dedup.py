@@ -107,6 +107,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
     Output: (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
@@ -126,6 +127,11 @@ def ngram_jaccard_pairs(
     O(docs) intermediate rows AND result equality with the exact path).
 
     ``None`` keeps the exact all-shingles join (small corpora / oracles).
+
+    ``eager=True`` materializes the (small) pair set NOW via localCheckpoint
+    and releases the internal shingle cache -- use when the result is kept
+    around (the entry pair graph); the default lazy mode leaves the shingle
+    cache alive as long as the returned frame's lineage is.
     """
     sh = doc_shingles(docs, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -172,7 +178,7 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b")
     )
-    return (
+    out = (
         inter.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .withColumn(
@@ -183,6 +189,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+    return out
 
 
 def minhash_signatures(
