@@ -570,6 +570,35 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_media_real(spark, sf_dir):
+    # REAL pure-Python codec path (functions/codecs.py): deterministic
+    # BMP/WAV/AVI payloads generated from doc_id arithmetic, decoded by the
+    # spec-conformant parsers; the oracle predicts every decoded field AND
+    # the exact encoded byte size without seeing the bytes, so this gates
+    # decode(encode(params)) == params end to end.
+    from .operators.multimodal import (
+        attach_real_media,
+        media_features,
+        real_decode,
+    )
+
+    media = attach_real_media(documents(spark, sf_dir))
+    feats = media_features(media, decode_fn=real_decode)
+    return (
+        feats.select(
+            "doc_id",
+            "media_type",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     # hypertable-style tumbling rollup (operators/events.py)
     from .operators.events import rollup_events
@@ -723,6 +752,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "sessions": q_sessions,
     "events_asof": q_events_asof,
+    "media_real": q_media_real,
 }
 
 # --------------------------------------------------------------------------
@@ -1190,6 +1220,34 @@ SELECT doc_id, media_type, CAST(64 AS BIGINT) AS n_bytes, ch AS content_hash,
        CAST(CASE WHEN media_type <> 'image' THEN 100 + b2 * 256 + b3 END AS BIGINT) AS duration_ms,
        round(round(b0 / 255.0, 4), 4) AS f0
 FROM bytes ORDER BY doc_id LIMIT 200
+""",
+    # decode(encode(params)) == params for the REAL BMP/WAV/AVI codecs:
+    # every decoded field and the exact encoded byte size are predicted
+    # from doc_id arithmetic (the generator's formulas + the formats'
+    # header/stride layout), never from the bytes themselves
+    "media_real": """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+         16 + doc_id % 40 AS iw, 12 + (doc_id // 3) % 28 AS ih,
+         500 + doc_id % 1500 AS an,
+         16 + doc_id % 16 AS vw, 8 + doc_id % 8 AS vh,
+         2 + doc_id % 3 AS nf
+  FROM documents
+)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       CAST(CASE m
+         WHEN 0 THEN 54 + ((iw * 3 + 3) // 4) * 4 * ih
+         WHEN 1 THEN 44 + 2 * an
+         ELSE 232 + nf * (24 + ((vw * 3 + 3) // 4) * 4 * vh)
+       END AS BIGINT) AS n_bytes,
+       CAST(CASE m WHEN 0 THEN iw WHEN 2 THEN vw END AS BIGINT) AS width,
+       CAST(CASE m WHEN 0 THEN ih WHEN 2 THEN vh END AS BIGINT) AS height,
+       CAST(CASE m WHEN 1 THEN an * 1000 // 8000 WHEN 2 THEN nf * 100 END
+            AS BIGINT) AS duration_ms,
+       CAST(CASE m WHEN 2 THEN nf END AS BIGINT) AS n_frames
+FROM p ORDER BY doc_id LIMIT 200
 """,
     "events_rollup": """
 SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, event_type,

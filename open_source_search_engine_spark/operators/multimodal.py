@@ -3,21 +3,29 @@
 The reference pipes non-HTML content types through external converters
 (`HttpMime.h:17-39` CT_*, antiword/pstotext binaries; SURVEY.md S5) -- the
 same shape a training-data pipeline needs for media: an opaque payload
-column, a type tag, and per-type decode/feature/transform stages.
+column, a type tag, and per-type decode/decode/transform stages.
 
-Spark-side plumbing here is REAL and tested: schemas, partitioning, Arrow
-batch flow, UDF signatures. The codec step is a clearly-marked STUB --
-real image/audio libraries are not in this container -- with two modes:
- * decode_fn=None  -> deterministic fake decoder (md5-derived features),
-   so every downstream stage is testable and oracle-checkable;
- * a real decode_fn (e.g. PIL/librosa-backed) can be injected without
-   touching any Spark code.
+The Spark-side plumbing (schemas, partitioning, Arrow batch flow, UDF
+signatures) is shared by TWO codec paths:
+
+ * a REAL pure-Python codec (`functions/codecs.py`): spec-conformant
+   BMP / WAV(PCM16) / AVI(DIB) parse+write -- `real_decode`,
+   `attach_real_media`, real `resize_images` / `sample_frames` backends.
+   Decoded metadata (width/height/duration/frames/encoded size) is
+   predicted by doc_id arithmetic in the driver's SQL oracle, so
+   decode(encode(params)) == params is hash-match-gated end to end.
+ * a deterministic STUB (`_fake_decode`, md5-derived features) kept for
+   codec-independent plumbing tests and as the shape a PIL/librosa-backed
+   decode_fn would take for formats these parsers don't cover.
 
 Operators:
- * attach_fake_media    -- deterministic synthetic media column for tests
+ * attach_fake_media    -- deterministic synthetic media column (stub path)
+ * attach_real_media    -- deterministic REAL BMP/WAV/AVI payloads
  * media_features       -- decode + per-item feature extraction (mapInPandas)
- * resize_images        -- image transform stage (stubbed codec)
+ * resize_images        -- image transform stage (real nearest-neighbor BMP
+                           backend by default)
  * sample_frames        -- video frame sampling -> exploded frame rows
+                           (real AVI-frame -> BMP backend available)
 """
 
 from __future__ import annotations
@@ -31,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import codecs
+
 MEDIA_TYPES = ("image", "audio", "video")
 
 FEATURES_SCHEMA = T.StructType(
@@ -42,6 +52,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -74,6 +85,7 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
         "width": None,
         "height": None,
         "duration_ms": None,
+        "n_frames": None,
         "feature": feature,
     }
     if media_type == "image":
@@ -82,6 +94,155 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
     elif media_type in ("audio", "video"):
         out["duration_ms"] = 100 + (int(h[2]) << 8 | int(h[3]))
     return out
+
+
+def _image_feature(px: np.ndarray) -> np.ndarray:
+    """8-dim image descriptor: mean R/G/B, luma std, 4-bin luma histogram.
+    Accepts one frame (h, w, 3) or a frame stack (n, h, w, 3)."""
+    arr = px.astype(np.float32)
+    if arr.ndim == 3:
+        arr = arr[None]
+    mean_rgb = arr.mean(axis=(0, 1, 2)) / 255.0
+    luma = arr @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    std = luma.std() / 255.0
+    hist = np.histogram(luma, bins=4, range=(0.0, 256.0))[0] / luma.size
+    return np.concatenate([mean_rgb, [std], hist]).astype(np.float32).round(4)
+
+
+def _audio_feature(samples: np.ndarray) -> np.ndarray:
+    """8-dim audio descriptor: RMS, zero-crossing rate, 6 spectral-band
+    energy fractions (numpy rfft)."""
+    x = samples.astype(np.float32) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = (
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if len(x) > 1
+        else 0.0
+    )
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array([b.sum() for b in np.array_split(spec, 6)], np.float32)
+    bands = bands / max(float(bands.sum()), 1e-9)
+    return np.concatenate([[rms, zcr], bands]).astype(np.float32).round(4)
+
+
+def real_decode(payload: bytes, media_type: str) -> dict:
+    """REAL codec step: sniff + parse BMP/WAV/AVI (`functions/codecs.py`)
+    and extract an 8-dim per-type feature. Same contract as `_fake_decode`,
+    so it drops into every existing Spark stage via decode_fn."""
+    kind = codecs.sniff_media(payload)
+    content_hash = hashlib.md5(payload.hex().encode()).hexdigest()
+    out = {
+        "content_hash": content_hash,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_frames": None,
+    }
+    if kind == "bmp":
+        w, h, px = codecs.decode_bmp(payload)
+        out.update(width=w, height=h, feature=_image_feature(px))
+    elif kind == "wav":
+        sr, samples = codecs.decode_wav(payload)
+        out.update(
+            duration_ms=len(samples) * 1000 // sr,
+            feature=_audio_feature(samples),
+        )
+    elif kind == "avi":
+        fps, frames = codecs.decode_avi(payload)
+        out.update(
+            width=frames[0].shape[1],
+            height=frames[0].shape[0],
+            duration_ms=len(frames) * 1000 // fps,
+            n_frames=len(frames),
+            feature=_image_feature(np.stack(frames)),
+        )
+    else:
+        raise ValueError(f"unrecognized payload for {media_type}")
+    return out
+
+
+# deterministic real-media parameters, all doc_id arithmetic so the driver's
+# SQL oracle can predict decoded metadata AND exact encoded sizes
+_AUDIO_SR = 8000
+_VIDEO_FPS = 10
+
+
+def _media_params(doc_id: int) -> dict:
+    kind = MEDIA_TYPES[doc_id % 3]
+    if kind == "image":
+        return {
+            "kind": kind,
+            "w": 16 + doc_id % 40,
+            "h": 12 + (doc_id // 3) % 28,
+        }
+    if kind == "audio":
+        return {"kind": kind, "n": 500 + doc_id % 1500}
+    return {
+        "kind": kind,
+        "w": 16 + doc_id % 16,
+        "h": 8 + doc_id % 8,
+        "nf": 2 + doc_id % 3,
+    }
+
+
+def _gradient(h: int, w: int, seed: int) -> np.ndarray:
+    """(h, w, 3) deterministic gradient image."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (x * 3 + y * 7 + seed) % 256,
+            (x * 5 + y * 2 + seed * 3) % 256,
+            (x + y * 11 + seed * 7) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def synth_payload(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic REAL media payload for one doc: (media_type, bytes)."""
+    p = _media_params(doc_id)
+    if p["kind"] == "image":
+        return "image", codecs.encode_bmp(_gradient(p["h"], p["w"], doc_id))
+    if p["kind"] == "audio":
+        freq = 110 + doc_id % 880
+        t = np.arange(p["n"], dtype=np.float64) / _AUDIO_SR
+        samples = np.round(10000 * np.sin(2 * np.pi * freq * t)).astype(
+            np.int16
+        )
+        return "audio", codecs.encode_wav(samples, _AUDIO_SR)
+    frames = [
+        _gradient(p["h"], p["w"], doc_id + k * 17) for k in range(p["nf"])
+    ]
+    return "video", codecs.encode_avi(frames, _VIDEO_FPS)
+
+
+def attach_real_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL BMP/WAV/AVI media column keyed by doc_id.
+
+    mapInPandas (payload bytes are necessarily built Python-side); the
+    generator is pure doc_id arithmetic, so the oracle predicts every
+    decoded field without seeing the bytes."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            recs = []
+            for doc_id in b["doc_id"]:
+                mt, payload = synth_payload(int(doc_id))
+                recs.append(
+                    {"doc_id": int(doc_id), "media_type": mt, "media": payload}
+                )
+            yield pd.DataFrame(recs)
+
+    return docs.select("doc_id").mapInPandas(run, schema=out_schema)
 
 
 def attach_fake_media(docs: DataFrame, payload_bytes: int = 64) -> DataFrame:
@@ -128,6 +289,7 @@ def media_features(media_df: DataFrame, decode_fn=None) -> DataFrame:
                         "width": d["width"],
                         "height": d["height"],
                         "duration_ms": d["duration_ms"],
+                        "n_frames": d.get("n_frames"),
                         "feature": np.asarray(d["feature"], dtype=np.float32),
                     }
                 )
@@ -136,17 +298,33 @@ def media_features(media_df: DataFrame, decode_fn=None) -> DataFrame:
     return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def bmp_resize(payload: bytes, max_side: int) -> bytes:
+    """REAL resize backend: decode BMP, nearest-neighbor resample so the
+    longer side == max_side (aspect preserved, only-downscale), re-encode."""
+    w, h, px = codecs.decode_bmp(payload)
+    scale = max_side / max(w, h)
+    if scale >= 1.0:
+        return payload
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return codecs.encode_bmp(px[ys][:, xs])
+
+
+def avi_frame_bmp(payload: bytes, frame_idx: int) -> bytes:
+    """REAL frame-extract backend: decode AVI, re-encode frame_idx (clamped)
+    as a standalone BMP, so downstream image stages run unchanged."""
+    _fps, frames = codecs.decode_avi(payload)
+    return codecs.encode_bmp(frames[min(frame_idx, len(frames) - 1)])
+
+
 def resize_images(
     media_df: DataFrame, max_side: int = 224, resize_fn=None
 ) -> DataFrame:
-    """Image transform stage. The real resample belongs in resize_fn
-    (payload, max_side) -> payload; without media libs the stub truncates
-    the payload deterministically (plumbing-only)."""
-
-    def stub(payload: bytes, _max_side: int) -> bytes:
-        return payload[: max(16, len(payload) // 2)]
-
-    fn = resize_fn or stub
+    """Image transform stage; resize_fn: (payload, max_side) -> payload.
+    Defaults to the real BMP nearest-neighbor backend (`bmp_resize`); inject
+    e.g. a PIL-backed fn for formats the pure-Python codec doesn't cover."""
+    fn = resize_fn or bmp_resize
 
     @F.pandas_udf(T.BinaryType())
     def _resize(col: pd.Series) -> pd.Series:
@@ -163,15 +341,15 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling -> one row per sampled frame.
 
-    extract_fn(payload, frame_idx) -> frame bytes; the stub slices the
-    payload deterministically. Output explodes per frame, so downstream
-    image stages run unchanged on frames."""
+    extract_fn(payload, frame_idx) -> frame bytes; defaults to the real
+    AVI backend (`avi_frame_bmp`: decode container, re-encode the sampled
+    frame as BMP). Output explodes per frame, so downstream image stages
+    run unchanged on frames. every_n maps sample i -> source frame
+    i * every_n (the real backend clamps to the last frame)."""
 
-    def stub(payload: bytes, idx: int) -> bytes:
-        start = (idx * every_n) % max(1, len(payload) - 8)
-        return payload[start: start + 8]
-
-    fn = extract_fn or stub
+    fn = extract_fn or (
+        lambda payload, idx: avi_frame_bmp(payload, idx * every_n)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -59,13 +59,20 @@ def test_media_features_deterministic(spark, docs):
 
 
 def test_resize_and_frames_plumbing(spark, docs):
+    # fake (md5) payloads exercise the injectable-codec plumbing with
+    # explicit stub fns; the real-codec defaults are gated in
+    # tests/test_multimodal_codecs.py
     media = attach_fake_media(docs.filter(F.col("text") != ""))
     n_img = media.filter(F.col("media_type") == "image").count()
-    resized = resize_images(media)
+    resized = resize_images(
+        media, resize_fn=lambda p, _s: p[: max(16, len(p) // 2)]
+    )
     assert resized.count() == n_img
     assert resized.select(F.max(F.length("media"))).collect()[0][0] <= 64
     n_vid = media.filter(F.col("media_type") == "video").count()
-    frames = sample_frames(media, n_frames=3)
+    frames = sample_frames(
+        media, n_frames=3, extract_fn=lambda p, i: p[i * 4 : i * 4 + 8]
+    )
     assert frames.count() == n_vid * 3
     assert frames.select(F.countDistinct("frame_idx")).collect()[0][0] == 3
 
