@@ -570,6 +570,26 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_embed_neardup(spark, sf_dir):
+    # embedding-cosine near-dup pairs: LSH-bucket join (8 seeded planes)
+    # + exact cosine filter (operators/similarity.py
+    # pairwise_cosine_neardup). The oracle folds the same plane literals
+    # into SQL; threshold 0.25 because the synthetic embeddings have no
+    # true near-dups at sf0.01 (max in-bucket cosine ~0.5) -- the gated
+    # semantics are the bucket join + exact refine
+    from .operators.similarity import pairwise_cosine_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        pairwise_cosine_neardup(emb, threshold=0.25, n_planes=8, seed=42)
+        .select(
+            "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
+        )
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )
+
+
 def q_media_real(spark, sf_dir):
     # REAL pure-Python codec path (functions/codecs.py): deterministic
     # BMP/WAV/AVI payloads generated from doc_id arithmetic, decoded by the
@@ -753,6 +773,7 @@ QUERIES = {
     "sessions": q_sessions,
     "events_asof": q_events_asof,
     "media_real": q_media_real,
+    "embed_neardup": q_embed_neardup,
 }
 
 # --------------------------------------------------------------------------
@@ -974,6 +995,46 @@ SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank,
        vec_id, round(c, 4) AS cosine
 FROM cand ORDER BY rank LIMIT {k}
 """
+
+def _embed_neardup_sql(
+    n_planes: int = 8,
+    threshold: float = 0.25,
+    dim: int = 64,
+    seed: int = 42,
+    k: int = 200,
+) -> str:
+    """DuckDB replica of pairwise_cosine_neardup: identical seeded
+    hyperplane literals -> same-signature self-join (id_a < id_b) -> exact
+    cosine in the same double-arithmetic shape as the Spark side
+    (dot / (sqrt(dot_aa) * sqrt(dot_bb)))."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+
+    def arr(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], {arr(planes[p])})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(e.embedding::DOUBLE[],
+                               e.embedding::DOUBLE[])) AS n,
+         ({sig_terms}) AS s
+  FROM embeddings e
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) / (a.n * b.n) AS cosine
+  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine
+FROM pairs WHERE cosine >= {threshold}
+ORDER BY id_a, id_b LIMIT {k}
+"""
+
 
 ORACLES: dict[str, str] = {
     "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),
@@ -1483,4 +1544,7 @@ FROM outq ORDER BY rank LIMIT 50
     "simhash": _simhash_sql(100),
     "lsh_candidates": _lsh_candidates_sql(8, 4, 200),
     "lsh_ann": _lsh_ann_sql(n_planes=12, max_hamming=3, k=10, dim=64, seed=42),
+    "embed_neardup": _embed_neardup_sql(
+        n_planes=8, threshold=0.25, dim=64, seed=42, k=200
+    ),
 }
