@@ -101,7 +101,7 @@ def main() -> None:
         # round 3: bigram vote-group boost, possessive word forms,
         # score-free-clause grammar, real BMP/WAV/AVI codec path
         "bm25_bigram_boost", "possessive", "query_scorefree", "media_real",
-        "embed_neardup",
+        "embed_neardup", "spellcheck", "word_split",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

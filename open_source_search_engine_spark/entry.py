@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .functions.bm25 import B_DEFAULT, K1_DEFAULT
-from .operators import dedup, similarity, text_analysis
+from .operators import dedup, similarity, speller, text_analysis
 from .operators.index_build import IndexConfig, build_index
 from .operators.query import SearchEngine
 from .operators.wand import wand_search
@@ -494,6 +494,30 @@ def q_query_scorefree(spark, sf_dir):
     return _ranked(eng.search_query("(merge) OR (lang:fr)", k=50), 50)
 
 
+def q_spellcheck(spark, sf_dir):
+    # did-you-mean over the index's own term_stats vocabulary
+    # (Speller.cpp:463 getPhrasePopularity + unified-dict lookup): best
+    # dictionary word within 2 edits, popularity (exact df) breaks ties;
+    # 'join' is in-vocabulary and suggests itself at dist 0
+    eng = engine_for(spark, sf_dir)
+    vocab = speller.vocab_from_term_stats(eng.catalog.read_table("term_stats"))
+    return speller.suggest(
+        spark, vocab, ["join", "mrege", "sprak", "tabel", "vectr", "windoww"],
+        max_dist=2, per_term=1,
+    ).orderBy("qterm")
+
+
+def q_word_split(spark, sf_dir):
+    # run-on word splitting (Speller.cpp:547 canSplitWords, two-way case):
+    # both halves must be dictionary words; the weaker half's popularity
+    # ranks candidate splits, earliest split position breaks ties
+    eng = engine_for(spark, sf_dir)
+    vocab = speller.vocab_from_term_stats(eng.catalog.read_table("term_stats"))
+    return speller.split_runon(
+        spark, vocab, ["sparkjoin", "hashtable", "mergesort", "streamwindow"],
+    ).orderBy("qterm")
+
+
 def q_ivf_ann(spark, sf_dir):
     # IVF approximate NN over the MATERIALIZED index: ivf_c is a stored
     # partition column, so the probe filter is a partition-pruned scan --
@@ -766,6 +790,8 @@ QUERIES = {
     "bm25_bigram_boost": q_bm25_bigram_boost,
     "possessive": q_possessive,
     "query_scorefree": q_query_scorefree,
+    "spellcheck": q_spellcheck,
+    "word_split": q_word_split,
     "dedup_clusters": q_dedup_clusters,
     "doc_keywords": q_doc_keywords,
     "ivf_ann": q_ivf_ann,
@@ -1540,6 +1566,64 @@ outq AS (
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM outq ORDER BY rank LIMIT 50
+""",
+    "spellcheck": f"""
+WITH {_TOKS}, {_TOK},
+vocab AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY term
+),
+q AS (SELECT unnest(['join','mrege','sprak','tabel','vectr','windoww']) AS qterm),
+cand AS (
+  SELECT q.qterm, v.term AS suggestion,
+         CAST(levenshtein(q.qterm, v.term) AS BIGINT) AS dist, v.df
+  FROM q JOIN vocab v
+    ON abs(length(q.qterm) - length(v.term)) <= 2
+   AND levenshtein(q.qterm, v.term) <= 2
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qterm ORDER BY dist ASC, df DESC, suggestion ASC) AS rn
+  FROM cand
+)
+SELECT qterm, suggestion, dist, df FROM best WHERE rn = 1 ORDER BY qterm
+""",
+    "word_split": f"""
+WITH {_TOKS}, {_TOK},
+vocab AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY term
+),
+q AS (
+  SELECT qterm FROM (
+    SELECT unnest(['sparkjoin','hashtable','mergesort','streamwindow']) AS qterm
+  ) WHERE qterm NOT IN (SELECT term FROM vocab)
+),
+parts AS (
+  SELECT qterm, unnest(generate_series(1, length(qterm) - 1)) AS split_pos
+  FROM q
+),
+halves AS (
+  SELECT qterm, split_pos,
+         substr(qterm, 1, split_pos) AS left_part,
+         substr(qterm, split_pos + 1) AS right_part
+  FROM parts
+),
+cand AS (
+  SELECT h.qterm, h.split_pos, h.left_part, h.right_part,
+         vl.df AS df_l, vr.df AS df_r
+  FROM halves h
+  JOIN vocab vl ON vl.term = h.left_part
+  JOIN vocab vr ON vr.term = h.right_part
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qterm ORDER BY least(df_l, df_r) DESC, split_pos ASC) AS rn
+  FROM cand
+)
+SELECT qterm, CAST(split_pos AS BIGINT) AS split_pos, left_part, right_part,
+       df_l, df_r
+FROM best WHERE rn = 1 ORDER BY qterm
 """,
     "simhash": _simhash_sql(100),
     "lsh_candidates": _lsh_candidates_sql(8, 4, 200),
