@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .functions.bm25 import B_DEFAULT, K1_DEFAULT
-from .operators import dedup, similarity, speller, text_analysis
+from .operators import curation, dedup, similarity, speller, text_analysis
 from .operators.index_build import IndexConfig, build_index
 from .operators.query import SearchEngine
 from .operators.wand import wand_search
@@ -751,6 +751,47 @@ def q_wand(spark, sf_dir):
     return _ranked(wand_search(eng, ["merge", "sort", "hash"], "AND", 10), 10)
 
 
+def q_spam_rank(spark, sf_dir):
+    # W5 word-spam rank (XmlDoc.cpp:19206 getWordSpamVec): per-doc
+    # repetition score in 0..10, the curation filter column
+    return (
+        text_analysis.word_spam_rank(documents(spark, sf_dir))
+        .orderBy(F.desc("spam_rank"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def q_boilerplate(spark, sf_dir):
+    # F11 repeated-fragment suppression (XmlDoc.cpp:20012 getFragVec,
+    # applied XmlDoc_Indexing.cpp:1886): per-doc boilerplate exposure from
+    # the source-level repeated-3-gram table
+    return (
+        curation.boilerplate_stats(documents(spark, sf_dir), n=3, min_docs=3)
+        .orderBy(F.desc("boiler_ratio"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def q_train_split(spark, sf_dir):
+    # deterministic content-hash train/val/test split, audited per
+    # (split, lang) -- stable under re-runs and incremental growth
+    split = curation.hash_split(documents(spark, sf_dir))
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def q_source_mix(spark, sf_dir):
+    # domain-reweighting table: per-source token share + the resampling
+    # weight that flattens the mix to uniform across sources
+    return curation.source_mix_weights(documents(spark, sf_dir)).orderBy("source")
+
+
 QUERIES = {
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
@@ -800,6 +841,10 @@ QUERIES = {
     "events_asof": q_events_asof,
     "media_real": q_media_real,
     "embed_neardup": q_embed_neardup,
+    "spam_rank": q_spam_rank,
+    "boilerplate": q_boilerplate,
+    "train_split": q_train_split,
+    "source_mix": q_source_mix,
 }
 
 # --------------------------------------------------------------------------
@@ -1631,4 +1676,81 @@ FROM best WHERE rn = 1 ORDER BY qterm
     "embed_neardup": _embed_neardup_sql(
         n_planes=8, threshold=0.25, dim=64, seed=42, k=200
     ),
+    "spam_rank": f"""
+WITH {_TOKS}, {_TOK},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+rnk AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS r
+  FROM tf
+),
+per AS (
+  SELECT doc_id,
+         sum(tf)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_distinct,
+         max(CASE WHEN r = 1 THEN tf END)::BIGINT AS top_tf,
+         max(CASE WHEN r = 1 THEN term END) AS top_term
+  FROM rnk GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, top_term, top_tf,
+       round(1 - n_distinct::DOUBLE / n_tokens, 4) AS repetition_ratio,
+       floor(10.0 * greatest(1 - n_distinct::DOUBLE / n_tokens,
+                             top_tf::DOUBLE / n_tokens))::BIGINT AS spam_rank
+FROM per
+ORDER BY spam_rank DESC, doc_id
+LIMIT 100
+""",
+    "boilerplate": f"""
+WITH {_TOKS}, {_SHINGLES3},
+frag AS (
+  SELECT DISTINCT s.doc_id, d.source, s.shingle
+  FROM sh s JOIN documents d USING (doc_id)
+),
+boiler AS (
+  SELECT source, shingle
+  FROM (SELECT source, shingle, count(DISTINCT doc_id) AS nd
+        FROM frag GROUP BY 1, 2)
+  WHERE nd >= 3
+),
+per AS (
+  SELECT f.doc_id, f.source,
+         count(*)::BIGINT AS n_frags,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+  FROM frag f
+  LEFT JOIN boiler b ON f.source = b.source AND f.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_frags, n_boiler,
+       round(n_boiler::DOUBLE / n_frags, 4) AS boiler_ratio
+FROM per
+ORDER BY boiler_ratio DESC, doc_id
+LIMIT 100
+""",
+    "train_split": """
+WITH s AS (
+  SELECT *,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 100 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM s GROUP BY 1, 2 ORDER BY split, lang
+""",
+    "source_mix": f"""
+WITH {_TOKS},
+t AS (SELECT d.source, len(toks) AS n_tokens
+      FROM toks JOIN documents d USING (doc_id)),
+per AS (SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS source_tokens
+        FROM t GROUP BY 1),
+tot AS (SELECT sum(source_tokens)::DOUBLE AS total_tokens,
+               count(*)::BIGINT AS n_sources FROM per)
+SELECT source, n_docs, source_tokens,
+       round(source_tokens / total_tokens, 4) AS token_share,
+       round((total_tokens / n_sources) / source_tokens, 4) AS mix_weight
+FROM per, tot ORDER BY source
+""",
 }

@@ -1,0 +1,164 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Covers the reference's index-time content hygiene passes re-expressed as
+corpus-level curation ops:
+
+* repeated-fragment suppression (``XmlDoc.cpp:20012`` getFragVec, applied at
+  ``XmlDoc_Indexing.cpp:1886``): the reference hashes sliding word windows
+  and skips indexing fragments it has seen repeatedly — boilerplate
+  navigation, footers, templated text. Here the same idea runs corpus-wide:
+  an n-gram fragment that appears in >= ``min_docs`` distinct documents of
+  the same source is boilerplate; documents are scored by how much of their
+  text is boilerplate (the C4/Gopher "repeated-paragraph" filter analog).
+* deterministic train/val/test splits: content-hash bucketing so the split
+  is stable under re-runs, re-partitioning, and incremental additions —
+  never ``rand()``, which re-deals every run and leaks val into train.
+* source mixing weights: per-source token shares and the resampling weight
+  that flattens them to a uniform target mix (the "domain reweighting" step
+  of an LLM data pipeline).
+
+Scale notes (100 TB):
+* fragment df is one map-side-combined aggregation on (source, shingle);
+  the resulting boilerplate set is tiny relative to the corpus (only
+  fragments with df >= min_docs survive), so the join back to documents is
+  broadcast-able and Spark's AQE picks that up from its size.
+* hash_split is a pure projection — zero shuffles, embarrassingly parallel.
+* source_mix_weights aggregates to one row per source (thousands, not
+  billions) — the weight table is a broadcast dim for the resampling join.
+
+Everything is JVM-side (md5, conv, higher-order array functions) so the
+DuckDB oracles can replicate it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_expr, with_tokens
+
+
+def doc_fragments(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, source, shingle) distinct fragment occurrences."""
+    return (
+        with_tokens(docs, text_col)
+        .select("doc_id", "source", F.explode(shingles_expr("toks", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def boilerplate_fragments(
+    docs: DataFrame, n: int = 3, min_docs: int = 3, per_source: bool = True
+) -> DataFrame:
+    """Fragments repeated across >= min_docs distinct docs (within one
+    source when per_source): the corpus-wide analog of the reference's
+    repeated-fragment table (XmlDoc.cpp:20012 getFragVec).
+
+    Returns (source?, shingle, n_docs). One shuffle (map-side combined);
+    output cardinality is bounded by the number of genuinely templated
+    fragments, not corpus size.
+    """
+    frags = doc_fragments(docs, n)
+    keys = ["source", "shingle"] if per_source else ["shingle"]
+    return (
+        frags.groupBy(*keys)
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame, n: int = 3, min_docs: int = 3
+) -> DataFrame:
+    """Per-doc boilerplate exposure: how many of the doc's fragments are
+    source-level boilerplate (XmlDoc_Indexing.cpp:1886 applies the frag
+    vector at index time; here it becomes a filterable quality column).
+
+    Returns (doc_id, source, n_frags, n_boiler, boiler_ratio). The
+    boilerplate set is small → Spark broadcasts the join side under AQE.
+    """
+    frags = doc_fragments(docs, n)
+    boiler = boilerplate_fragments(docs, n=n, min_docs=min_docs, per_source=True)
+    marked = frags.join(
+        F.broadcast(boiler.select("source", "shingle", F.lit(1).alias("is_boiler"))),
+        on=["source", "shingle"],
+        how="left",
+    )
+    return (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frags"),
+            F.coalesce(F.sum("is_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.round(F.col("n_boiler") / F.col("n_frags"), 4),
+        )
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic content-hash split assignment.
+
+    bucket = first 8 hex chars of md5(salt ':' key) as an integer, mod 100;
+    buckets are carved into the requested splits in dict order. Stable under
+    re-runs and incremental corpus growth (a doc's split never changes),
+    zero shuffles, and exactly replicable in SQL.
+    """
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    total = sum(weights.values())
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (F.col("split_bucket") >= lo) & (F.col("split_bucket") < lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += w
+    return docs.withColumn("split_bucket", bucket).withColumn("split", expr)
+
+
+def source_mix_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source token shares and the uniform-mix resampling weight.
+
+    weight = (total_tokens / n_sources) / source_tokens: sampling each
+    source's docs with probability proportional to ``weight`` flattens the
+    token distribution to uniform across sources (the domain-reweighting
+    step). Output is one row per source — a broadcast dim at any scale.
+    """
+    toks = with_tokens(docs, text_col).select(
+        "source", F.size("toks").cast("long").alias("n_tokens")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("source_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "token_share",
+            F.round(F.col("source_tokens") / F.col("total_tokens"), 4),
+        )
+        .withColumn(
+            "mix_weight",
+            F.round(
+                (F.col("total_tokens") / F.col("n_sources")) / F.col("source_tokens"),
+                4,
+            ),
+        )
+        .select("source", "n_docs", "source_tokens", "token_share", "mix_weight")
+    )

@@ -214,3 +214,54 @@ def doc_keywords(
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "rnk", "term", "tfidf")
     )
+
+
+def word_spam_rank(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """W5 word-spam rank (XmlDoc.cpp:19206 getWordSpamVec): the reference
+    walks each doc's word sequence counting repetition patterns and assigns
+    every word a 0..MAX spam rank that dampens its score contribution.
+    Corpus-curation analog, per doc instead of per word:
+
+    * top_tf / top_term — the doc's most-repeated token (ties broken by
+      ascending term, deterministic)
+    * repetition_ratio = 1 - n_distinct / n_tokens — how much of the doc is
+      re-occurrences
+    * spam_rank = floor(10 * greatest(repetition_ratio, top_tf/n_tokens))
+      in 0..10 — 0 is clean prose, 10 is one token stamped over and over;
+      the filterable column a curation pipeline thresholds on.
+
+    One explode + two hash aggregations (map-side combined), the same
+    one-shuffle shape as token_counts; no UDFs, fully SQL-expressible.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    per_doc = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max(F.when(F.col("rnk") == 1, F.col("tf"))).cast("long").alias("top_tf"),
+            F.max(F.when(F.col("rnk") == 1, F.col("term"))).alias("top_term"),
+        )
+    )
+    rep = 1.0 - F.col("n_distinct") / F.col("n_tokens")
+    top_ratio = F.col("top_tf") / F.col("n_tokens")
+    return (
+        per_doc.withColumn("repetition_ratio", F.round(rep, 4))
+        .withColumn(
+            "spam_rank",
+            F.floor(F.lit(10.0) * F.greatest(rep, top_ratio)).cast("long"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_distinct", "top_term", "top_tf",
+            "repetition_ratio", "spam_rank",
+        )
+    )

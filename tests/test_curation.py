@@ -1,0 +1,89 @@
+"""Curation-operator gates: boilerplate suppression (F11), word-spam rank
+(W5), deterministic splits, source mixing. The oracle hash-match lives in
+test_entry_oracle; these are the behavioral properties the SQL can't state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import curation, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # src_a: three docs sharing a templated footer -> boilerplate
+        (1, "alpha beta gamma visit our help center today", "src_a", "en"),
+        (2, "delta epsilon zeta visit our help center today", "src_a", "en"),
+        (3, "eta theta iota visit our help center today", "src_a", "en"),
+        # src_a: clean doc, no shared fragment
+        (4, "kappa lambda mu nu xi omicron pi rho", "src_a", "en"),
+        # src_b: same footer text but only ONE doc -> NOT boilerplate there
+        (5, "visit our help center today sigma tau", "src_b", "en"),
+        # spam doc: one token stamped over and over
+        (6, "spam spam spam spam spam spam spam spam", "src_b", "en"),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "source", "lang"]
+    ).withColumn("n_chars", F.length("text"))
+
+
+def test_boilerplate_is_per_source(docs):
+    boiler = curation.boilerplate_fragments(docs, n=3, min_docs=3).collect()
+    assert all(r["source"] == "src_a" for r in boiler)
+    shingles = {r["shingle"] for r in boiler}
+    assert "visit our help" in shingles
+    # src_b's single copy of the footer must not be flagged
+    stats = {
+        r["doc_id"]: r
+        for r in curation.boilerplate_stats(docs, n=3, min_docs=3).collect()
+    }
+    assert stats[1]["n_boiler"] > 0 and stats[4]["n_boiler"] == 0
+    assert stats[5]["n_boiler"] == 0
+    # doc 3's footer fragments dominate a short doc
+    assert stats[3]["boiler_ratio"] > stats[4]["boiler_ratio"]
+
+
+def test_hash_split_stable_and_complete(docs):
+    a = {r["doc_id"]: r["split"] for r in curation.hash_split(docs).collect()}
+    # stability: a second run over a re-partitioned frame deals identically
+    b = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        curation.hash_split(docs, weights={"train": 50, "val": 10})
+
+
+def test_hash_split_ratio_converges(spark):
+    big = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    counts = dict(
+        curation.hash_split(big)
+        .groupBy("split")
+        .count()
+        .rdd.map(lambda r: (r["split"], r["count"]))
+        .collect()
+    )
+    assert abs(counts["train"] / 20000 - 0.90) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+
+
+def test_spam_rank_extremes(docs):
+    ranks = {
+        r["doc_id"]: r for r in text_analysis.word_spam_rank(docs).collect()
+    }
+    assert ranks[6]["spam_rank"] == 10 and ranks[6]["top_term"] == "spam"
+    assert ranks[4]["spam_rank"] <= 1  # all-distinct prose
+    assert ranks[4]["repetition_ratio"] == 0.0
+
+
+def test_source_mix_flattens(docs):
+    w = {r["source"]: r for r in curation.source_mix_weights(docs).collect()}
+    assert abs(sum(r["token_share"] for r in w.values()) - 1.0) < 1e-3
+    # resampling by mix_weight equalizes: weight * source_tokens is constant
+    eq = [r["mix_weight"] * r["source_tokens"] for r in w.values()]
+    assert max(eq) / min(eq) < 1.001
