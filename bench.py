@@ -102,6 +102,11 @@ def main() -> None:
         # score-free-clause grammar, real BMP/WAV/AVI codec path
         "bm25_bigram_boost", "possessive", "query_scorefree", "media_real",
         "embed_neardup", "spellcheck", "word_split",
+        # round 3: curation suite (boilerplate/F11, spam rank/W5, splits,
+        # source mixing)
+        "boilerplate", "spam_rank", "train_split", "source_mix",
+        # round 3: faceted search + query-time field sort
+        "facets", "sortby",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
@@ -119,11 +124,18 @@ def main() -> None:
         queries[name] = round(samples[len(samples) // 2], 4)
 
     # ---- transcript-corpus build throughput (the north-rule metric) ------
-    # drop the sf-query section's cached state first (persisted pair graph,
-    # checkpointed frames): the transcript legs are one-shot measurements,
-    # and running them under leftover cache/GC pressure reads as engine
-    # regression when it isn't (r2->r3 variance analysis in BENCH.md)
+    # ISOLATE these legs from the sf-query section: stop the session and
+    # start a fresh one. r1's bench ran ~20 queries before this point;
+    # r2/r3 run 44+, and the in-bench build throughput degraded round-over-
+    # round (19-27k turns/s) while the standalone number (scripts/
+    # scaling_bench.py, identical code path) held at 33-40k -- the delta is
+    # accumulated JVM state (old-gen garbage, cached relations, shuffle
+    # files) from unrelated preceding queries, not the engine. clearCache
+    # alone did not recover it (r2->r3 variance analysis in BENCH.md).
     spark.catalog.clearCache()
+    spark.stop()
+    spark = get_spark("osse-bench-build")
+    spark.sparkContext.setLogLevel("ERROR")
     # corpus is materialized to parquet first (untimed) so the build number
     # measures the engine, not the synthetic generator
     wh = "/tmp/osse-bench-transcripts-wh"

@@ -792,6 +792,32 @@ def q_source_mix(spark, sf_dir):
     return curation.source_mix_weights(documents(spark, sf_dir)).orderBy("source")
 
 
+def q_facets(spark, sf_dir):
+    # gbfacetstr:/gbfacetint: analog (Query.cpp:1787): facet value counts
+    # over ALL matching docs -- two string facets + one numeric range facet
+    eng = engine_for(spark, sf_dir)
+    return eng.search_facets(
+        "merge OR vector",
+        facet_fields=["lang", "source"],
+        facet_ranges={"n_chars": 200},
+        top_n=10,
+    ).orderBy("facet_field", F.desc("n_docs"), F.asc("facet_value"))
+
+
+def q_sortby(spark, sf_dir):
+    # gbsortby:+gbmin:/gbmax: analog (Query.cpp:1526-1692): matching docs
+    # ordered by a doc column under range constraints, TakeOrderedAndProject
+    eng = engine_for(spark, sf_dir)
+    return eng.search_sorted(
+        "merge",
+        "n_chars",
+        ascending=False,
+        k=20,
+        min_filters={"n_chars": 100},
+        max_filters={"n_chars": 400},
+    ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 QUERIES = {
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
@@ -845,6 +871,8 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "train_split": q_train_split,
     "source_mix": q_source_mix,
+    "facets": q_facets,
+    "sortby": q_sortby,
 }
 
 # --------------------------------------------------------------------------
@@ -1752,5 +1780,35 @@ SELECT source, n_docs, source_tokens,
        round(source_tokens / total_tokens, 4) AS token_share,
        round((total_tokens / n_sources) / source_tokens, 4) AS mix_weight
 FROM per, tot ORDER BY source
+""",
+    "facets": f"""
+WITH {_TOKS}, {_TOK},
+el AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'vector')),
+d AS (SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM el)),
+f AS (
+  SELECT 'lang' AS facet_field, lang AS facet_value,
+         count(*)::BIGINT AS n_docs FROM d GROUP BY 2
+  UNION ALL
+  SELECT 'source', source, count(*)::BIGINT FROM d GROUP BY 2
+  UNION ALL
+  SELECT 'n_chars:200',
+         CAST(CAST(floor(n_chars / 200) * 200 AS BIGINT) AS VARCHAR),
+         count(*)::BIGINT
+  FROM d GROUP BY 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY facet_field
+                                   ORDER BY n_docs DESC, facet_value ASC) AS rn
+      FROM f)
+SELECT facet_field, facet_value, n_docs FROM r WHERE rn <= 10
+ORDER BY facet_field, n_docs DESC, facet_value
+""",
+    "sortby": f"""
+WITH {_TOKS}, {_TOK},
+el AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
+FROM documents d JOIN el USING (doc_id)
+WHERE d.n_chars BETWEEN 100 AND 400
+ORDER BY n_chars DESC, doc_id LIMIT 20
 """,
 }

@@ -877,39 +877,12 @@ class SearchEngine:
         stopword terms leave the query; ``+term`` (`Query.h:192`), quoted
         phrases, and fields always survive, and an all-stopword clause is
         answered as-is. ``stop_words`` overrides the default English set."""
-        from ..functions.query_parser import (
-            drop_stopword_terms,
-            parse_query,
-            to_dnf,
-            unwrap_forced,
-        )
-
-        clauses = to_dnf(parse_query(query))
-        if drop_stopwords:
-            if stop_words is None:
-                from .text_analysis import LANG_MARKERS
-
-                stop_words = set(LANG_MARKERS["en"]) | {"a", "an"}
-            clauses = drop_stopword_terms(clauses, set(stop_words))
-        scoring: set[str] = set()
-        for cl in clauses:
-            for negd, atom in cl:
-                atom, _forced = unwrap_forced(atom)
-                if not negd and atom[0] in ("term", "phrase"):
-                    scoring.update(self.tokenize_query(atom[1]))
+        el, terms = self.query_eligibility(query, drop_stopwords, stop_words)
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, matched int"
         )
-        terms = sorted(scoring)
-        eligible = None
-        for cl in clauses:
-            cd = self._clause_docs(cl)
-            if cd is None:
-                continue
-            eligible = cd if eligible is None else eligible.unionByName(cd)
-        if eligible is None:
+        if el is None:
             return empty
-        el = eligible.distinct()
         # eligibility without scoring terms still returns the doc at score
         # 0.0 / matched 0 (left-outer, NOT semi-join): a field-only query
         # ('lang:en') or a scoring-term-free clause ('... OR (lang:fr)')
@@ -936,6 +909,144 @@ class SearchEngine:
                 ),
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def query_eligibility(
+        self,
+        query: str,
+        drop_stopwords: bool = False,
+        stop_words: set[str] | None = None,
+    ) -> tuple[DataFrame | None, list[str]]:
+        """Parse a query string and evaluate its boolean structure to the
+        eligible doc_id set (DNF clauses via semi/anti-join algebra).
+
+        Returns (eligible_docs | None, sorted scoring terms). The shared
+        front half of search_query / search_facets / search_sorted."""
+        from ..functions.query_parser import (
+            drop_stopword_terms,
+            parse_query,
+            to_dnf,
+            unwrap_forced,
+        )
+
+        clauses = to_dnf(parse_query(query))
+        if drop_stopwords:
+            if stop_words is None:
+                from .text_analysis import LANG_MARKERS
+
+                stop_words = set(LANG_MARKERS["en"]) | {"a", "an"}
+            clauses = drop_stopword_terms(clauses, set(stop_words))
+        scoring: set[str] = set()
+        for cl in clauses:
+            for negd, atom in cl:
+                atom, _forced = unwrap_forced(atom)
+                if not negd and atom[0] in ("term", "phrase"):
+                    scoring.update(self.tokenize_query(atom[1]))
+        eligible = None
+        for cl in clauses:
+            cd = self._clause_docs(cl)
+            if cd is None:
+                continue
+            eligible = cd if eligible is None else eligible.unionByName(cd)
+        if eligible is None:
+            return None, sorted(scoring)
+        return eligible.distinct(), sorted(scoring)
+
+    def search_facets(
+        self,
+        query: str,
+        facet_fields: list[str] | tuple[str, ...] = (),
+        facet_ranges: dict[str, int] | None = None,
+        top_n: int = 20,
+        drop_stopwords: bool = False,
+    ) -> DataFrame:
+        """Faceted search (`gbfacetstr:`/`gbfacetint:` -- `Query.cpp:1787`
+        hashes facet terms into the posting keys; we aggregate the doc-store
+        columns instead): per-field value counts over ALL docs matching the
+        query string, not just the top-k page.
+
+        ``facet_fields`` are string-valued document columns; ``facet_ranges``
+        maps a numeric column to a bucket width (gbfacetint range buckets:
+        value -> floor(v/width)*width). Returns (facet_field, facet_value,
+        n_docs), top_n values per field by count desc / value asc.
+
+        Plan shape: one semi-join of the doc store against the eligible set,
+        then one map-side-combined aggregation per facet; output cardinality
+        is #distinct facet values, so the per-field top-n window is tiny."""
+        el, _ = self.query_eligibility(query, drop_stopwords)
+        empty = self.spark.createDataFrame(
+            [], "facet_field string, facet_value string, n_docs long"
+        )
+        if el is None or (not facet_fields and not facet_ranges):
+            return empty
+        docs = self.catalog.read_table("documents").join(el, "doc_id", "left_semi")
+        pieces = []
+        for fld in facet_fields:
+            pieces.append(
+                docs.groupBy(
+                    F.lit(fld).alias("facet_field"),
+                    F.col(fld).cast("string").alias("facet_value"),
+                ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            )
+        for fld, width in (facet_ranges or {}).items():
+            bucket = (F.floor(F.col(fld) / F.lit(width)) * width).cast("long")
+            pieces.append(
+                docs.groupBy(
+                    F.lit(f"{fld}:{width}").alias("facet_field"),
+                    bucket.cast("string").alias("facet_value"),
+                ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            )
+        from pyspark.sql import Window
+
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        w = Window.partitionBy("facet_field").orderBy(
+            F.desc("n_docs"), F.asc("facet_value")
+        )
+        return (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n)
+            .select("facet_field", "facet_value", "n_docs")
+        )
+
+    def search_sorted(
+        self,
+        query: str,
+        sort_field: str,
+        ascending: bool = False,
+        k: int = 10,
+        min_filters: dict[str, float] | None = None,
+        max_filters: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Query-time field sort with range constraints (`gbsortby:`/
+        `gbsortbyint:` `Query.cpp:1526-1692`; `gbmin:`/`gbmax:` range
+        constraints on the sort termlist `Query.cpp:1668-1686`): matching
+        docs ordered by a document column instead of relevance.
+
+        Range filters apply to doc-store numeric columns BEFORE the sort, so
+        Spark executes scan -> semi-join -> filter -> TakeOrderedAndProject
+        (per-partition partial top-k, tiny final merge -- no global sort).
+        Returns (doc_id, <sort_field>) top-k, doc_id asc tie-break."""
+        el, _ = self.query_eligibility(query)
+        docs = self.catalog.read_table("documents")
+        if sort_field not in docs.columns:
+            raise ValueError(
+                f"unknown sort field '{sort_field}' -- sortable fields are "
+                f"the documents columns {sorted(docs.columns)}"
+            )
+        if el is None:
+            return self.spark.createDataFrame([], f"doc_id long, {sort_field} long")
+        docs = docs.join(el, "doc_id", "left_semi")
+        for fld, v in (min_filters or {}).items():
+            docs = docs.filter(F.col(fld) >= v)
+        for fld, v in (max_filters or {}).items():
+            docs = docs.filter(F.col(fld) <= v)
+        key = F.asc(sort_field) if ascending else F.desc(sort_field)
+        return (
+            docs.select("doc_id", sort_field)
+            .orderBy(key, F.asc("doc_id"))
             .limit(k)
         )
 

@@ -366,3 +366,51 @@ def test_synonym_group_is_one_vote(eng):
     got = {int(r["doc_id"]) for r in res}
     assert got <= (alt_ids & merge_ids)
     assert all(int(r["matched"]) == 2 for r in res)
+
+
+# ---- facets / query-time sort (gbfacetstr:/gbsortby:/gbmin:/gbmax:) ------
+
+def test_facets_counts_cover_all_matching_docs(eng):
+    from pyspark.sql import functions as F
+
+    rows = eng.search_facets("spark OR index", facet_fields=["role"]).collect()
+    got = {r["facet_value"]: r["n_docs"] for r in rows}
+    el, _ = eng.query_eligibility("spark OR index")
+    docs = eng.catalog.read_table("documents").join(el, "doc_id", "left_semi")
+    manual = {
+        r["role"]: r["cnt"]
+        for r in docs.groupBy("role").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == manual
+    # facets aggregate the WHOLE eligible set, not a top-k page
+    assert sum(got.values()) == el.count()
+
+
+def test_facets_range_buckets_and_topn(eng):
+    rows = eng.search_facets(
+        "spark", facet_ranges={"turn_idx": 5}, top_n=3
+    ).collect()
+    assert rows and all(r["facet_field"] == "turn_idx:5" for r in rows)
+    assert all(int(r["facet_value"]) % 5 == 0 for r in rows)
+    assert len(rows) <= 3
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_sortby_range_and_order(eng):
+    rows = eng.search_sorted(
+        "spark", "turn_idx", ascending=True, k=5,
+        min_filters={"turn_idx": 2}, max_filters={"turn_idx": 50},
+    ).collect()
+    vals = [r["turn_idx"] for r in rows]
+    assert vals == sorted(vals)
+    assert all(2 <= v <= 50 for v in vals)
+    # every returned doc really matches the query
+    el, _ = eng.query_eligibility("spark")
+    eligible = {r["doc_id"] for r in el.collect()}
+    assert all(r["doc_id"] in eligible for r in rows)
+
+
+def test_sortby_unknown_field_raises(eng):
+    with pytest.raises(ValueError):
+        eng.search_sorted("spark", "no_such_column")
