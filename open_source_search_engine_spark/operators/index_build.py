@@ -113,6 +113,12 @@ class IndexConfig:
     #: df >= n_docs * hot_cache_min_df_frac
     hot_cache_k: int = 0
     hot_cache_min_df_frac: float = 0.05
+    #: X7 common-word skip (`XmlDoc_Indexing.cpp:1961-2022`: 'www'/'com'/
+    #: 'http'... never reach the index; transcript analogs are filler
+    #: tokens). Skipped words still count in dl/avgdl (they occupy
+    #: positions) but get no postings, no df, and no hot-cache entry --
+    #: querying one finds nothing, exactly the reference behavior.
+    skip_terms: tuple[str, ...] = ()
 
 
 @dataclass
@@ -924,6 +930,12 @@ def build_index(
         config.store_positions,
         config.bigrams,
     )
+    if config.skip_terms:
+        # X7: drop the skip words' unigram termlists AFTER encoding stats
+        # (dl already includes them); bigram terms containing a skip word
+        # survive on purpose -- that is what phrase search needs them for
+        skip_ids = [py_term_id(t) for t in config.skip_terms]
+        postings = postings.filter(~F.col("term_id").isin(skip_ids))
     # seg_seq 0 = initial build; incremental updates append higher sequences
     catalog.write_table(
         postings.withColumn("seg_seq", F.lit(0).cast("long")), "postings"

@@ -168,3 +168,32 @@ def test_query_string_parsing(spark, built):
     a = eng.search("spark -index", mode="AND", k=10).collect()
     b = eng.search_terms(["spark"], "AND", 10, exclude_terms=["index"]).collect()
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+
+def test_skip_terms_x7(spark, tmp_path_factory):
+    """X7 common-word skip (XmlDoc_Indexing.cpp:1961-2022): skip words get
+    no postings/df and query empty, but still count in dl/avgdl; other
+    termlists and bigrams are untouched."""
+    from open_source_search_engine_spark.catalog import Catalog
+    from open_source_search_engine_spark.operators.index_build import IndexConfig
+    from open_source_search_engine_spark.operators.query import SearchEngine
+
+    tdf = transcripts_to_docs(synth_transcripts(spark, 400))
+    cat_a = Catalog(spark, str(tmp_path_factory.mktemp("wh-noskip")))
+    cat_b = Catalog(spark, str(tmp_path_factory.mktemp("wh-skip")))
+    ra = build_index(spark, cat_a, tdf, IndexConfig(tokenizer_mode="ascii"))
+    rb = build_index(
+        spark, cat_b, tdf,
+        IndexConfig(tokenizer_mode="ascii", skip_terms=("the", "spark")),
+    )
+    # dl/avgdl unchanged: skipped words still occupy length
+    assert ra.avgdl == rb.avgdl and ra.n_docs == rb.n_docs
+    ea = SearchEngine(spark, cat_a, tokenizer_mode="ascii")
+    eb = SearchEngine(spark, cat_b, tokenizer_mode="ascii")
+    assert ea.search_terms(["spark"], "AND", 5).count() > 0
+    assert eb.search_terms(["spark"], "AND", 5).count() == 0
+    assert eb.plan_terms(["the", "spark"]).empty
+    # unaffected termlists identical
+    a = [(r["doc_id"], round(r["score"], 9)) for r in ea.search_terms(["merge"], "AND", 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in eb.search_terms(["merge"], "AND", 10).collect()]
+    assert a == b
