@@ -79,8 +79,11 @@ def boilerplate_stats(
     """
     frags = doc_fragments(docs, n)
     boiler = boilerplate_fragments(docs, n=n, min_docs=min_docs, per_source=True)
+    # no forced broadcast: at corpus scale with a low min_docs the
+    # boilerplate set is NOT guaranteed small -- AQE broadcasts it when its
+    # runtime size qualifies and falls back to a shuffle join when not
     marked = frags.join(
-        F.broadcast(boiler.select("source", "shingle", F.lit(1).alias("is_boiler"))),
+        boiler.select("source", "shingle", F.lit(1).alias("is_boiler")),
         on=["source", "shingle"],
         how="left",
     )
