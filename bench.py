@@ -105,8 +105,8 @@ def main() -> None:
         # round 3: curation suite (boilerplate/F11, spam rank/W5, splits,
         # source mixing)
         "boilerplate", "spam_rank", "train_split", "source_mix",
-        # round 3: faceted search + query-time field sort
-        "facets", "sortby",
+        # round 3: faceted search + query-time field sort, Gopher rules
+        "facets", "sortby", "quality_flags",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

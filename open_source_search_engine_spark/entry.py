@@ -792,6 +792,16 @@ def q_source_mix(spark, sf_dir):
     return curation.source_mix_weights(documents(spark, sf_dir)).orderBy("source")
 
 
+def q_quality_flags(spark, sf_dir):
+    # Gopher-rule quality gates (Rae et al. 2021): per-rule boolean flags +
+    # combined pass bit, one shuffle-free projection
+    return (
+        text_analysis.gopher_quality_flags(documents(spark, sf_dir))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def q_facets(spark, sf_dir):
     # gbfacetstr:/gbfacetint: analog (Query.cpp:1787): facet value counts
     # over ALL matching docs -- two string facets + one numeric range facet
@@ -873,6 +883,7 @@ QUERIES = {
     "source_mix": q_source_mix,
     "facets": q_facets,
     "sortby": q_sortby,
+    "quality_flags": q_quality_flags,
 }
 
 # --------------------------------------------------------------------------
@@ -1810,5 +1821,47 @@ SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d JOIN el USING (doc_id)
 WHERE d.n_chars BETWEEN 100 AND 400
 ORDER BY n_chars DESC, doc_id LIMIT 20
+""",
+    "quality_flags": f"""
+WITH {_TOKS},
+base AS (
+  SELECT d.doc_id,
+         len(t.toks) AS n_tokens,
+         CASE WHEN len(t.toks) > 0
+              THEN coalesce(list_aggregate(list_transform(t.toks,
+                     x -> length(x)), 'sum'), 0)::DOUBLE / len(t.toks)
+              ELSE 0.0 END AS mean_len,
+         length(coalesce(d.text, ''))
+           - length(replace(coalesce(d.text, ''), '#', '')) AS n_hash,
+         (length(coalesce(d.text, ''))
+           - length(replace(coalesce(d.text, ''), '...', ''))) / 3.0 AS n_ell,
+         greatest(len(string_split(d.text, chr(10))), 1) AS n_lines,
+         len(list_filter(list_transform(string_split(d.text, chr(10)),
+             l -> ltrim(l)),
+             l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS bullet_lines,
+         len(list_filter(list_transform(string_split(d.text, chr(10)),
+             l -> rtrim(l)), l -> ends_with(l, '...'))) AS ellipsis_lines,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             w -> list_contains(t.toks, w))) AS common_hits
+  FROM documents d JOIN toks t USING (doc_id)
+),
+flags AS (
+  SELECT doc_id,
+         n_tokens::BIGINT AS n_tokens,
+         round(mean_len, 4) AS mean_token_len,
+         (NOT n_tokens BETWEEN 50 AND 100000)::INT AS flag_n_tokens,
+         (NOT mean_len BETWEEN 3.0 AND 10.0)::INT AS flag_mean_len,
+         (CASE WHEN n_tokens > 0 THEN (n_hash + n_ell) / n_tokens
+               ELSE 0.0 END > 0.1)::INT AS flag_symbols,
+         (bullet_lines / n_lines > 0.9)::INT AS flag_bullets,
+         (ellipsis_lines / n_lines > 0.3)::INT AS flag_ellipsis,
+         (common_hits < 2)::INT AS flag_common_words
+  FROM base
+)
+SELECT *,
+       (flag_n_tokens = 0 AND flag_mean_len = 0 AND flag_symbols = 0
+        AND flag_bullets = 0 AND flag_ellipsis = 0
+        AND flag_common_words = 0)::INT AS quality_pass
+FROM flags ORDER BY doc_id LIMIT 200
 """,
 }

@@ -265,3 +265,82 @@ def word_spam_rank(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "repetition_ratio", "spam_rank",
         )
     )
+
+
+#: the 8 Gopher common-word markers (Rae et al. 2021 repetition/quality
+#: rules, table A1): a real document contains at least 2 of these
+GOPHER_COMMON = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_common_hits: int = 2,
+) -> DataFrame:
+    """Gopher-rule quality gates (Rae et al. 2021; the corpus-curation
+    generalization of the reference's per-doc spam/quality vectors,
+    `XmlDoc.cpp:19206`): one boolean column per rule + the combined
+    ``quality_pass``. Everything is JVM higher-order functions -- one
+    projection, zero shuffles, and exactly replicable in SQL:
+
+    * token count in [min_tokens, max_tokens]
+    * mean token length in [min_mean_len, max_mean_len]
+    * '#'/'...' symbol-to-token ratio <= max_symbol_ratio
+    * <= max_bullet_ratio of lines starting with a bullet
+    * <= max_ellipsis_ratio of lines ending in '...'
+    * >= min_common_hits distinct Gopher common words present
+    """
+    toks = tokens_col(F.col(text_col))
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = F.size(toks)
+    sum_tok_len = F.expr(
+        f"aggregate(transform(filter(split(lower({text_col}), "
+        f"'{ASCII_SPLIT_REGEX}'), x -> x <> ''), x -> length(x)), "
+        "0, (acc, x) -> acc + x)"
+    )
+    mean_len = F.when(n_tokens > 0, sum_tok_len / n_tokens).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    sym_ratio = F.when(
+        n_tokens > 0, (n_hash + n_ellipsis) / n_tokens
+    ).otherwise(F.lit(0.0))
+    lines = F.expr(f"transform(split({text_col}, '\\n'), l -> ltrim(l))")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.expr(
+        f"size(filter(transform(split({text_col}, '\\n'), l -> ltrim(l)), "
+        "l -> startswith(l, '- ') OR startswith(l, '* ')))"
+    )
+    ellipsis_lines = F.expr(
+        f"size(filter(transform(split({text_col}, '\\n'), l -> rtrim(l)), "
+        "l -> endswith(l, '...')))"
+    )
+    common_arr = "array(" + ",".join(f"'{w}'" for w in GOPHER_COMMON) + ")"
+    common_hits = F.expr(
+        f"size(array_intersect(array_distinct(filter(split(lower({text_col}), "
+        f"'{ASCII_SPLIT_REGEX}'), x -> x <> '')), {common_arr}))"
+    )
+    flags = {
+        "flag_n_tokens": ~n_tokens.between(min_tokens, max_tokens),
+        "flag_mean_len": ~mean_len.between(min_mean_len, max_mean_len),
+        "flag_symbols": sym_ratio > max_symbol_ratio,
+        "flag_bullets": (bullet_lines / n_lines) > max_bullet_ratio,
+        "flag_ellipsis": (ellipsis_lines / n_lines) > max_ellipsis_ratio,
+        "flag_common_words": common_hits < min_common_hits,
+    }
+    out = docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    pass_expr = F.lit(1)
+    for k in flags:
+        pass_expr = pass_expr * (1 - F.col(k))
+    return out.withColumn("quality_pass", pass_expr.cast("int"))

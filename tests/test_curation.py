@@ -87,3 +87,36 @@ def test_source_mix_flattens(docs):
     # resampling by mix_weight equalizes: weight * source_tokens is constant
     eq = [r["mix_weight"] * r["source_tokens"] for r in w.values()]
     assert max(eq) / min(eq) < 1.001
+
+
+def test_gopher_quality_flags(spark):
+    rows = [
+        # clean prose: all rules pass
+        (1, "the quick brown fox jumps over the lazy dog and that is fine "
+            "to say because we have many plain words with good length here "
+            + "word " * 40),
+        # too short
+        (2, "tiny doc"),
+        # bullet-dominated
+        (3, "\n".join(f"- item {i} the of and that have with to be" * 1 for i in range(10))
+            + "\n" + "the be to of and that have with " * 10),
+        # ellipsis-heavy lines
+        (4, "\n".join(f"truncated thought number {i} goes on..." for i in range(10))
+            + "\n" + "the be to of and that have with " * 10),
+        # symbol spam
+        (5, "### " * 60 + "the be to of and have with that " * 8),
+        # no common words
+        (6, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            * 10),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    f = {
+        r["doc_id"]: r
+        for r in text_analysis.gopher_quality_flags(docs).collect()
+    }
+    assert f[1]["quality_pass"] == 1
+    assert f[2]["flag_n_tokens"] == 1 and f[2]["quality_pass"] == 0
+    assert f[3]["flag_bullets"] == 1
+    assert f[4]["flag_ellipsis"] == 1
+    assert f[5]["flag_symbols"] == 1
+    assert f[6]["flag_common_words"] == 1 and f[6]["quality_pass"] == 0
