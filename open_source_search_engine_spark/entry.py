@@ -792,6 +792,16 @@ def q_source_mix(spark, sf_dir):
     return curation.source_mix_weights(documents(spark, sf_dir)).orderBy("source")
 
 
+def q_diversity(spark, sf_dir):
+    # W4 diversity rank (XmlDoc.cpp:19932 getDiversityVec): per-doc
+    # phrase-context diversity of repeated terms
+    return (
+        text_analysis.diversity_rank(documents(spark, sf_dir))
+        .orderBy("doc_id")
+        .limit(150)
+    )
+
+
 def q_quality_flags(spark, sf_dir):
     # Gopher-rule quality gates (Rae et al. 2021): per-rule boolean flags +
     # combined pass bit, one shuffle-free projection
@@ -884,6 +894,7 @@ QUERIES = {
     "facets": q_facets,
     "sortby": q_sortby,
     "quality_flags": q_quality_flags,
+    "diversity": q_diversity,
 }
 
 # --------------------------------------------------------------------------
@@ -1863,5 +1874,45 @@ SELECT *,
         AND flag_bullets = 0 AND flag_ellipsis = 0
         AND flag_common_words = 0)::INT AS quality_pass
 FROM flags ORDER BY doc_id LIMIT 200
+""",
+    "diversity": f"""
+WITH {_TOKS}, {_TOK},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok GROUP BY 1, 2 HAVING count(*) >= 2
+),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> array_to_string(toks[i:i+1], ' '))) AS pair
+  FROM toks
+),
+pairs AS (
+  SELECT doc_id, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM pr
+),
+na AS (SELECT doc_id, a AS term, count(DISTINCT b)::BIGINT AS n_after
+       FROM pairs GROUP BY 1, 2),
+nb AS (SELECT doc_id, b AS term, count(DISTINCT a)::BIGINT AS n_before
+       FROM pairs GROUP BY 1, 2),
+per AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (coalesce(nb.n_before, 0) + coalesce(na.n_after, 0))::BIGINT AS ctx
+  FROM tf
+  LEFT JOIN na ON na.doc_id = tf.doc_id AND na.term = tf.term
+  LEFT JOIN nb ON nb.doc_id = tf.doc_id AND nb.term = tf.term
+),
+rnk AS (
+  SELECT *, ctx::DOUBLE / (2 * tf) AS diversity,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ctx::DOUBLE / (2 * tf) ASC, term ASC) AS r
+  FROM per
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_repeated,
+       round(sum(ctx)::DOUBLE / (2 * sum(tf)), 4) AS avg_diversity,
+       max(CASE WHEN r = 1 THEN term END) AS min_div_term,
+       round(max(CASE WHEN r = 1 THEN diversity END), 4) AS min_diversity
+FROM rnk GROUP BY doc_id ORDER BY doc_id LIMIT 150
 """,
 }

@@ -344,3 +344,75 @@ def gopher_quality_flags(
     for k in flags:
         pass_expr = pass_expr * (1 - F.col(k))
     return out.withColumn("quality_pass", pass_expr.cast("int"))
+
+
+def diversity_rank(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """W4 diversity rank (XmlDoc.cpp:19932 getDiversityVec): the reference
+    scores each word by how varied its phrase contexts are -- a word that
+    always appears inside the same fixed phrase carries little standalone
+    signal (the phrase term has it), so its word-term weight is dampened.
+
+    Per-doc corpus analog: for every repeated term (tf >= 2),
+    ``diversity = (distinct predecessor tokens + distinct successor tokens)
+    / (2 * tf)`` in (0, 1] -- 1.0 means every occurrence has a fresh
+    context, ~1/tf means the word is stamped inside one fixed phrase.
+    Output: (doc_id, n_repeated, avg_diversity, min_div_term,
+    min_diversity) over repeated terms; docs without repeated terms are
+    omitted (nothing to rank).
+
+    Plan shape: one 2-gram explode + three hash aggregations keyed by
+    (doc_id, term) -- the same one-shuffle family as token_counts; no UDFs,
+    mirrored exactly by the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    toked = with_tokens(docs, text_col)
+    tf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .filter(F.col("tf") >= 2)
+    )
+    pairs = toked.select(
+        "doc_id", F.explode(shingles_expr("toks", 2)).alias("pair")
+    ).select(
+        "doc_id",
+        F.substring_index("pair", " ", 1).alias("a"),
+        F.substring_index("pair", " ", -1).alias("b"),
+    )
+    n_after = pairs.groupBy("doc_id", F.col("a").alias("term")).agg(
+        F.countDistinct("b").cast("long").alias("n_after")
+    )
+    n_before = pairs.groupBy("doc_id", F.col("b").alias("term")).agg(
+        F.countDistinct("a").cast("long").alias("n_before")
+    )
+    per_term = (
+        tf.join(n_after, ["doc_id", "term"], "left")
+        .join(n_before, ["doc_id", "term"], "left")
+        .withColumn(
+            "ctx",
+            (
+                F.coalesce(F.col("n_before"), F.lit(0))
+                + F.coalesce(F.col("n_after"), F.lit(0))
+            ).cast("long"),
+        )
+        # each diversity value is ONE integer division -- bit-stable across
+        # engines; the doc-level mean below is tf-weighted (integer sums,
+        # one division) for the same reason: no float accumulation order
+        .withColumn("diversity", F.col("ctx") / (F.lit(2) * F.col("tf")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("diversity"), F.asc("term"))
+    return (
+        per_term.withColumn("rnk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_repeated"),
+            F.round(
+                F.sum("ctx") / (F.lit(2) * F.sum("tf")), 4
+            ).alias("avg_diversity"),
+            F.max(F.when(F.col("rnk") == 1, F.col("term"))).alias("min_div_term"),
+            F.round(
+                F.max(F.when(F.col("rnk") == 1, F.col("diversity"))), 4
+            ).alias("min_diversity"),
+        )
+    )

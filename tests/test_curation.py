@@ -120,3 +120,22 @@ def test_gopher_quality_flags(spark):
     assert f[4]["flag_ellipsis"] == 1
     assert f[5]["flag_symbols"] == 1
     assert f[6]["flag_common_words"] == 1 and f[6]["quality_pass"] == 0
+
+
+def test_diversity_rank_w4(spark):
+    rows = [
+        # 'spark' always inside the fixed phrase 'apache spark engine':
+        # one predecessor, one successor over tf=3 -> diversity 2/6
+        (1, "apache spark engine apache spark engine apache spark engine"),
+        # 'join' in three different contexts -> diversity 1.0
+        (2, "hash join fast merge join slow sort join wide"),
+        # no repeated terms -> doc omitted
+        (3, "all words here are completely distinct tokens"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = {r["doc_id"]: r for r in text_analysis.diversity_rank(docs).collect()}
+    assert 3 not in d
+    assert d[1]["min_div_term"] == "apache"  # ties at 0.333 break by term
+    assert abs(d[1]["min_diversity"] - round(2 / 6, 4)) < 1e-9
+    assert d[2]["min_div_term"] == "join"
+    assert d[2]["min_diversity"] == 1.0 and d[2]["n_repeated"] == 1
