@@ -106,7 +106,7 @@ def main() -> None:
         # source mixing)
         "boilerplate", "spam_rank", "train_split", "source_mix",
         # round 3: faceted search + query-time field sort, Gopher rules
-        "facets", "sortby", "quality_flags", "diversity",
+        "facets", "sortby", "quality_flags", "diversity", "dedup_screen",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

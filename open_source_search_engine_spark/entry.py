@@ -792,6 +792,22 @@ def q_source_mix(spark, sf_dir):
     return curation.source_mix_weights(documents(spark, sf_dir)).orderBy("source")
 
 
+def q_dedup_screen(spark, sf_dir):
+    # incremental ingest screening: sign the corpus once, band-join each
+    # new batch's signatures against the store -- corpus text never re-read
+    docs = documents(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new_batch = docs.filter(F.col("doc_id") >= 400)
+    sigs = dedup.minhash_signatures(corpus, num_hashes=8, shingle_n=3)
+    return (
+        dedup.minhash_lsh_screen(
+            new_batch, sigs, num_hashes=8, bands=4, shingle_n=3
+        )
+        .orderBy("new_doc_id", "corpus_doc_id")
+        .limit(200)
+    )
+
+
 def q_diversity(spark, sf_dir):
     # W4 diversity rank (XmlDoc.cpp:19932 getDiversityVec): per-doc
     # phrase-context diversity of repeated terms
@@ -895,6 +911,7 @@ QUERIES = {
     "sortby": q_sortby,
     "quality_flags": q_quality_flags,
     "diversity": q_diversity,
+    "dedup_screen": q_dedup_screen,
 }
 
 # --------------------------------------------------------------------------
@@ -1072,6 +1089,39 @@ FROM banded a
 JOIN banded b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
             AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY doc_id_a, doc_id_b LIMIT {k}
+"""
+
+
+def _dedup_screen_sql(
+    num_hashes: int = 8, bands: int = 4, split_id: int = 400, k: int = 200
+) -> str:
+    """DuckDB replica of dedup.minhash_lsh_screen: docs >= split_id are the
+    incoming batch, docs < split_id the signed corpus; collisions = shared
+    (band_idx, bucket)."""
+    r = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_TOKS}, {_SHINGLES3},
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id),
+banded AS (
+  {band_selects}
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM banded n
+JOIN banded c ON n.band_idx = c.band_idx AND n.bucket = c.bucket
+WHERE n.doc_id >= {split_id} AND c.doc_id < {split_id}
+GROUP BY 1, 2 ORDER BY new_doc_id, corpus_doc_id LIMIT {k}
 """
 
 
@@ -1915,4 +1965,5 @@ SELECT doc_id,
        round(max(CASE WHEN r = 1 THEN diversity END), 4) AS min_diversity
 FROM rnk GROUP BY doc_id ORDER BY doc_id LIMIT 150
 """,
+    "dedup_screen": _dedup_screen_sql(8, 4, 400, 200),
 }

@@ -292,15 +292,28 @@ def minhash_lsh_candidates(
     behavior (you keep one representative per chain anyway). ``None``
     keeps the exact all-pairs join."""
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    banded = band_buckets(sig, num_hashes, bands)
+    return (
+        _bucket_pairs(banded, ["band_idx", "bucket"], max_bucket_degree)
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Signature frame (doc_id, mh_0..mh_{n-1}) -> exploded LSH band
+    buckets (doc_id, band_idx, bucket) with bucket = md5 of the band's
+    '|'-joined signature rows. Shared by batch candidate generation and
+    incremental screening so both sides of a screen agree bit-for-bit."""
+    r = num_hashes // bands
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)])).alias(
             f"band_{b}"
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -311,10 +324,41 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.bucket")
+
+
+def minhash_lsh_screen(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup screening: which NEW docs LSH-collide with an
+    EXISTING corpus whose MinHash signatures are already stored
+    (minhash_signatures output persisted as a table).
+
+    The daily-ingest shape at 100 TB: the corpus is signed ONCE (8 hex
+    strings/doc, ~0.3% of text volume); each incoming batch is signed and
+    banded (shuffle-free mapInPandas), then one equi-join on
+    (band_idx, bucket) against the banded corpus store finds collisions --
+    the corpus TEXT is never re-read. Returns
+    (new_doc_id, corpus_doc_id, n_shared_bands); confirm with
+    ngram_jaccard on the collided pairs only.
+    """
+    assert num_hashes % bands == 0
+    new_banded = band_buckets(
+        minhash_signatures(new_docs, text_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    ).withColumnRenamed("doc_id", "new_doc_id")
+    corpus_banded = band_buckets(corpus_sigs, num_hashes, bands).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
     return (
-        _bucket_pairs(banded, ["band_idx", "bucket"], max_bucket_degree)
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        new_banded.join(corpus_banded, ["band_idx", "bucket"])
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
 
 

@@ -235,3 +235,36 @@ def test_lsh_candidates_surface_neardups(spark, docs):
     ).collect()
     pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in cands}
     assert (0, 1) in pairs
+
+
+def test_minhash_lsh_screen_incremental(spark):
+    from open_source_search_engine_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "merge sort runs in the background of the spark cluster today")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about event windows "
+                        "and session gaps in the streaming pipeline")],
+        ["doc_id", "text"],
+    )
+    new_batch = spark.createDataFrame(
+        [(100, base + " extra"),  # near-copy of corpus doc 1
+         (101, "fresh unrelated material mentioning nothing shared at all "
+               "with anything stored before")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(corpus, num_hashes=8, shingle_n=3)
+    hits = dedup.minhash_lsh_screen(
+        new_batch, sigs, num_hashes=8, bands=4, shingle_n=3
+    ).collect()
+    pairs = {(r["new_doc_id"], r["corpus_doc_id"]) for r in hits}
+    assert (100, 1) in pairs
+    assert all(n != 101 for n, _ in pairs)
+    # screening equals what full batch candidates would find across the split
+    both = corpus.unionByName(new_batch)
+    full = dedup.minhash_lsh_candidates(
+        both, num_hashes=8, bands=4, shingle_n=3
+    ).collect()
+    cross = {(b, a) for r in full
+             for a, b in [(r["doc_id_a"], r["doc_id_b"])] if a < 100 <= b}
+    assert pairs == cross
