@@ -980,7 +980,14 @@ class SearchEngine:
         )
         if el is None or (not facet_fields and not facet_ranges):
             return empty
-        docs = self.catalog.read_table("documents").join(el, "doc_id", "left_semi")
+        docs = self.catalog.read_table("documents")
+        for fld in list(facet_fields) + list(facet_ranges or {}):
+            if fld not in docs.columns:
+                raise ValueError(
+                    f"unknown facet field '{fld}' -- facetable fields are "
+                    f"the documents columns {sorted(docs.columns)}"
+                )
+        docs = docs.join(el, "doc_id", "left_semi")
         pieces = []
         for fld in facet_fields:
             pieces.append(
@@ -1037,7 +1044,9 @@ class SearchEngine:
                 f"the documents columns {sorted(docs.columns)}"
             )
         if el is None:
-            return self.spark.createDataFrame([], f"doc_id long, {sort_field} long")
+            # empty result with the REAL column types (a string sort field
+            # must not come back long-typed just because nothing matched)
+            return docs.select("doc_id", sort_field).limit(0)
         docs = docs.join(el, "doc_id", "left_semi")
         for fld, v in (min_filters or {}).items():
             docs = docs.filter(F.col(fld) >= v)

@@ -414,3 +414,14 @@ def test_sortby_range_and_order(eng):
 def test_sortby_unknown_field_raises(eng):
     with pytest.raises(ValueError):
         eng.search_sorted("spark", "no_such_column")
+
+
+def test_facets_unknown_field_raises(eng):
+    with pytest.raises(ValueError):
+        eng.search_facets("spark", facet_fields=["no_such_col"])
+
+
+def test_sortby_unanswerable_keeps_schema(eng):
+    df = eng.search_sorted("zzzmissingterm", "role", k=5)
+    assert df.count() == 0
+    assert dict(df.dtypes)["role"] == "string"
