@@ -416,3 +416,77 @@ def diversity_rank(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("min_diversity"),
         )
     )
+
+
+#: country code -> primary language (the CountryCode.cpp analog, trimmed to
+#: the languages this engine detects)
+COUNTRY_LANG: dict[str, str] = {
+    "us": "en", "uk": "en", "gb": "en", "au": "en", "ca": "en",
+    "de": "de", "at": "de", "ch": "de",
+    "dk": "da", "no": "no", "se": "sv", "fi": "fi",
+    "es": "es", "mx": "es", "ar": "es",
+    "fr": "fr", "be": "nl", "nl": "nl",
+    "it": "it", "pt": "pt", "br": "pt",
+    "pl": "pl", "tr": "tr", "id": "id",
+    "jp": "ja", "kr": "ko", "cn": "zh", "tw": "zh",
+    "ru": "ru", "gr": "el", "sa": "ar", "il": "he", "in": "hi", "th": "th",
+}
+
+#: extra per-language marker words usable on SHORT query strings (single
+#: common words the ascii marker lists can vote on are rare in queries);
+#: includes a few diacritic forms the doc-side ascii lists exclude
+QUERY_LANG_MARKERS: dict[str, list[str]] = {
+    "da": ["øl", "og", "ikke", "smølferne", "kanin"],
+    "no": ["smurfene", "ikke", "og"],
+    "sv": ["och", "inte"],
+    "de": ["und", "nicht", "straße"],
+    "fr": ["été", "être"],
+    "es": ["el", "que"],
+    "en": ["the", "smurfs"],
+}
+
+
+def detect_query_language(
+    query: str, qlang: str = "", blang: str = "", country: str = ""
+) -> str:
+    """Query-language resolution with hint precedence (the behavior pinned
+    by the reference's `test/system/test_search_language.py`): an explicit
+    query-language hint always wins; otherwise the query TEXT votes (script
+    ranges, then marker words); an undecided text falls back to the
+    browser Accept-Language primary subtag, then the country TLD, then
+    'en'. Pure driver-side planning -- one short string, no Spark job.
+    """
+    if qlang:
+        return qlang.split("-")[0].lower()
+    q = (query or "").lower()
+    for lang, lo, hi in SCRIPT_RANGES:
+        if any(lo <= ord(c) <= hi for c in q):
+            return lang
+    import re as _re
+
+    toks = [t for t in _re.split(r"[^\w']+", q, flags=_re.UNICODE) if t]
+    votes: dict[str, int] = {}
+    for lang in set(QUERY_LANG_MARKERS) | set(LANG_MARKERS):
+        # UNION of the query-side and doc-side marker sets: a word in both
+        # must count once, or it spuriously outvotes a genuine tie
+        words = set(QUERY_LANG_MARKERS.get(lang, ())) | set(
+            LANG_MARKERS.get(lang, ())
+        )
+        votes[lang] = sum(1 for t in toks if t in words)
+    best = max(votes.values(), default=0)
+    if best > 0:
+        winners = sorted(l for l, v in votes.items() if v == best)
+        if len(winners) == 1:
+            return winners[0]
+        # ambiguous marker vote: let the weaker hints break the tie
+        hint = (blang.split("-")[0].lower() if blang else "") or COUNTRY_LANG.get(
+            country.lower(), ""
+        )
+        if hint in winners:
+            return hint
+        return winners[0]
+    if blang:
+        return blang.split("-")[0].lower()
+    if country:
+        return COUNTRY_LANG.get(country.lower(), "en")
+    return "en"

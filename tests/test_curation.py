@@ -139,3 +139,28 @@ def test_diversity_rank_w4(spark):
     assert abs(d[1]["min_diversity"] - round(2 / 6, 4)) < 1e-9
     assert d[2]["min_div_term"] == "join"
     assert d[2]["min_diversity"] == 1.0 and d[2]["n_repeated"] == 1
+
+
+def test_detect_query_language_hint_precedence():
+    """Behavior table from the reference's test/system/test_search_language.py:
+    explicit qlang wins; script/marker text detection next; browser lang,
+    then country TLD break ties or fill in when the text is silent."""
+    d = text_analysis.detect_query_language
+    # explicit qlang always wins
+    assert d("øl", qlang="da") == "da"
+    assert d("øl", qlang="da", blang="en-US") == "da"
+    assert d("the smurfs", qlang="en", blang="da-DK") == "en"
+    # decisive text detection beats weaker hints
+    assert d("smølferne") == "da"
+    assert d("smølferne", blang="en-US") == "da"
+    assert d("smølferne", country="uk") == "da"
+    assert d("smurfene", blang="no-NO") == "no"
+    assert d("スパーク") == "ja"
+    assert d("что это") == "ru"
+    # silent text falls back: blang, then country, then en
+    assert d("zzqqxx", blang="da-dk") == "da"
+    assert d("zzqqxx", country="no") == "no"
+    assert d("zzqqxx") == "en"
+    # ambiguous marker vote broken by hint ('og' votes da AND no)
+    assert d("og", country="dk") == "da"
+    assert d("og", blang="no-NO") == "no"
