@@ -160,3 +160,32 @@ def test_indexed_ann_matches_inline(spark, ann):
     assert [(r["vec_id"], r["cosine"]) for r in c] == [
         (r["vec_id"], r["cosine"]) for r in d
     ]
+
+
+def test_sortby_is_take_ordered(eng):
+    df = eng.search_sorted("spark", "turn_idx", k=5)
+    p = _physical(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_hash_split_has_no_shuffle(spark):
+    from open_source_search_engine_spark.operators.curation import hash_split
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    p = _physical(hash_split(docs))
+    assert "Exchange" not in p  # pure projection, embarrassingly parallel
+
+
+def test_minhash_screen_scan_is_shuffle_free_on_sig_side(spark):
+    from open_source_search_engine_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with shared tokens here") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    # signature computation itself is a single mapInPandas over the scan --
+    # no Exchange before the banding explode
+    p = _physical(sigs)
+    assert "Exchange" not in p
