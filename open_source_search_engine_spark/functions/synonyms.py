@@ -16,22 +16,57 @@ so the expansion path is exercised end-to-end.
 
 from __future__ import annotations
 
-#: term -> word forms / synonyms scored as the same vote group (J2 union)
+#: term -> word forms / synonyms scored as the same vote group (J2 union).
+#: Common-English seed (public-knowledge pairs, the mysynonyms.txt default
+#: a deployment overrides via load_synonyms): general synonyms, tech-abbrev
+#: expansions, and regular plural->singular forms for the test vocabulary.
 DEFAULT_SYNONYMS: dict[str, list[str]] = {
-    "speedy": ["fast"],
-    "quick": ["fast"],
-    "rapid": ["fast"],
-    "sluggish": ["slow"],
-    "large": ["big"],
-    "huge": ["big"],
-    "tiny": ["small"],
-    "little": ["small"],
-    "rows": ["row"],
-    "columns": ["column"],
-    "tables": ["table"],
-    "queries": ["query"],
-    "joins": ["join"],
-    "merges": ["merge"],
+    # general English
+    "speedy": ["fast"], "quick": ["fast"], "rapid": ["fast"],
+    "swift": ["fast"], "sluggish": ["slow"],
+    "large": ["big"], "huge": ["big"], "enormous": ["big"],
+    "giant": ["big"], "massive": ["big"],
+    "tiny": ["small"], "little": ["small"], "miniature": ["small"],
+    "begin": ["start"], "commence": ["start"], "launch": ["start"],
+    "end": ["finish", "stop"], "halt": ["stop"], "terminate": ["stop"],
+    "error": ["mistake", "fault"], "bug": ["error", "defect"],
+    "fix": ["repair"], "mend": ["repair"],
+    "build": ["construct"], "create": ["make"], "produce": ["make"],
+    "delete": ["remove", "erase"], "drop": ["remove"],
+    "search": ["find", "lookup"], "locate": ["find"],
+    "show": ["display"], "render": ["display"],
+    "aid": ["help"], "assist": ["help"],
+    "purchase": ["buy"], "acquire": ["buy"],
+    "sell": ["vend"], "ship": ["send"], "transmit": ["send"],
+    "receive": ["get"], "obtain": ["get"],
+    "reply": ["answer", "response"], "ask": ["question", "query"],
+    "document": ["doc"], "doc": ["document"],
+    "image": ["picture", "img"], "picture": ["image"],
+    "automobile": ["car"], "vehicle": ["car"],
+    "physician": ["doctor"], "attorney": ["lawyer"],
+    "house": ["home"], "residence": ["home"],
+    "job": ["work", "employment"], "task": ["job"],
+    "cash": ["money"], "currency": ["money"],
+    "film": ["movie"], "cinema": ["movie"],
+    "song": ["track"], "tune": ["song"],
+    # tech abbreviations (the html -> 'hypertext markup language' shape the
+    # reference system test pins; abbrev -> spelled form left to a loaded
+    # table because multi-word targets need the phrase path)
+    "db": ["database"], "config": ["configuration"],
+    "repo": ["repository"], "app": ["application"],
+    "info": ["information"], "docs": ["documentation", "doc"],
+    "dir": ["directory"], "env": ["environment"],
+    "auth": ["authentication"], "admin": ["administrator"],
+    "spec": ["specification"], "param": ["parameter"],
+    "arg": ["argument"], "func": ["function"],
+    "var": ["variable"], "util": ["utility"],
+    # regular plurals of the test corpus vocabulary
+    "rows": ["row"], "columns": ["column"], "tables": ["table"],
+    "queries": ["query"], "joins": ["join"], "merges": ["merge"],
+    "shards": ["shard"], "indexes": ["index"], "indices": ["index"],
+    "vectors": ["vector"], "streams": ["stream"], "windows": ["window"],
+    "batches": ["batch"], "filters": ["filter"], "sorts": ["sort"],
+    "events": ["event"], "sessions": ["session"], "tokens": ["token"],
 }
 
 
