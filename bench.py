@@ -61,6 +61,7 @@ def main() -> None:
         documents,
         engine_for,
         pairs_for,
+        sigs_for,
     )
 
     # untimed warmup (same policy as the transcript-build leg below): fork
@@ -86,6 +87,10 @@ def main() -> None:
     t0 = time.time()
     pairs_for(spark, sf_dir)
     queries["pair_graph"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    sigs_for(spark, sf_dir)
+    queries["sig_build"] = round(time.time() - t0, 4)
 
     headline = [
         "bm25_and", "bm25_or", "bm25_not", "bm25_stopwords", "wand",

