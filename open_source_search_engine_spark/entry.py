@@ -871,6 +871,30 @@ def q_sortby(spark, sf_dir):
     ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_decontaminate(spark, sf_dir):
+    # eval-overlap decontamination: docs sharing any 4-gram with the eval
+    # slice (doc_id % 23 == 0); eval shingles broadcast, corpus-side
+    # map-side agg only
+    docs = documents(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return (
+        curation.contaminated_docs(corpus, ev, n=4)
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def q_pack_shards(spark, sf_dir):
+    # token-budget shard packing via a two-level distributed prefix sum --
+    # stable doc order, no global sort, <= n_buckets rows to the driver
+    return (
+        curation.pack_shards(documents(spark, sf_dir), budget_tokens=2048)
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
 QUERIES = {
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
@@ -929,6 +953,8 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "diversity": q_diversity,
     "dedup_screen": q_dedup_screen,
+    "decontaminate": q_decontaminate,
+    "pack_shards": q_pack_shards,
 }
 
 # --------------------------------------------------------------------------
@@ -1983,4 +2009,26 @@ SELECT doc_id,
 FROM rnk GROUP BY doc_id ORDER BY doc_id LIMIT 150
 """,
     "dedup_screen": _dedup_screen_sql(8, 4, 400, 200),
+    "decontaminate": f"""
+WITH {_TOKS},
+sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-3,0)+1),
+  i -> array_to_string(toks[i:i+3], ' '))) AS shingle FROM toks),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ev AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 23 = 0)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM ds d JOIN ev ON ev.shingle = d.shingle
+WHERE d.doc_id % 23 <> 0
+GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 200
+""",
+    "pack_shards": f"""
+WITH {_TOKS},
+c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+s AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM c)
+SELECT doc_id, n_tokens,
+       CAST(floor(excl / 2048.0) AS BIGINT) AS shard_id
+FROM s ORDER BY doc_id LIMIT 300
+""",
 }

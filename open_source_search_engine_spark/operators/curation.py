@@ -32,10 +32,10 @@ DuckDB oracles can replicate it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import shingles_expr, with_tokens
+from .dedup import doc_shingles, shingles_expr, with_tokens
 
 
 def doc_fragments(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -164,4 +164,112 @@ def source_mix_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .select("source", "n_docs", "source_tokens", "token_share", "mix_weight")
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    n-gram with an evaluation set (the standard eval-overlap scrub an LLM
+    data pipeline runs before training; same shingle machinery as the
+    near-dup suite, reference fragment-hash analog XmlDoc.cpp:20012).
+
+    Returns (doc_id, n_hits) — n_hits = how many DISTINCT eval n-grams the
+    doc contains. Callers drop (or audit) every returned doc_id.
+
+    Scale notes (100 TB): the eval set is benchmark-sized (MBs, not TBs),
+    so its distinct shingle set is explicitly broadcast — the corpus side
+    streams through one map-side-combined aggregation with NO shuffle of
+    corpus shingles; the plan is scan → broadcast-hash-semi-join → partial
+    agg. n=13 is the conventional contamination window (GPT-3 appendix C);
+    tests use smaller n because synthetic docs are short.
+    """
+    ev = doc_shingles(eval_docs, text_col, n).select("shingle").distinct()
+    # doc_shingles is already distinct per (doc_id, shingle), so count(*)
+    # after the join counts distinct overlapping n-grams.
+    return (
+        doc_shingles(docs, text_col, n)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign docs (in stable doc_id order) to training-export shards of
+    ~budget_tokens each: shard_id = floor(exclusive_prefix_sum(n_tokens)
+    / budget) — the "pack documents into ~N-token output files" step of a
+    training-data exporter, with deterministic doc order so re-runs
+    produce byte-identical shards.
+
+    Distributed prefix sum, the classic two-level scheme:
+      1. bucket docs by arithmetic doc_id range (deterministic — no
+         repartitionByRange sampling, so the two passes below can never
+         disagree on bucket boundaries);
+      2. one tiny agg collects per-bucket token totals (<= n_buckets rows
+         reach the driver, NEVER data rows) → exclusive bucket offsets;
+      3. a window per bucket computes the within-bucket running sum; the
+         broadcast offset join lifts it to the global prefix sum.
+
+    Scale notes (100 TB): pass 2 is map-side combined to n_buckets rows;
+    pass 3 shuffles once on bucket_id (each bucket = one task — size
+    n_buckets to ~executor count so no single sort exceeds a partition).
+    No global sort, no single-partition window, no driver data.
+    """
+    counts = with_tokens(docs, text_col).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    lo, hi = counts.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return counts.withColumn("shard_id", F.lit(None).cast("long")).select(
+            "doc_id", "n_tokens", "shard_id"
+        )
+    span = max(int(hi) - int(lo) + 1, 1)
+    counts = counts.withColumn(
+        "bucket",
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.col("doc_id") - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("int"),
+        ),
+    )
+    totals = (
+        counts.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .orderBy("bucket")
+        .collect()  # <= n_buckets rows: bounded by config, not data
+    )
+    offsets, running = [], 0
+    for row in totals:
+        offsets.append((int(row["bucket"]), running))
+        running += int(row["bucket_tokens"])
+    off_df = docs.sparkSession.createDataFrame(
+        offsets, "bucket int, bucket_offset bigint"
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        counts.join(F.broadcast(off_df), "bucket")
+        .withColumn(
+            "excl_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("bucket_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("excl_tokens") / F.lit(float(budget_tokens)))
+            .cast("long")
+            .alias("shard_id"),
+        )
     )

@@ -164,3 +164,67 @@ def test_detect_query_language_hint_precedence():
     # ambiguous marker vote broken by hint ('og' votes da AND no)
     assert d("og", country="dk") == "da"
     assert d("og", blang="no-NO") == "no"
+
+
+def test_contaminated_docs_flags_eval_overlap(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "eval", "en")],
+        ["doc_id", "text", "source", "lang"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the 4-gram "quick brown fox jumps" (and one more)
+            (1, "note the quick brown fox jumps here", "train", "en"),
+            # shares words but no 4-gram window
+            (2, "brown dog and lazy fox quick jumps", "train", "en"),
+            # clean
+            (3, "completely unrelated transcript text body", "train", "en"),
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in curation.contaminated_docs(corpus, ev, n=4).collect()
+    }
+    assert hits == {1: 2}  # 'the quick brown fox' + 'quick brown fox jumps'
+
+
+def test_contaminated_docs_plan_broadcasts_eval(spark):
+    ev = spark.createDataFrame([(1, "a b c d e", "e", "en")],
+                               ["doc_id", "text", "source", "lang"])
+    corpus = spark.createDataFrame([(2, "a b c d e f", "t", "en")],
+                                   ["doc_id", "text", "source", "lang"])
+    plan = curation.contaminated_docs(corpus, ev, n=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval shingles never shuffle the corpus
+
+
+def test_pack_shards_matches_serial_prefix_sum(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(1, 40))))
+            for i in range(0, 500, 3)]  # sparse doc_ids exercise the bucketing
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+    budget = 100
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in curation.pack_shards(docs, budget, n_buckets=8).collect()
+    }
+    # serial reference: exclusive running sum in doc_id order
+    running = 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        assert got[doc_id] == (n, running // budget), doc_id
+        running += n
+    # every shard except the last must have crossed the budget boundary
+    n_shards = max(s for _, s in got.values()) + 1
+    assert n_shards == (running + budget - 1) // budget or n_shards == running // budget + 1
+
+
+def test_pack_shards_empty_and_single(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert curation.pack_shards(empty, 100).count() == 0
+    one = spark.createDataFrame([(5, "a b c")], ["doc_id", "text"])
+    row = curation.pack_shards(one, 100).first()
+    assert (row["doc_id"], row["n_tokens"], row["shard_id"]) == (5, 3, 0)
