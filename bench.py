@@ -112,6 +112,9 @@ def main() -> None:
         "boilerplate", "spam_rank", "train_split", "source_mix",
         # round 3: faceted search + query-time field sort, Gopher rules
         "facets", "sortby", "quality_flags", "diversity", "dedup_screen",
+        # round 3 (late): training-export ops -- eval decontamination,
+        # token-budget shard packing (two-level distributed prefix sum)
+        "decontaminate", "pack_shards",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
