@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import doc_shingles, shingles_expr, with_tokens
+from .dedup import shingles_expr, with_tokens
 
 
 def doc_fragments(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -182,20 +182,29 @@ def contaminated_docs(
     doc contains. Callers drop (or audit) every returned doc_id.
 
     Scale notes (100 TB): the eval set is benchmark-sized (MBs, not TBs),
-    so its distinct shingle set is explicitly broadcast — the corpus side
-    streams through one map-side-combined aggregation with NO shuffle of
-    corpus shingles; the plan is scan → broadcast-hash-semi-join → partial
-    agg. n=13 is the conventional contamination window (GPT-3 appendix C);
-    tests use smaller n because synthetic docs are short.
+    so its distinct shingle set is explicitly broadcast, and the broadcast
+    join filters the corpus shingle stream BEFORE any deduplication — the
+    corpus's own shingles are never shuffled (dedup-then-filter would
+    exchange the full O(corpus tokens) shingle stream; filter-then-dedup
+    exchanges only the contamination hits, which are rare by construction).
+    The plan is scan → broadcast-hash-join → partial-distinct agg on
+    doc_id. n=13 is the conventional contamination window (GPT-3 appendix
+    C); tests use smaller n because synthetic docs are short.
     """
-    ev = doc_shingles(eval_docs, text_col, n).select("shingle").distinct()
-    # doc_shingles is already distinct per (doc_id, shingle), so count(*)
-    # after the join counts distinct overlapping n-grams.
+    # No distinct() on the eval side: the final countDistinct collapses
+    # duplicate-join rows anyway, and skipping it removes the only other
+    # Exchange in the plan (a slightly larger broadcast list is cheaper
+    # than a shuffle round for a benchmark-sized eval set).
+    ev = with_tokens(eval_docs, text_col).select(
+        F.explode(shingles_expr("toks", n)).alias("shingle")
+    )
+    sh = with_tokens(docs, text_col).select(
+        "doc_id", F.explode(shingles_expr("toks", n)).alias("shingle")
+    )
     return (
-        doc_shingles(docs, text_col, n)
-        .join(F.broadcast(ev), "shingle")
+        sh.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .agg(F.countDistinct("shingle").cast("long").alias("n_hits"))
     )
 
 

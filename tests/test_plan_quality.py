@@ -189,3 +189,38 @@ def test_minhash_screen_scan_is_shuffle_free_on_sig_side(spark):
     # no Exchange before the banding explode
     p = _physical(sigs)
     assert "Exchange" not in p
+
+
+def test_pack_shards_has_no_global_sort(spark):
+    from open_source_search_engine_spark.operators.curation import pack_shards
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i % 5 + 1)) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    p = _physical(pack_shards(docs, 64, n_buckets=8))
+    # two-level prefix sum: ONE hash exchange on the bucket key feeding a
+    # bucket-partitioned window; never a global range sort or an
+    # unpartitioned window (the one-task-sort anti-pattern)
+    assert "rangepartitioning" not in p
+    assert "hashpartitioning(bucket" in p
+    assert "windowspecdefinition(bucket" in p
+
+
+def test_decontaminate_corpus_side_never_shuffles_shingles(spark):
+    from open_source_search_engine_spark.operators.curation import contaminated_docs
+
+    ev = spark.createDataFrame([(1, "a b c d e", "e")], ["doc_id", "text", "source"])
+    corpus = spark.createDataFrame(
+        [(i, f"a b c d e token{i}", "t") for i in range(2, 30)],
+        ["doc_id", "text", "source"],
+    )
+    p = _physical(contaminated_docs(corpus, ev, n=4))
+    assert "BroadcastHashJoin" in p
+    # the only Exchange is the final per-doc agg (hashpartitioning(doc_id));
+    # corpus shingles themselves never shuffle
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+partitioning)\(([^,)]+)", p)
+    data_exchanges = [e for e in exchanges if "broadcast" not in e[0].lower()]
+    assert all(col.startswith("doc_id") for _, col in data_exchanges), exchanges
