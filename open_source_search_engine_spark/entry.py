@@ -756,6 +756,18 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    # recall@10 of the materialized LSH index vs exact brute force for a
+    # bounded probe set -- the approximation-quality monitor a deployment
+    # runs; all probe arms fuse into one job
+    idx = ann_for(spark, sf_dir)
+    emb = embeddings(spark, sf_dir)
+    return similarity.ann_recall(
+        idx["lsh"], emb, query_ids=[0, 7, 21], k=10,
+        n_planes=12, max_hamming=3,
+    )
+
+
 def q_simhash(spark, sf_dir):
     # md5-based 64-bit SimHash -- bit-identical in DuckDB, hash-match gated
     return dedup.simhash64(documents(spark, sf_dir)).orderBy("doc_id").limit(100)
@@ -955,6 +967,7 @@ QUERIES = {
     "dedup_screen": q_dedup_screen,
     "decontaminate": q_decontaminate,
     "pack_shards": q_pack_shards,
+    "ann_recall": q_ann_recall,
 }
 
 # --------------------------------------------------------------------------
@@ -1209,6 +1222,70 @@ SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS BIGINT) AS rank,
        vec_id, round(c, 4) AS cosine
 FROM cand ORDER BY rank LIMIT {k}
 """
+
+def _ann_recall_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of similarity.ann_recall: the same seeded hyperplane
+    literals sign every vector and every probe; approx = hamming-ring
+    candidates ranked per probe, exact = full cosine ranked per probe;
+    recall = top-k overlap under the shared (cosine desc, id asc)
+    tie-break."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+
+    def arr(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], {arr(planes[p])})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    qsig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {arr(planes[p])})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN ({ids})),
+sig AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, ({sig_terms}) AS s
+        FROM embeddings e),
+qs AS (SELECT qid, qv, ({qsig_terms}) AS s FROM q),
+cand AS (
+  SELECT qs.qid, sig.vec_id, list_cosine_similarity(sig.v, qs.qv) AS c
+  FROM sig, qs
+  WHERE bit_count(xor(sig.s::BIGINT, qs.s::BIGINT)) <= {max_hamming}
+),
+approx AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS r
+  FROM cand) WHERE r <= {k}),
+allcos AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e, q
+),
+exact AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS r
+  FROM allcos) WHERE r <= {k}),
+hit AS (SELECT a.qid, count(*) AS hits
+        FROM approx a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY a.qid)
+SELECT q.qid AS query_vec_id,
+       CAST(coalesce(hit.hits, 0) AS BIGINT) AS hits,
+       CAST({k} AS BIGINT) AS k,
+       round(coalesce(hit.hits, 0) / {float(k)}, 4) AS recall
+FROM q LEFT JOIN hit ON hit.qid = q.qid ORDER BY query_vec_id
+"""
+
 
 def _embed_neardup_sql(
     n_planes: int = 8,
@@ -2031,4 +2108,5 @@ SELECT doc_id, n_tokens,
        CAST(floor(excl / 2048.0) AS BIGINT) AS shard_id
 FROM s ORDER BY doc_id LIMIT 300
 """,
+    "ann_recall": _ann_recall_sql([0, 7, 21], k=10, n_planes=12, max_hamming=3),
 }

@@ -428,3 +428,77 @@ def pairwise_cosine_neardup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ann_recall(
+    index_df: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+    bucket_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the materialized LSH-ANN index against exact brute
+    force for a bounded probe set — the monitoring metric a deployment
+    watches to size its approximation (n_planes / max_hamming trade
+    recall for pruned work; this op quantifies the trade on live data).
+
+    Returns (query_vec_id, hits, k, recall), one row per probe id, recall
+    = |ann top-k ∩ exact top-k| / k under the shared deterministic
+    tie-break (cosine desc, id asc).
+
+    Scale notes (100 TB): the probe set is a bounded sample (tens), never
+    the corpus — only |query_ids| embedding rows are collected. Each
+    probe's approx arm is the partition-pruned index scan lsh_ann_topk
+    already does; the exact arm is the unavoidable ground-truth full scan,
+    paid |query_ids| times. All arms union into ONE job (Spark fuses the
+    per-probe subplans), ending in a tiny join+agg over 2·k·|query_ids|
+    rows.
+    """
+    from functools import reduce
+
+    probes = sorted(
+        embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    approx_parts, exact_parts = [], []
+    for row in probes:
+        qv = [float(x) for x in row[vec_col]]
+        qid = int(row[id_col])
+        approx_parts.append(
+            lsh_ann_topk(
+                index_df, qv, k=k, n_planes=n_planes,
+                max_hamming=max_hamming, seed=seed,
+                id_col=id_col, vec_col=vec_col, bucket_bits=bucket_bits,
+            ).select(F.lit(qid).alias("query_vec_id"), F.col(id_col))
+        )
+        exact_parts.append(
+            cosine_topk(embeddings, qv, k=k, id_col=id_col, vec_col=vec_col)
+            .select(F.lit(qid).alias("query_vec_id"), F.col(id_col))
+        )
+    approx = reduce(DataFrame.unionByName, approx_parts)
+    exact = reduce(DataFrame.unionByName, exact_parts)
+    hits = (
+        approx.join(exact, ["query_vec_id", id_col])
+        .groupBy("query_vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    ids_df = embeddings.sparkSession.createDataFrame(
+        [(int(r[id_col]),) for r in probes], "query_vec_id long"
+    )
+    return (
+        ids_df.join(hits, "query_vec_id", "left")
+        .select(
+            "query_vec_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.lit(k).cast("long").alias("k"),
+        )
+        .withColumn("recall", F.round(F.col("hits") / F.lit(float(k)), 4))
+        .orderBy("query_vec_id")
+    )

@@ -65,3 +65,34 @@ def test_neardup_pairs_symmetric_threshold(emb):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert r["cosine"] >= 0.99
+
+
+def test_ann_recall_probe_all_is_one(emb):
+    # max_hamming = n_planes admits every candidate -> approx == exact ->
+    # recall must be exactly 1.0 for every probe
+    rows = similarity.ann_recall(
+        emb, emb, query_ids=[0, 7, 21], k=10, n_planes=12, max_hamming=12
+    ).collect()
+    assert [int(r["query_vec_id"]) for r in rows] == [0, 7, 21]
+    assert all(r["recall"] == 1.0 and r["hits"] == 10 for r in rows)
+
+
+def test_ann_recall_monotone_in_hamming(emb):
+    # widening the ring can only add candidates -> recall is monotone
+    def total(h):
+        rows = similarity.ann_recall(
+            emb, emb, query_ids=[0, 7, 21], k=10, n_planes=12, max_hamming=h
+        ).collect()
+        return sum(int(r["hits"]) for r in rows)
+
+    t1, t3, t12 = total(1), total(3), total(12)
+    assert t1 <= t3 <= t12 == 30
+
+
+def test_ann_recall_missing_probe_id_is_skipped(emb):
+    # a probe id absent from the table contributes no row (bounded probe
+    # collect finds nothing); present ids are unaffected
+    rows = similarity.ann_recall(
+        emb, emb, query_ids=[7, 10**9], k=5, n_planes=12, max_hamming=12
+    ).collect()
+    assert [int(r["query_vec_id"]) for r in rows] == [7]
