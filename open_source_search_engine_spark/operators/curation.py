@@ -282,3 +282,20 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal step: drop every doc `contaminated_docs` flags with
+    >= min_hits overlapping eval n-grams (left-anti join on doc_id).
+    The flagged set is contamination-sized (tiny), so AQE broadcasts it;
+    the corpus passes through unshuffled."""
+    hits = contaminated_docs(docs, eval_docs, n=n, text_col=text_col).filter(
+        F.col("n_hits") >= min_hits
+    )
+    return docs.join(hits.select("doc_id"), "doc_id", "left_anti")

@@ -228,3 +228,25 @@ def test_pack_shards_empty_and_single(spark):
     one = spark.createDataFrame([(5, "a b c")], ["doc_id", "text"])
     row = curation.pack_shards(one, 100).first()
     assert (row["doc_id"], row["n_tokens"], row["shard_id"]) == (5, 3, 0)
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "eval", "en")],
+        ["doc_id", "text", "source", "lang"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "note the quick brown fox jumps here", "train", "en"),
+            (2, "brown dog and lazy fox quick jumps", "train", "en"),
+            (3, "completely unrelated transcript text body", "train", "en"),
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in curation.decontaminate(corpus, ev, n=4).collect()
+    )
+    assert kept == [2, 3]
+    # min_hits above the overlap keeps everything
+    kept_all = curation.decontaminate(corpus, ev, n=4, min_hits=3).count()
+    assert kept_all == 3
