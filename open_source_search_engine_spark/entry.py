@@ -883,6 +883,21 @@ def q_sortby(spark, sf_dir):
     ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_resample(spark, sf_dir):
+    # domain-reweighting APPLIED: deterministic md5-fraction downsample of
+    # every source to the smallest source's token budget; audit per source
+    kept = curation.resample_to_uniform(documents(spark, sf_dir))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.round(F.min("keep_rate"), 4).alias("keep_rate"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     # eval-overlap decontamination: docs sharing any 4-gram with the eval
     # slice (doc_id % 23 == 0); eval shingles broadcast, corpus-side
@@ -968,6 +983,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_shards": q_pack_shards,
     "ann_recall": q_ann_recall,
+    "resample": q_resample,
 }
 
 # --------------------------------------------------------------------------
@@ -2109,4 +2125,21 @@ SELECT doc_id, n_tokens,
 FROM s ORDER BY doc_id LIMIT 300
 """,
     "ann_recall": _ann_recall_sql([0, 7, 21], k=10, n_planes=12, max_hamming=3),
+    "resample": f"""
+WITH {_TOKS},
+t AS (SELECT d.doc_id, d.source, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM toks JOIN documents d USING (doc_id)),
+per AS (SELECT source, sum(n_tokens)::DOUBLE AS source_tokens
+        FROM t GROUP BY 1),
+tgt AS (SELECT min(source_tokens) AS target_tokens FROM per),
+r AS (SELECT source, target_tokens / source_tokens AS keep_rate
+      FROM per, tgt),
+k AS (SELECT t.doc_id, t.source, t.n_tokens, r.keep_rate
+      FROM t JOIN r USING (source)
+      WHERE (('0x' || substr(md5('resample:' || CAST(t.doc_id AS VARCHAR)),
+              1, 8))::BIGINT / 4294967296.0) < r.keep_rate)
+SELECT source, round(min(keep_rate), 4) AS keep_rate,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS kept_tokens
+FROM k GROUP BY source ORDER BY source
+""",
 }

@@ -299,3 +299,49 @@ def decontaminate(
         F.col("n_hits") >= min_hits
     )
     return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+
+def resample_to_uniform(
+    docs: DataFrame, text_col: str = "text", salt: str = "resample"
+) -> DataFrame:
+    """Apply the domain-reweighting step `source_mix_weights` computes:
+    deterministically downsample every source to the SMALLEST source's
+    token budget, flattening the mix to uniform. keep iff
+    md5_frac(salt:doc_id) < target_tokens / source_tokens — the same
+    never-rand() discipline as hash_split, so the kept set is stable
+    under re-runs, repartitioning, and incremental growth.
+
+    Returns the kept docs with (n_tokens, keep_rate) attached.
+
+    Scale notes (100 TB): one map-side-combined agg to a per-source dim
+    (thousands of rows), broadcast back; the corpus itself passes through
+    a projection + filter with NO data-row shuffle.
+    """
+    toks = (
+        with_tokens(docs, text_col)
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .drop("toks")
+    )
+    per = toks.groupBy("source").agg(F.sum("n_tokens").alias("source_tokens"))
+    tgt = per.agg(F.min("source_tokens").alias("target_tokens"))
+    rates = (
+        per.crossJoin(F.broadcast(tgt))
+        .withColumn("keep_rate", F.col("target_tokens") / F.col("source_tokens"))
+        .select("source", "keep_rate")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("keep_rate"))
+    )

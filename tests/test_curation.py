@@ -250,3 +250,35 @@ def test_decontaminate_drops_only_flagged(spark):
     # min_hits above the overlap keeps everything
     kept_all = curation.decontaminate(corpus, ev, n=4, min_hits=3).count()
     assert kept_all == 3
+
+
+def test_resample_flattens_and_is_stable(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    did = 0
+    # src_big has ~10x the tokens of src_small
+    for src, n_docs, lo, hi in [("src_big", 400, 20, 40), ("src_small", 40, 20, 40)]:
+        for _ in range(n_docs):
+            rows.append(
+                (did, " ".join(f"w{rng.randrange(99)}" for _ in range(rng.randrange(lo, hi))), src)
+            )
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept = curation.resample_to_uniform(docs)
+    per = {
+        r["source"]: r["tok"]
+        for r in kept.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    # the big source is downsampled toward the small source's budget
+    # (hash sampling is exact only in expectation: allow 25%)
+    assert per["src_small"] > 0
+    assert abs(per["src_big"] - per["src_small"]) / per["src_small"] < 0.25
+    # determinism: identical kept set on a re-run over a repartitioned frame
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in curation.resample_to_uniform(docs.repartition(13)).collect()
+    )
+    assert a == b
