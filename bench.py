@@ -114,7 +114,7 @@ def main() -> None:
         "facets", "sortby", "quality_flags", "diversity", "dedup_screen",
         # round 3 (late): training-export ops -- eval decontamination,
         # token-budget shard packing (two-level distributed prefix sum)
-        "decontaminate", "pack_shards", "ann_recall", "resample",
+        "decontaminate", "pack_shards", "ann_recall", "resample", "pack_export",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -898,6 +898,17 @@ def q_resample(spark, sf_dir):
     )
 
 
+def q_pack_export(spark, sf_dir):
+    # materialized training shards: concatenated doc texts per shard_id in
+    # deterministic doc order (array_sort over structs, never bare
+    # collect_list)
+    return (
+        curation.pack_export(documents(spark, sf_dir), budget_tokens=4096)
+        .orderBy("shard_id")
+        .limit(100)
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     # eval-overlap decontamination: docs sharing any 4-gram with the eval
     # slice (doc_id % 23 == 0); eval shingles broadcast, corpus-side
@@ -984,6 +995,7 @@ QUERIES = {
     "pack_shards": q_pack_shards,
     "ann_recall": q_ann_recall,
     "resample": q_resample,
+    "pack_export": q_pack_export,
 }
 
 # --------------------------------------------------------------------------
@@ -2141,5 +2153,19 @@ k AS (SELECT t.doc_id, t.source, t.n_tokens, r.keep_rate
 SELECT source, round(min(keep_rate), 4) AS keep_rate,
        count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS kept_tokens
 FROM k GROUP BY source ORDER BY source
+""",
+    "pack_export": f"""
+WITH {_TOKS},
+c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+s AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM c),
+a AS (SELECT s.doc_id, s.n_tokens,
+        CAST(floor(excl / 4096.0) AS BIGINT) AS shard_id, d.text
+      FROM s JOIN documents d USING (doc_id))
+SELECT shard_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed
+FROM a GROUP BY shard_id ORDER BY shard_id LIMIT 100
 """,
 }

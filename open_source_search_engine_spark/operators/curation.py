@@ -345,3 +345,41 @@ def resample_to_uniform(
         toks.join(F.broadcast(rates), "source")
         .filter(frac < F.col("keep_rate"))
     )
+
+
+def pack_export(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize the shards `pack_shards` assigns: one row per shard_id
+    with the docs' texts concatenated in doc_id order — the actual
+    training-export payload, byte-identical across re-runs.
+
+    Returns (shard_id, n_docs, n_tokens, packed). Within-shard order is
+    forced by sorting the collected (doc_id, text) structs — never a bare
+    collect_list, whose order is partition-arrival nondeterministic.
+
+    Scale notes (100 TB): one shuffle on shard_id; each shard is
+    ~budget_tokens of text (a few MB), so a group never exceeds a task's
+    memory. Writers partition the output by shard_id ranges.
+    """
+    assigned = pack_shards(docs, budget_tokens, text_col, n_buckets)
+    withtext = assigned.join(docs.select("doc_id", text_col), "doc_id")
+    return (
+        withtext.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", F.col(text_col).alias("t")))
+            ).alias("_docs"),
+        )
+        .withColumn(
+            "packed",
+            F.array_join(F.expr("transform(_docs, d -> d.t)"), sep),
+        )
+        .select("shard_id", "n_docs", "n_tokens", "packed")
+    )

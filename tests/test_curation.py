@@ -282,3 +282,28 @@ def test_resample_flattens_and_is_stable(spark):
         for r in curation.resample_to_uniform(docs.repartition(13)).collect()
     )
     assert a == b
+
+
+def test_pack_export_order_and_budget(spark):
+    rows = [(i, f"doc{i} body " + "x " * (i % 7)) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = {
+        r["shard_id"]: r
+        for r in curation.pack_export(docs, budget_tokens=30, n_buckets=4).collect()
+    }
+    # within-shard concatenation follows doc_id order exactly
+    for r in out.values():
+        texts = r["packed"].split("\n\n")
+        ids = [int(t.split()[0][3:]) for t in texts]
+        assert ids == sorted(ids)
+        assert r["n_docs"] == len(texts)
+    # every doc appears exactly once across shards
+    assert sum(r["n_docs"] for r in out.values()) == 40
+    # shard token sums equal the assignment's sums
+    assign = curation.pack_shards(docs, 30, n_buckets=4)
+    from pyspark.sql import functions as SF
+    exp = {
+        r["shard_id"]: r["t"]
+        for r in assign.groupBy("shard_id").agg(SF.sum("n_tokens").alias("t")).collect()
+    }
+    assert {k: r["n_tokens"] for k, r in out.items()} == exp
