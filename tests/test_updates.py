@@ -188,3 +188,63 @@ def test_compaction_annihilates(spark, updated_catalog, expected_catalog):
         assert _topk(spark, updated_catalog, terms, mode, k) == _topk(
             spark, expected_catalog, terms, mode, k
         )
+
+
+def test_lifecycle_delete_readd_cycles_match_fresh_builds(
+    spark, tmp_path_factory, corpora
+):
+    """The reference's Posdb lifecycle matrix (PosdbTest.cpp:248-441,
+    SingleDocSpiderDelete / SpiderDumpDelete / SpiderDumpDeleteDumpSpider
+    ...): a doc deleted, compacted away, RE-ADDED under the same key with
+    new text, compacted again, then deleted once more must serve queries
+    rank-identically to a fresh build of the equivalent corpus at EVERY
+    step -- resurrection across compaction boundaries is the case a
+    tombstone implementation gets wrong."""
+    base, *_ = corpora
+    victim = base.orderBy("doc_id").limit(1)
+    vrow = victim.collect()[0]
+    vid = int(vrow["doc_id"])
+    rest = base.filter(F.col("doc_id") != vid)
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("lifecycle")))
+    build_index(spark, cat, base)
+    probe = ([vrow["text"].split()[0].lower(), "the"], "OR", 15)
+
+    def expect(docs):
+        ecat = Catalog(spark, str(tmp_path_factory.mktemp("lifecycle-exp")))
+        build_index(spark, ecat, docs)
+        return _topk(spark, ecat, *probe)
+
+    # 1: delete, pre-compaction (Spider -> Delete)
+    apply_updates(spark, cat, delete_ids=victim.select("doc_id"))
+    want_without = expect(rest)
+    assert _topk(spark, cat, *probe) == want_without
+    # 2: compact the deletion away (Dump)
+    compact_updates(spark, cat)
+    assert _topk(spark, cat, *probe) == want_without
+    # 3: re-add the SAME doc_id with new text (DeleteDumpSpider)
+    revived = victim.withColumn(
+        "text", F.concat(F.lit("revived_zz body "), F.col("text"))
+    )
+    apply_updates(spark, cat, upserts=revived)
+    want_revived = expect(rest.unionByName(revived))
+    assert _topk(spark, cat, *probe) == want_revived
+    assert _topk(spark, cat, ["revived_zz"], "AND", 5) == _topk_of(
+        spark, cat, vid
+    )
+    # 4: compact the resurrection (DumpSpiderDump)
+    compact_updates(spark, cat)
+    assert _topk(spark, cat, *probe) == want_revived
+    # 5: delete it AGAIN post-compaction and verify it is really gone
+    apply_updates(spark, cat, delete_ids=victim.select("doc_id"))
+    assert _topk(spark, cat, *probe) == want_without
+    assert _topk(spark, cat, ["revived_zz"], "AND", 5) == []
+
+
+def _topk_of(spark, catalog, doc_id):
+    eng = SearchEngine(spark, catalog)
+    return [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in eng.search_terms(["revived_zz"], "AND", 5).collect()
+        if int(r["doc_id"]) == doc_id
+    ]
