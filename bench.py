@@ -26,11 +26,47 @@ sys.path.insert(0, REPO)
 from open_source_search_engine_spark.session import get_spark  # noqa: E402
 
 
+def _work(_):
+    """Fixed pure-numpy workload (scripts/host_probe.py, scaled down)."""
+    import numpy as np
+
+    h = np.full(1_000_000, 0xCBF29CE484222325, dtype=np.uint64)
+    for _ in range(60):
+        h = (h ^ np.uint64(0x9E)) * np.uint64(0x100000001B3)
+    return float(h[0])
+
+
+def host_probe(procs: int) -> dict:
+    """In-bench host parallel-capacity probe (r3 VERDICT task 3: the bench
+    artifact must SELF-attribute shared-host noise). Zero Spark/JVM: wall
+    time of the same per-process numpy workload at 1 and N processes;
+    aggregate_scaling(N) = N * wall(1) / wall(N) -- the probe-implied
+    ceiling for ANY parallel software on this box right now."""
+    import multiprocessing as mp
+
+    with mp.Pool(2) as p:  # warm fork machinery untimed
+        p.map(_work, range(2))
+    out = {}
+    for n in (1, procs):
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_work, range(n))
+        out[n] = time.time() - t0
+    return {
+        "procs": procs,
+        "wall_1_sec": round(out[1], 3),
+        f"wall_{procs}_sec": round(out[procs], 3),
+        "aggregate_scaling": round(procs * out[1] / out[procs], 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else 0.0
     n_turns = int(os.environ.get("OSSE_BENCH_TURNS", "200000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe = host_probe(cpus)
 
     spark = get_spark("osse-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,6 +94,7 @@ def main() -> None:
     #                     jaccard_pairs + dedup_clusters)
     from open_source_search_engine_spark.entry import (
         ann_for,
+        cjk_for,
         documents,
         engine_for,
         pairs_for,
@@ -92,6 +129,10 @@ def main() -> None:
     sigs_for(spark, sf_dir)
     queries["sig_build"] = round(time.time() - t0, 4)
 
+    t0 = time.time()
+    cjk_for(spark, sf_dir)
+    queries["cjk_build"] = round(time.time() - t0, 4)
+
     headline = [
         "bm25_and", "bm25_or", "bm25_not", "bm25_stopwords", "wand",
         "phrase", "boolean", "lang_filter_bm25", "term_stats",
@@ -115,6 +156,10 @@ def main() -> None:
         # round 3 (late): training-export ops -- eval decontamination,
         # token-budget shard packing (two-level distributed prefix sum)
         "decontaminate", "pack_shards", "ann_recall", "resample", "pack_export",
+        # round 4: multi-word synonym phrase path, rule-based morphology,
+        # serve-time result dedup + refill, UOR opcode, CJK char bigrams
+        "bm25_multiword_synonym", "bm25_plural", "bm25_dedup_results",
+        "uor", "bm25_cjk",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
@@ -164,28 +209,43 @@ def main() -> None:
         transcripts_to_docs(tr).limit(20_000),
         IndexConfig(tokenizer_mode="ascii"),
     )
-    t0 = time.time()
-    build_index(
-        spark, cat, transcripts_to_docs(tr), IndexConfig(tokenizer_mode="ascii")
-    )
-    build_s = time.time() - t0
+    # median-of-3 builds (r3 VERDICT task 3: the transcript legs were the
+    # noisiest section round-over-round; the probe above + the median here
+    # make the driver artifact self-attributing)
+    build_samples = []
+    for rep in range(n_reps):
+        rep_wh = wh if rep == n_reps - 1 else f"{wh}-rep{rep}"
+        shutil.rmtree(rep_wh, ignore_errors=True)
+        rep_cat = Catalog(spark, rep_wh)
+        t0 = time.time()
+        build_index(
+            spark, rep_cat, transcripts_to_docs(tr),
+            IndexConfig(tokenizer_mode="ascii"),
+        )
+        build_samples.append(time.time() - t0)
+    build_samples.sort()
+    build_s = build_samples[len(build_samples) // 2]
     queries["transcript_build"] = round(build_s, 4)
     turns_per_sec = n_turns / build_s
 
     eng = SearchEngine(spark, cat, tokenizer_mode="ascii")
-    lat = []
-    for terms, mode in [
-        (["spark", "index"], "AND"),
-        (["query", "merge", "shard"], "AND"),
-        (["vector", "stream", "window"], "OR"),
-        (["the", "score"], "AND"),
-        (["rareterm_xyzzy"], "AND"),
-    ]:
-        t0 = time.time()
-        eng.search_terms(terms, mode, 10).collect()
-        lat.append(time.time() - t0)
-    lat.sort()
-    p50 = lat[len(lat) // 2]
+    p50_samples = []
+    for _ in range(n_reps):
+        lat = []
+        for terms, mode in [
+            (["spark", "index"], "AND"),
+            (["query", "merge", "shard"], "AND"),
+            (["vector", "stream", "window"], "OR"),
+            (["the", "score"], "AND"),
+            (["rareterm_xyzzy"], "AND"),
+        ]:
+            t0 = time.time()
+            eng.search_terms(terms, mode, 10).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        p50_samples.append(lat[len(lat) // 2])
+    p50_samples.sort()
+    p50 = p50_samples[len(p50_samples) // 2]
     queries["bm25_transcript_p50"] = round(p50, 4)
 
     # batch serving throughput: many queries in ONE job (SearchEngine.search_many)
@@ -212,6 +272,44 @@ def main() -> None:
     queries["batch_64_queries"] = round(batch_s, 4)
     batch_qps = 64 / batch_s
 
+    # ---- optional 10M-turn serving leg (r3 VERDICT task 8) ---------------
+    # When a prebuilt 10M-turn index exists (scripts/build_10m.py writes
+    # it), measure the SAME reference query set against it so the envelope
+    # "doubling index size ~ halves qps" (reference html/faq.html:316) is
+    # checkable inside the driver artifact. Skipped silently when absent.
+    tenm = {}
+    tenm_wh = os.environ.get("OSSE_10M_WH", "/tmp/osse-10m-wh")
+    if os.path.isdir(os.path.join(tenm_wh, "postings")):
+        eng10 = SearchEngine(
+            spark, Catalog(spark, tenm_wh), tokenizer_mode="ascii"
+        )
+        p50_10 = []
+        for _ in range(n_reps):
+            lat10 = []
+            for terms, mode in [
+                (["spark", "index"], "AND"),
+                (["query", "merge", "shard"], "AND"),
+                (["vector", "stream", "window"], "OR"),
+                (["the", "score"], "AND"),
+                (["rareterm_xyzzy"], "AND"),
+            ]:
+                t0 = time.time()
+                eng10.search_terms(terms, mode, 10).collect()
+                lat10.append(time.time() - t0)
+            lat10.sort()
+            p50_10.append(lat10[len(lat10) // 2])
+        p50_10.sort()
+        queries["bm25_10m_p50"] = round(p50_10[len(p50_10) // 2], 4)
+        t0 = time.time()
+        eng10.search_many(batch).collect()
+        b10 = time.time() - t0
+        queries["batch_64_10m"] = round(b10, 4)
+        tenm = {
+            "tenm_turns": 10_000_000,
+            "tenm_p50_sec": queries["bm25_10m_p50"],
+            "tenm_batch_qps": round(64 / b10, 1),
+        }
+
     total = sum(queries.values())
     print(
         json.dumps(
@@ -227,6 +325,18 @@ def main() -> None:
                     "bm25_query_p50_sec": round(p50, 4),
                     "batch_qps": round(batch_qps, 1),
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                    # host-capacity probe (self-attribution): if
+                    # aggregate_scaling is far below `procs`, the box was
+                    # shared/throttled during THIS run and absolute wall
+                    # numbers carry that noise
+                    "host_probe": probe,
+                    "transcript_build_samples_sec": [
+                        round(s, 4) for s in build_samples
+                    ],
+                    "bm25_p50_samples_sec": [
+                        round(s, 4) for s in p50_samples
+                    ],
+                    **tenm,
                 },
             }
         )

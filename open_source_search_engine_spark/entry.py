@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -933,6 +934,131 @@ def q_pack_shards(spark, sf_dir):
     )
 
 
+def q_bm25_multiword_synonym(spark, sf_dir):
+    # multi-word synonym/abbreviation expansion through the phrase path
+    # (Synonyms.cpp:59 multi-word alternatives; Query.cpp:414-445; the
+    # reference golden test/system/test_search_terms.py:8 pins `html`
+    # matching docs containing ONLY "Hypertext Markup Language").
+    # 'mergesort' is ABSENT from the corpus; its vote group holds the
+    # 2-word phrase alternative "merge sort" at weight 0.9, matched by
+    # positional adjacency and scored idf(df_phrase) * tf_norm(tf_phrase).
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_synonyms(
+            ["mergesort"], {"mergesort": ["merge sort"]}, "AND", 10
+        ),
+        10,
+    )
+
+
+def q_bm25_plural(spark, sf_dir):
+    # rule-based morphology (Synonyms.cpp wordform machinery, generalized):
+    # 'tables'/'joins' are ABSENT from the corpus; morph_forms derives the
+    # base forms at 0.9 weight and invalid candidates ('tabl') drop at plan
+    # time against term_stats. AND over the two vote groups.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_expanded(["tables", "joins"], "AND", 10, use_bigrams=False),
+        10,
+    )
+
+
+def q_bm25_dedup_results(spark, sf_dir):
+    # serve-time result dedup with over-fetch refill (Msg40.cpp:1173-1300
+    # percentSimilarSummary/contentHash32 dedup + :1270-1300 re-fetch):
+    # over-fetch 2x k, collapse results sharing a 64-bit simhash (keep the
+    # best-ranked), refill to k from the over-fetched tail. The sf corpus
+    # plants a near-identical pair (one extra token) that collapses here.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_deduped(
+            ["hash", "filter"], "AND", k=20, overfetch=2, sim_ham=0
+        ),
+        20,
+    )
+
+
+def q_uor(spark, sf_dir):
+    # UOR weighted-or opcode (Query.h:146-152 OP_UOR): '(merge UOR sort)'
+    # is OR for eligibility but ONE rank-blend vote group for scoring --
+    # matched counts the UOR group once (3 groups here), unlike plain OR
+    # which counts each term.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_query("spark join (merge UOR sort)", k=15), 15)
+
+
+# --------------------------------------------------------------------------
+# CJK: derived deterministic CJK corpus over the sf documents
+# --------------------------------------------------------------------------
+_CJK_ENGINES: dict[str, SearchEngine] = {}
+
+
+def _cjk_code(tok: str) -> int:
+    """Deterministic token -> CJK offset, computable identically in Python
+    and ANSI SQL (ascii/substr/length only): collisions are fine -- both
+    sides map identically."""
+    c2 = ord(tok[1]) if len(tok) > 1 else 32
+    return (ord(tok[0]) * 31 + c2 * 7 + len(tok)) % 1024
+
+
+def _cjk_char(tok: str) -> str:
+    return chr(0x4E00 + _cjk_code(tok))
+
+
+def cjk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sf documents rendered as an UNSEGMENTED CJK corpus: each ascii
+    token maps to one Han character (md5-free arithmetic mapping above) and
+    a doc's text becomes one spaceless CJK run -- the input shape
+    `Words.cpp:216` script segmentation exists for. Deterministic, derived
+    only from the driver's parquet (no external data)."""
+    import re as _re
+
+    split = _re.compile(r"[^a-z0-9_]+")
+
+    @F.pandas_udf("string")
+    def to_cjk(texts: pd.Series) -> pd.Series:
+        def conv(x: str) -> str:
+            toks = [t for t in split.split(str(x).lower()) if t]
+            return "".join(chr(0x4E00 + _cjk_code(t)) for t in toks)
+
+        return texts.fillna("").map(conv)
+
+    return documents(spark, sf_dir).select(
+        "doc_id", to_cjk(F.col("text")).alias("text")
+    )
+
+
+def cjk_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Unicode-mode engine over the derived CJK corpus (built once per
+    process+sf like engine_for): the tokenizer splits each CJK run into
+    overlapping character bigrams, index- and query-side symmetrically."""
+    key = os.path.abspath(sf_dir)
+    if key not in _CJK_ENGINES:
+        wh = os.path.join(
+            "/tmp", "osse-entry-cjk-wh", key.strip("/").replace("/", "_")
+        )
+        cat = Catalog(spark, wh)
+        build_index(
+            spark,
+            cat,
+            cjk_docs(spark, sf_dir),
+            IndexConfig(tokenizer_mode="unicode"),
+        )
+        _CJK_ENGINES[key] = SearchEngine(spark, cat, tokenizer_mode="unicode")
+    return _CJK_ENGINES[key]
+
+
+def q_bm25_cjk(spark, sf_dir):
+    # CJK character-bigram retrieval (Words.cpp:216 script-aware
+    # segmentation; X11 script detection): BM25 over the bigram term
+    # derived from the adjacent pair ('merge','sort') in the mapped corpus.
+    # The query string is real CJK text; tokenize() turns it into the same
+    # bigram the index carries.
+    eng = cjk_for(spark, sf_dir)
+    qword = _cjk_char("merge") + _cjk_char("sort")
+    return _ranked(eng.search_terms([qword], "AND", 10), 10)
+
+
 QUERIES = {
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
@@ -996,6 +1122,11 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "resample": q_resample,
     "pack_export": q_pack_export,
+    "bm25_multiword_synonym": q_bm25_multiword_synonym,
+    "bm25_plural": q_bm25_plural,
+    "bm25_dedup_results": q_bm25_dedup_results,
+    "uor": q_uor,
+    "bm25_cjk": q_bm25_cjk,
 }
 
 # --------------------------------------------------------------------------
@@ -1017,8 +1148,11 @@ def _bm25_ctes(
     mode: str = "AND",
     exclude: list[str] | None = None,
     restrict: str | None = None,
+    weight: float = 1.0,
 ) -> str:
-    """WITH-body up through the ``scored`` CTE (doc_id, s, matched)."""
+    """WITH-body up through the ``scored`` CTE (doc_id, s, matched).
+    ``weight`` scales every term's contribution (the vote-group member
+    weight, e.g. 0.9 for derived word forms)."""
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     k1, b = K1_DEFAULT, B_DEFAULT
     having = f"HAVING count(*) = {len(set(terms))}" if mode == "AND" else ""
@@ -1041,7 +1175,7 @@ tf AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+         sum( {weight} * ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
               * (tf.tf * ({k1} + 1.0)
                  / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) ) AS s,
          count(*) AS matched
@@ -1115,10 +1249,9 @@ FROM hits ORDER BY doc_id LIMIT {k}
 """
 
 
-def _simhash_sql(k: int = 100) -> str:
-    """DuckDB replica of dedup.simhash64: token hash = first 16 hex chars of
-    md5(token); bit i = bit i%4 of nibble 15 - i//4; per-bit +-1 sums;
-    sign -> bit; bit 63 contributes the BIGINT sign value."""
+def _simhash_fragments() -> tuple[str, str, str]:
+    """The three SQL fragments of the dedup.simhash64 replica: nibble
+    extraction from md5(term), per-bit +-1 sums, 64-bit assembly."""
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (n{15 - i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END)"
         f" AS b{i}"
@@ -1134,12 +1267,154 @@ def _simhash_sql(k: int = 100) -> str:
     nibs = ", ".join(
         f"('0x' || substr(md5(term), {j + 1}, 1))::INT AS n{j}" for j in range(16)
     )
+    return nibs, bit_sums, assemble
+
+
+def _simhash_sql(k: int = 100) -> str:
+    """DuckDB replica of dedup.simhash64: token hash = first 16 hex chars of
+    md5(token); bit i = bit i%4 of nibble 15 - i//4; per-bit +-1 sums;
+    sign -> bit; bit 63 contributes the BIGINT sign value."""
+    nibs, bit_sums, assemble = _simhash_fragments()
     return f"""
 WITH {_TOKS}, {_TOK},
 nib AS (SELECT doc_id, {nibs} FROM tok),
 sums AS (SELECT doc_id, {bit_sums} FROM nib GROUP BY doc_id)
 SELECT doc_id, ({assemble}) AS simhash
 FROM sums ORDER BY doc_id LIMIT {k}
+"""
+
+
+def _dedup_results_sql(
+    terms: list[str], k: int = 20, page: int = 40
+) -> str:
+    """Serve-time result dedup oracle: BM25 top-``page`` candidates,
+    collapse rows sharing a simhash (keep best rank), final top-k."""
+    nibs, bit_sums, assemble = _simhash_fragments()
+    return f"""
+WITH {_bm25_ctes(terms, "AND")},
+page AS (
+  SELECT doc_id, s, matched,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+  FROM scored ORDER BY rnk LIMIT {page}
+),
+nib AS (SELECT t.doc_id, {nibs} FROM tok t JOIN page USING (doc_id)),
+sums AS (SELECT doc_id, {bit_sums} FROM nib GROUP BY doc_id),
+sh AS (SELECT doc_id, ({assemble}) AS simhash FROM sums),
+dd AS (
+  SELECT page.doc_id, page.s, page.matched,
+         row_number() OVER (PARTITION BY sh.simhash ORDER BY page.rnk) AS grnk
+  FROM page JOIN sh USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM dd WHERE grnk = 1 ORDER BY rank LIMIT {k}
+"""
+
+
+def _multiword_synonym_sql(
+    w1: str, w2: str, k: int = 10, weight: float = 0.9
+) -> str:
+    """Multi-word synonym oracle: one vote group whose only viable member
+    is the 2-word phrase, matched by token adjacency, scored
+    weight * idf(df_phrase) * tf_norm(phrase occurrences)."""
+    k1, b = K1_DEFAULT, B_DEFAULT
+    return f"""
+WITH {_TOKS}, {_DL}, {_CORPUS},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM toks
+),
+ph AS (
+  SELECT a.doc_id, count(*) AS tf
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{w1}' AND b.term = '{w2}'
+  GROUP BY a.doc_id
+),
+phdf AS (SELECT count(*) AS df FROM ph),
+scored AS (
+  SELECT ph.doc_id,
+         {weight} * ln((c.n_docs - phdf.df + 0.5) / (phdf.df + 0.5) + 1.0)
+             * (ph.tf * ({k1} + 1.0)
+                / (ph.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS s,
+         1 AS matched
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN phdf
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT {k}
+"""
+
+
+def _uor_sql(k: int = 15) -> str:
+    """'spark join (merge UOR sort)': eligibility spark AND join AND
+    (merge OR sort); score = BM25 sum over every present query term;
+    matched counts VOTE GROUPS (spark, join, the UOR pair)."""
+    return f"""
+WITH {_bm25_ctes(["spark", "join", "merge", "sort"], "OR")},
+ds AS (
+  SELECT DISTINCT doc_id, term FROM tok
+  WHERE term IN ('spark', 'join', 'merge', 'sort')
+),
+grp AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END)
+       + max(CASE WHEN term = 'join' THEN 1 ELSE 0 END)
+       + max(CASE WHEN term IN ('merge', 'sort') THEN 1 ELSE 0 END)
+         AS matched,
+         min(CASE WHEN term = 'spark' THEN 0 ELSE 1 END) = 0 AND
+         min(CASE WHEN term = 'join' THEN 0 ELSE 1 END) = 0 AND
+         min(CASE WHEN term IN ('merge', 'sort') THEN 0 ELSE 1 END) = 0
+         AS eligible
+  FROM ds GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY scored.s DESC, scored.doc_id ASC) AS BIGINT) AS rank,
+       scored.doc_id AS doc_id, round(scored.s, 4) AS score,
+       CAST(grp.matched AS BIGINT) AS matched
+FROM scored JOIN grp ON grp.doc_id = scored.doc_id
+WHERE grp.eligible
+ORDER BY rank LIMIT {k}
+"""
+
+
+def _cjk_sql(qword: str, k: int = 10) -> str:
+    """CJK bigram BM25 oracle over the derived corpus: each ascii token
+    maps to chr(0x4E00 + _cjk_code(token)) (same arithmetic as entry
+    Python), the doc becomes one CJK run, dl = bigram-token count, tf =
+    occurrences of the query bigram."""
+    k1, b = K1_DEFAULT, B_DEFAULT
+    return f"""
+WITH {_TOKS},
+mapped AS (
+  SELECT doc_id, list_transform(toks, t ->
+    chr(CAST(19968 + (ascii(t) * 31
+        + (CASE WHEN length(t) > 1 THEN ascii(substr(t, 2, 1)) ELSE 32 END) * 7
+        + length(t)) % 1024 AS INTEGER))) AS chars
+  FROM toks
+),
+cdl AS (
+  SELECT doc_id,
+         CASE WHEN len(chars) >= 2 THEN len(chars) - 1 ELSE len(chars) END AS dl
+  FROM mapped
+),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM cdl),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(chars)), i -> chars[i] || chars[i+1])) AS bgram
+  FROM mapped WHERE len(chars) >= 2
+),
+tfq AS (SELECT doc_id, count(*) AS tf FROM bg WHERE bgram = '{qword}' GROUP BY doc_id),
+qdf AS (SELECT count(*) AS df FROM tfq),
+scored AS (
+  SELECT tfq.doc_id,
+         ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * (tfq.tf * ({k1} + 1.0)
+              / (tfq.tf + {k1} * (1.0 - {b} + {b} * cdl.dl / c.avgdl))) AS s,
+         1 AS matched
+  FROM tfq JOIN cdl USING (doc_id) CROSS JOIN corpus c CROSS JOIN qdf
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT {k}
 """
 
 
@@ -1356,6 +1631,16 @@ ORDER BY id_a, id_b LIMIT {k}
 
 
 ORACLES: dict[str, str] = {
+    "bm25_multiword_synonym": _multiword_synonym_sql("merge", "sort", 10, 0.9),
+    "bm25_plural": f"""
+WITH {_bm25_ctes(["table", "join"], "AND", weight=0.9)}
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
+""",
+    "bm25_dedup_results": _dedup_results_sql(["hash", "filter"], 20, 40),
+    "uor": _uor_sql(15),
+    "bm25_cjk": _cjk_sql(_cjk_char("merge") + _cjk_char("sort"), 10),
     "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),
     "bm25_or": _bm25_sql(["vector", "window", "stream"], 15, "OR"),
     "bm25_not": _bm25_sql(["spark"], 10, "AND", exclude=["vector"]),

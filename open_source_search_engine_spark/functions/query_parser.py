@@ -76,6 +76,10 @@ def _lex(query: str) -> list[tuple[str, str]]:
         w = query[i:j]
         if w == "OR":
             out.append(("OR", w))
+        elif w == "UOR":
+            # weighted-or opcode (`Query.h:146-152` OP_UOR): OR eligibility
+            # whose arms rank-blend as ONE vote group (J2 listGroupNum)
+            out.append(("UOR", w))
         elif w == "AND":
             out.append(("AND", w))
         elif w == "NOT":
@@ -101,17 +105,24 @@ class _Parser:
         return t
 
     def parse_expr(self):
-        parts = [self.parse_and()]
-        while self.peek() and self.peek()[0] == "OR":
-            self.next()
-            parts.append(self.parse_and())
-        return parts[0] if len(parts) == 1 else ("or", parts)
+        # OR and UOR share one precedence level, folded left-associatively
+        # so mixed chains ("a OR b UOR c") stay well-defined
+        node = self.parse_and()
+        while self.peek() and self.peek()[0] in ("OR", "UOR"):
+            op = self.next()[0]
+            rhs = self.parse_and()
+            kind = "uor" if op == "UOR" else "or"
+            if node[0] == kind:
+                node = (kind, node[1] + [rhs])
+            else:
+                node = (kind, [node, rhs])
+        return node
 
     def parse_and(self):
         items = []
         while True:
             t = self.peek()
-            if t is None or t[0] in (")", "OR"):
+            if t is None or t[0] in (")", "OR", "UOR"):
                 break
             if t[0] == "AND":  # explicit AND is the default conjunction
                 self.next()
@@ -177,7 +188,10 @@ def to_dnf(ast) -> list[list[tuple[bool, tuple]]]:
         if kind == "and":
             parts = [norm(c, neg) for c in node[1]]
             return _cross(parts) if not neg else _union(parts)
-        if kind == "or":
+        if kind in ("or", "uor"):
+            # UOR eligibility == OR; the rank-blend difference is applied
+            # by the scorer (SearchEngine groups a UOR's terms as one vote
+            # group), not by the boolean structure
             parts = [norm(c, neg) for c in node[1]]
             return _union(parts) if not neg else _cross(parts)
         return [[(neg, node)]]
@@ -206,6 +220,44 @@ def to_dnf(ast) -> list[list[tuple[bool, tuple]]]:
                 "the reference requires a positive term too)"
             )
     return clauses
+
+
+def uor_groups(ast) -> list[list[str]]:
+    """Raw texts of the positive term/phrase atoms under each OUTERMOST
+    ``uor`` node (`Query.h:146-152` OP_UOR): each returned list is one
+    rank-blend vote group for the scorer. Negated atoms don't score and are
+    excluded; nested UORs merge into their outermost group."""
+
+    def collect_atoms(node, neg: bool, out: list[str]):
+        kind = node[0]
+        if kind == "not":
+            collect_atoms(node[1], not neg, out)
+        elif kind == "force":
+            collect_atoms(node[1], neg, out)
+        elif kind in ("and", "or", "uor"):
+            for c in node[1]:
+                collect_atoms(c, neg, out)
+        elif kind in ("term", "phrase") and not neg:
+            out.append(node[1])
+
+    groups: list[list[str]] = []
+
+    def walk(node):
+        kind = node[0]
+        if kind == "uor":
+            g: list[str] = []
+            collect_atoms(node, False, g)
+            if g:
+                groups.append(g)
+            return
+        if kind in ("and", "or"):
+            for c in node[1]:
+                walk(c)
+        elif kind in ("not", "force"):
+            walk(node[1])
+
+    walk(ast)
+    return groups
 
 
 def unwrap_forced(atom) -> tuple[tuple, bool]:

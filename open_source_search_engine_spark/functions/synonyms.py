@@ -49,9 +49,17 @@ DEFAULT_SYNONYMS: dict[str, list[str]] = {
     "cash": ["money"], "currency": ["money"],
     "film": ["movie"], "cinema": ["movie"],
     "song": ["track"], "tune": ["song"],
-    # tech abbreviations (the html -> 'hypertext markup language' shape the
-    # reference system test pins; abbrev -> spelled form left to a loaded
-    # table because multi-word targets need the phrase path)
+    # tech abbreviations. Multi-word alternatives (the `html` ->
+    # "hypertext markup language" golden, `Synonyms.cpp:59` +
+    # `test/system/test_search_terms.py:8`) are first-class: a member
+    # containing a space is scored through the PHRASE path (positional
+    # adjacency / bigram termlist) as a 0.9-weight vote-group member.
+    "html": ["hypertext markup language"],
+    "sql": ["structured query language"],
+    "cpu": ["central processing unit"],
+    "ram": ["random access memory"],
+    "api": ["application programming interface"],
+    "os": ["operating system"],
     "db": ["database"], "config": ["configuration"],
     "repo": ["repository"], "app": ["application"],
     "info": ["information"], "docs": ["documentation", "doc"],
@@ -60,13 +68,11 @@ DEFAULT_SYNONYMS: dict[str, list[str]] = {
     "spec": ["specification"], "param": ["parameter"],
     "arg": ["argument"], "func": ["function"],
     "var": ["variable"], "util": ["utility"],
-    # regular plurals of the test corpus vocabulary
-    "rows": ["row"], "columns": ["column"], "tables": ["table"],
-    "queries": ["query"], "joins": ["join"], "merges": ["merge"],
-    "shards": ["shard"], "indexes": ["index"], "indices": ["index"],
-    "vectors": ["vector"], "streams": ["stream"], "windows": ["window"],
-    "batches": ["batch"], "filters": ["filter"], "sorts": ["sort"],
-    "events": ["event"], "sessions": ["session"], "tokens": ["token"],
+    # regular plural forms are NOT listed here: they derive from the
+    # morphology rules in ``morph_forms`` below (the Synonyms.cpp wordform
+    # machinery, generalized -- r3 VERDICT task 5 deleted the hardcoded
+    # plural table). Irregulars that the rules cannot reach stay:
+    "indices": ["index"],
 }
 
 
@@ -126,8 +132,51 @@ def fold_accents(word: str) -> str:
     )
 
 
+def morph_forms(token: str) -> list[str]:
+    """Rule-based de-inflection CANDIDATES for one index term (regular
+    s / es / ies / ed / ing English morphology).
+
+    Reference: `Synonyms.cpp` derives word forms from a Wiktionary
+    dictionary; the Spark graft has no dictionary, so it generates every
+    candidate a regular rule could produce ("indexes" -> ["indexe",
+    "index"]; "merging" -> ["merg", "merge"]) and lets the QUERY PLAN
+    validate them: candidates absent from the index's term_stats drop out
+    of the vote group at plan time (plan_terms confirmed-absent path), so
+    only real corpus words ever score. This replaces the hardcoded ~20-word
+    plural table (r3 VERDICT task 5) and generalizes to any vocabulary.
+
+    Returns candidates in fixed rule order, the token itself excluded."""
+    t = token
+    out: list[str] = []
+
+    def add(c: str):
+        if c and c != t and c not in out:
+            out.append(c)
+
+    if len(t) > 3 and t.endswith("ies"):
+        add(t[:-3] + "y")          # queries -> query
+    if len(t) > 3 and t.endswith("es"):
+        add(t[:-2])                # batches -> batch, indexes -> index
+    if len(t) > 2 and t.endswith("s") and not t.endswith(("ss", "us", "is")):
+        add(t[:-1])                # joins -> join (also indexes -> indexe)
+    if len(t) > 4 and t.endswith("ed"):
+        add(t[:-2])                # sorted -> sort
+        add(t[:-1])                # merged -> merge
+        if len(t) > 5 and t[-3] == t[-4]:
+            add(t[:-3])            # planned -> plan
+    if len(t) > 5 and t.endswith("ing"):
+        add(t[:-3])                # sorting -> sort
+        add(t[:-3] + "e")          # merging -> merge
+        if len(t) > 6 and t[-4] == t[-5]:
+            add(t[:-4])            # running -> run
+    return out
+
+
 def word_forms(
-    raw_word: str, tokenizer_mode: str = "unicode", form_weight: float = 0.9
+    raw_word: str,
+    tokenizer_mode: str = "unicode",
+    form_weight: float = 0.9,
+    morphology: bool = True,
 ) -> list[tuple[str, float]]:
     """Derived word forms of one RAW query word (before tokenization),
     as (index term, weight) members of the word's vote group:
@@ -138,6 +187,9 @@ def word_forms(
       ``form_weight`` -- the index never contains apostrophe terms (the
       tokenizer splits on them), and the reference scores the base form at
       synonym weight, so "bob's" matches docs containing only "bob".
+    * ``morphology`` (default on): regular de-inflection candidates from
+      ``morph_forms`` at ``form_weight`` ("tables" also votes "table");
+      invalid candidates ("indexe") drop at plan time, see morph_forms.
 
     Multi-token words after normalization (e.g. hyphenations the tokenizer
     splits) contribute each token as its own member."""
@@ -165,6 +217,10 @@ def word_forms(
             folded = fold_accents(t)
             if folded != t:
                 add(folded, form_weight)
+    if morphology:
+        for t, _w in list(out):
+            for cand in morph_forms(t):
+                add(cand, form_weight)
     return out
 
 

@@ -31,6 +31,62 @@ _UNICODE_RE = re.compile(r"\w+", re.UNICODE)
 #: SQL fragment (DuckDB + Spark SQL compatible) equivalent to mode='ascii'.
 ASCII_SPLIT_REGEX = "[^a-z0-9_]+"
 
+#: CJK scripts indexed as overlapping character bigrams in unicode mode
+#: (reference `Words.cpp:216` segments words per script;
+#: `UnicodeProperties.cpp` script tables. An unsegmented CJK run has no
+#: spaces, so a \w+ run would become ONE giant unsearchable token --
+#: character bigrams are the standard public re-expression, symmetric on
+#: index and query side). Ranges: Hiragana, Katakana, CJK ext A, CJK
+#: unified, Hangul syllables.
+_CJK_RANGES = "぀-ヿ㐀-䶿一-鿿가-힯"
+_HAS_CJK_RE = re.compile(f"[{_CJK_RANGES}]")
+_CJK_SPLIT_RE = re.compile(f"([{_CJK_RANGES}]+)")
+
+
+def expand_cjk_token(token: str) -> list[str]:
+    """One \\w+ run -> sub-tokens: non-CJK segments pass through; each CJK
+    segment becomes its overlapping character bigrams (a single isolated
+    CJK char stays a unigram). "ab<XYZ>cd" -> ["ab", "XY", "YZ", "cd"]."""
+    out: list[str] = []
+    for seg in _CJK_SPLIT_RE.split(token):
+        if not seg:
+            continue
+        if _HAS_CJK_RE.match(seg):
+            if len(seg) == 1:
+                out.append(seg)
+            else:
+                out.extend(seg[i: i + 2] for i in range(len(seg) - 1))
+        else:
+            out.append(seg)
+    return out
+
+
+def expand_cjk_in_lists(lowered_texts, token_lists):
+    """Vectorized-build hook (index_build regex path): apply
+    expand_cjk_token to the token lists of the docs whose RAW text contains
+    a CJK char. ``lowered_texts`` is the pandas str Series the lists came
+    from; docs without CJK (the overwhelming common case) are untouched and
+    the whole call is one vectorized contains() when none match."""
+    mask = lowered_texts.str.contains(_HAS_CJK_RE).to_numpy()
+    if not mask.any():
+        return token_lists
+    import numpy as np
+
+    # element-wise fill: np.array(list_of_lists) would coerce equal-length
+    # lists into a 2D array and break per-row list assignment
+    out = np.empty(len(token_lists), dtype=object)
+    for i, ts in enumerate(token_lists):
+        out[i] = ts
+    for i in np.flatnonzero(mask):
+        out[i] = [
+            s
+            for t in token_lists[i]
+            for s in (
+                expand_cjk_token(t) if _HAS_CJK_RE.search(t) else (t,)
+            )
+        ]
+    return out
+
 
 def _pattern(mode: str) -> re.Pattern:
     if mode == "ascii":
@@ -41,10 +97,19 @@ def _pattern(mode: str) -> re.Pattern:
 
 
 def tokenize(text: str | None, mode: str = "unicode") -> list[str]:
-    """Tokens of ``text`` in document order. None/empty -> []."""
+    """Tokens of ``text`` in document order. None/empty -> []. In unicode
+    mode, CJK-script runs expand to character bigrams (expand_cjk_token);
+    ascii mode never sees CJK (those bytes are outside [a-z0-9_])."""
     if not text:
         return []
-    return _pattern(mode).findall(text.lower())
+    toks = _pattern(mode).findall(text.lower())
+    if mode == "unicode" and _HAS_CJK_RE.search(text):
+        toks = [
+            s
+            for t in toks
+            for s in (expand_cjk_token(t) if _HAS_CJK_RE.search(t) else (t,))
+        ]
+    return toks
 
 
 def tokenize_with_positions(
@@ -58,6 +123,8 @@ def doc_length(text: str | None, mode: str = "unicode") -> int:
     """``dl`` for BM25: total token count of the document (turn)."""
     if not text:
         return 0
+    if mode == "unicode" and _HAS_CJK_RE.search(text):
+        return len(tokenize(text, mode))
     return sum(1 for _ in _pattern(mode).finditer(text.lower()))
 
 

@@ -56,7 +56,13 @@ from ..functions.hashing import (
     py_term_id,
     py_term_ids,
 )
-from ..functions.tokenizer import _pattern
+from ..functions.tokenizer import (
+    _HAS_CJK_RE,
+    _UNICODE_RE,
+    _pattern,
+    expand_cjk_in_lists,
+    tokenize,
+)
 
 TOKENS_SCHEMA = T.StructType(
     [
@@ -310,7 +316,10 @@ def _tokenize_batch_with_bigrams(
     if len(b) == 0:
         return None
     doc_ids_in = b["doc_id"].to_numpy(dtype=np.int64)
-    token_lists = b["text"].fillna("").str.lower().str.findall(pattern).to_numpy()
+    lowered = b["text"].fillna("").str.lower()
+    token_lists = lowered.str.findall(pattern).to_numpy()
+    if pattern is _UNICODE_RE:
+        token_lists = expand_cjk_in_lists(lowered, token_lists)
     lens = np.fromiter((len(t) for t in token_lists), np.int64, len(b))
     if not (lens > 0).any():
         return None
@@ -362,7 +371,10 @@ def _tokenize_batch(b: pd.DataFrame, pattern):
     if len(b) == 0:
         return None
     doc_ids = b["doc_id"].to_numpy(dtype=np.int64)
-    token_lists = b["text"].fillna("").str.lower().str.findall(pattern).to_numpy()
+    lowered = b["text"].fillna("").str.lower()
+    token_lists = lowered.str.findall(pattern).to_numpy()
+    if pattern is _UNICODE_RE:
+        token_lists = expand_cjk_in_lists(lowered, token_lists)
     lens = np.fromiter((len(t) for t in token_lists), np.int64, len(b))
     if not (lens > 0).any():
         return None
@@ -470,12 +482,20 @@ def doc_length_col(mode: str = "unicode"):
 
     @F.pandas_udf(T.IntegerType())
     def _dl(texts: pd.Series) -> pd.Series:
-        return (
-            texts.fillna("")
-            .str.lower()
-            .str.count(pattern.pattern)
-            .astype("int32")
-        )
+        filled = texts.fillna("")
+        counts = filled.str.lower().str.count(pattern.pattern).astype("int32")
+        if mode == "unicode":
+            # CJK runs expand to char bigrams (tokenizer contract); only
+            # the rows that contain CJK pay the python path
+            cjk = filled.str.contains(_HAS_CJK_RE).to_numpy()
+            if cjk.any():
+                import numpy as _np
+
+                idx = _np.flatnonzero(cjk)
+                counts.iloc[idx] = [
+                    len(tokenize(filled.iloc[i], mode)) for i in idx
+                ]
+        return counts
 
     return _dl
 

@@ -529,16 +529,58 @@ class SearchEngine:
         Returns (doc_id, score, matched) UNORDERED; matched counts groups
         with any member present; AND filters to every viable group. Score
         accumulates weight * BM25-contrib in fixed sorted (group, member,
-        weight) order (float64-stable)."""
+        weight) order (float64-stable).
+
+        A member containing a space is a MULTI-WORD PHRASE member (the
+        `html` -> "hypertext markup language" abbreviation golden,
+        `Synonyms.cpp:59` + `test/system/test_search_terms.py:8`): it
+        matches by positional adjacency (phrase_postings / the indexed
+        bigram termlist) and contributes idf(df_phrase) * tf_norm of the
+        phrase occurrence count, weighted like any other alternative. A
+        phrase absent from the corpus drops out of its group exactly like
+        an absent term."""
         bases = sorted(groups)
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, matched int"
         )
         if not bases:
             return empty
-        members = sorted({m for g in groups.values() for m, _w in g})
+        members = sorted(
+            {m for g in groups.values() for m, _w in g if " " not in m}
+        )
+        phrase_strs = sorted(
+            {m for g in groups.values() for m, _w in g if " " in m}
+        )
         plan = self.plan_terms(members)
         present = set(plan["term"])
+        # phrase members: hits frame + exact df (from term_stats when the
+        # bigram termlist is indexed -- no job; one count job otherwise)
+        phrase_frames: dict[str, DataFrame] = {}
+        for ph in phrase_strs:
+            words = ph.split()
+            hits = self.phrase_postings(words)
+            pplan = self.plan_terms([ph]) if len(words) == 2 else None
+            if pplan is not None and not pplan.empty:
+                df_ph = int(pplan["df"].iloc[0])
+            else:
+                hits = hits.persist()
+                df_ph = hits.count()
+            if df_ph > 0:
+                idf_ph = float(bm25_idf(float(df_ph), self.n_docs))
+                from .hot_cache import tf_norm_col
+
+                k1, b = self.params.k1, self.params.b
+                phrase_frames[ph] = hits.select(
+                    "doc_id",
+                    F.lit(ph).alias("term"),
+                    (
+                        F.lit(idf_ph)
+                        * tf_norm_col(
+                            F.col("tf"), F.col("dl"), k1, b, self.avgdl
+                        )
+                    ).alias("contrib"),
+                )
+                present.add(ph)
         viable = {
             t: [(m, w) for m, w in groups[t] if m in present] for t in bases
         }
@@ -546,7 +588,14 @@ class SearchEngine:
             return empty
         if mode == "AND" and not all(viable.values()):
             return empty
-        contrib = self._contributions(plan)
+        if plan.empty:
+            contrib = self.spark.createDataFrame(
+                [], "doc_id long, term string, contrib double"
+            )
+        else:
+            contrib = self._contributions(plan)
+        for ph in sorted(phrase_frames):
+            contrib = contrib.unionByName(phrase_frames[ph])
         # fixed (group, member) accumulation schedule
         entries = sorted(
             (t, m, float(w)) for t in bases for m, w in viable[t]
@@ -639,6 +688,87 @@ class SearchEngine:
             .filter(F.col("tf") > 0)
         )
 
+    def phrase_postings(self, words: list[str]) -> DataFrame:
+        """(doc_id, tf, dl) of the exact n-word phrase: tf = number of
+        start positions p with word_i at p+i for all i (the bigram-termlist
+        payload generalized to n words, SURVEY.md X3/O5).
+
+        n=1 falls back to the unigram termlist; n=2 to bigram_postings
+        (served from an indexed bigram termlist when present); n>=3 uses
+        positional intersection: per doc, slot i's positions shifted by -i,
+        tf = |∩_i (positions_i - i)|. Repeated words are handled (the same
+        term's array shifts differently per slot)."""
+        empty = self.spark.createDataFrame([], "doc_id long, tf int, dl int")
+        n = len(words)
+        if n == 0:
+            return empty
+        if n == 1:
+            plan = self.plan_terms(words)
+            if plan.empty:
+                return empty
+            return (
+                self.decoded_postings([int(plan["term_id"].iloc[0])])
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("tf").cast("int").alias("tf"),
+                    F.max("dl").cast("int").alias("dl"),
+                )
+            )
+        if n == 2:
+            return self.bigram_postings(words[0], words[1])
+        uniq = sorted(set(words))
+        plan = self.plan_terms(uniq)
+        if len(plan) < len(uniq):
+            return empty
+        tid_of = dict(zip(plan["term"], plan["term_id"]))
+        decoded = self.decoded_postings(
+            [int(t) for t in plan["term_id"]], include_positions=True
+        )
+        per_term = [
+            F.flatten(
+                F.collect_list(
+                    F.when(
+                        F.col("term_id") == int(tid_of[t]), F.col("positions")
+                    )
+                )
+            ).alias(f"_p_{i}")
+            for i, t in enumerate(uniq)
+        ]
+        pivoted = decoded.groupBy("doc_id").agg(
+            *per_term, F.max("dl").alias("dl")
+        )
+        slot_of = {t: i for i, t in enumerate(uniq)}
+        # shift each slot's positions by -slot_index in a SEPARATE
+        # projection, one single-arg closure per slot: a two-arg lambda
+        # (`lambda x, i=i`) is treated by F.transform as an
+        # (element, array_index) function, silently replacing the captured
+        # shift with the element's index
+
+        def _shift(offset: int):
+            return lambda x: x - F.lit(offset)
+
+        shifted = pivoted.select(
+            "doc_id",
+            "dl",
+            *[
+                F.transform(F.col(f"_p_{slot_of[w]}"), _shift(i)).alias(
+                    f"_s_{i}"
+                )
+                for i, w in enumerate(words)
+            ],
+        )
+        inter = F.col("_s_0")
+        for i in range(1, n):
+            inter = F.array_intersect(inter, F.col(f"_s_{i}"))
+        return (
+            shifted.select(
+                "doc_id",
+                F.size(inter).cast("int").alias("tf"),
+                F.col("dl").cast("int").alias("dl"),
+            )
+            .filter(F.col("tf") > 0)
+        )
+
     def search_expanded(
         self,
         query: str | list[str],
@@ -650,6 +780,7 @@ class SearchEngine:
         use_bigrams: bool = True,
         number_forms: bool = True,
         use_word_forms: bool = True,
+        morphology: bool = True,
     ) -> DataFrame:
         """Full query-TERM expansion at plan time (`Query.cpp:364` setQTerms;
         system goldens `test/system/test_search_terms.py:4-18`: 'the one'
@@ -682,7 +813,9 @@ class SearchEngine:
         bases: list[str] = []  # per-word primary term, for bigram pairs
         for w in words:
             if use_word_forms:
-                forms = word_forms(w, self.tokenizer_mode, syn_weight)
+                forms = word_forms(
+                    w, self.tokenizer_mode, syn_weight, morphology
+                )
             else:
                 forms = [(t, 1.0) for t in self.tokenize_query(w)]
             members: list[tuple[str, float]] = []
@@ -745,6 +878,92 @@ class SearchEngine:
             ).otherwise(score)
         return (
             out.select("doc_id", score.alias("score"), "matched")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_deduped(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        overfetch: int = 4,
+        sim_ham: int = 0,
+    ) -> DataFrame:
+        """Serve-time result dedup with over-fetch refill.
+
+        Reference: `Msg40.cpp:1173-1300` dedups the RESULT PAGE by content
+        similarity (contentHash32 exact + percentSimilarSummary near-dup)
+        and re-fetches when dedup eats results (`Msg40.cpp:1270-1300`
+        over-fetch/refill loop). Spark re-expression: over-fetch
+        ``overfetch * k`` results in one top-k job, simhash the result
+        docs' stored text (dedup.simhash64 -- only the <= overfetch*k
+        result rows are hashed, via a broadcast semi-join against the doc
+        store), drop every result whose simhash is within ``sim_ham``
+        hamming bits of a higher-ranked KEPT result, refill to k from the
+        over-fetched tail.
+
+        ``sim_ham=0`` (content-identity collapse, the contentHash32 analog)
+        is pure DataFrame algebra: keep the best-ranked row per simhash
+        (greedy == keep-first when similarity is equality). ``sim_ham>0``
+        runs the reference's greedy keep-loop in one Arrow kernel over the
+        bounded candidate page (<= overfetch*k rows by construction -- a
+        serve-node-sized working set, like the reference's).
+        Returns (doc_id, score, matched), score desc / doc_id asc, <= k."""
+        from .dedup import simhash64
+
+        c = max(int(overfetch) * k, k)
+        top = self.search_terms(query_terms, mode, c)
+        docs = self.catalog.read_table("documents").select("doc_id", "text")
+        page_docs = docs.join(
+            F.broadcast(top.select("doc_id")), "doc_id", "left_semi"
+        )
+        sims = simhash64(page_docs)
+        page = top.join(F.broadcast(sims), "doc_id")
+        if sim_ham <= 0:
+            from pyspark.sql import Window
+
+            w_rank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            w_grp = Window.partitionBy("simhash").orderBy("rnk")
+            return (
+                page.withColumn("rnk", F.row_number().over(w_rank))
+                .withColumn("grnk", F.row_number().over(w_grp))
+                .filter(F.col("grnk") == 1)
+                .select("doc_id", "score", "matched")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+
+        kk, ham = k, int(sim_ham)
+
+        def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            )
+            kept_hashes: list[int] = []
+            keep_idx: list[int] = []
+            for row_i, h in enumerate(
+                pdf["simhash"].astype(np.int64).tolist()
+            ):
+                hu = h & 0xFFFFFFFFFFFFFFFF
+                if all(
+                    bin(hu ^ (kh & 0xFFFFFFFFFFFFFFFF)).count("1") > ham
+                    for kh in kept_hashes
+                ):
+                    kept_hashes.append(h)
+                    keep_idx.append(row_i)
+                    if len(keep_idx) == kk:
+                        break
+            out = pdf.iloc[keep_idx]
+            return out[["doc_id", "score", "matched"]]
+
+        return (
+            page.withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(
+                lambda pdf: greedy(pdf.drop(columns=["_g"])),
+                schema="doc_id long, score double, matched int",
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
@@ -883,6 +1102,46 @@ class SearchEngine:
         )
         if el is None:
             return empty
+        # UOR rank-blend (`Query.h:146-152` OP_UOR): a UOR's terms score as
+        # ONE vote group (matched counts the group once), other scoring
+        # terms stay singleton groups -- eligibility is unchanged (the DNF
+        # treats UOR as OR)
+        from ..functions.query_parser import parse_query, uor_groups
+
+        ugroups = uor_groups(parse_query(query))
+        if ugroups and terms:
+            grouped: set[str] = set()
+            vote: dict[str, list[tuple[str, float]]] = {}
+            for g in ugroups:
+                members = sorted(
+                    {
+                        tok
+                        for text in g
+                        for tok in self.tokenize_query(text)
+                    }
+                    - grouped
+                )
+                if members:
+                    vote["\x01uor:" + " ".join(members)] = [
+                        (m, 1.0) for m in members
+                    ]
+                    grouped.update(members)
+            for t in terms:
+                if t not in grouped:
+                    vote[t] = [(t, 1.0)]
+            scored = self._vote_group_scores(vote, mode="OR")
+            return (
+                el.join(scored, "doc_id", "left_outer")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+                    F.coalesce(F.col("matched"), F.lit(0))
+                    .cast("int")
+                    .alias("matched"),
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
         # eligibility without scoring terms still returns the doc at score
         # 0.0 / matched 0 (left-outer, NOT semi-join): a field-only query
         # ('lang:en') or a scoring-term-free clause ('... OR (lang:fr)')

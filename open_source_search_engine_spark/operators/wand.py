@@ -302,10 +302,22 @@ def wand_search(
     exclude_terms: list[str] | None = None,
     phase_a_groups: int = 8,
     max_group_split: int = MAX_GROUP_SPLIT,
+    small_df_cutoff: int = 100_000,
 ) -> DataFrame:
     """Block-max WAND BM25 top-k. Same result contract as
     SearchEngine.search_terms: (doc_id, score, matched) ordered
-    score desc / doc_id asc, limited to k."""
+    score desc / doc_id asc, limited to k.
+
+    SMALL-QUERY FAST PATH (r3 VERDICT task 6): under AND, the candidate
+    set is bounded by the rarest term's df (read from term_stats at plan
+    time -- no extra job). When that bound is <= ``small_df_cutoff``,
+    theta pruning cannot save more work than the phase-A job it costs, so
+    the search collapses to ONE job: score every group that survives the
+    AND-presence filter (theta = -inf). Results are identical either way
+    -- theta only ever SKIPS groups that cannot beat the kth score -- and
+    the rank-identity test tiers run both paths. At 10^12-turn scale a
+    stopword-anchored conjunction blows past the cutoff and keeps the
+    two-phase pruning that block-max WAND exists for."""
     spark = engine.spark
     plan = engine.plan_terms(query_terms)
     n_q = len(set(query_terms))
@@ -356,7 +368,6 @@ def wand_search(
         )
         if mode == "AND":
             gmeta = gmeta.filter(F.col("n_present") == len(plan))
-        gmeta = gmeta.persist()
 
         scorer = _make_scorer(mode, k1, b, avgdl, g, len(plan))
         group_cols = [
@@ -377,6 +388,28 @@ def wand_search(
                 .applyInPandas(scorer, schema=SCORED_SCHEMA)
             )
 
+        # fast path: candidates <= min-df <= cutoff -> one job, no theta
+        if mode == "AND" and int(plan["df"].min()) <= small_df_cutoff:
+            scored = _apply_exclusions(
+                engine,
+                score_groups(
+                    q_blocks.join(
+                        gmeta.select("group_id"), "group_id", "left_semi"
+                    )
+                ),
+                exclude_terms,
+            )
+            out = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            )
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema) if rows else (
+                spark.createDataFrame(
+                    [], "doc_id long, score double, matched int"
+                )
+            )
+
+        gmeta = gmeta.persist()
         # JOB 1 (fused): group metadata -> phase-A selection (top ub_sum
         # groups, a deterministic limit consumed via semi-join, never
         # collected) -> exact phase-A scores -> theta (kth best score)

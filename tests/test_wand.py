@@ -55,15 +55,21 @@ def eng(spark, tmp_path_factory):
     return SearchEngine(spark, catalog)
 
 
+@pytest.mark.parametrize("cutoff", [100_000, 0])
 @pytest.mark.parametrize("terms,mode,k", QUERY_TIERS)
-def test_wand_matches_exact(eng, terms, mode, k):
+def test_wand_matches_exact(eng, terms, mode, k, cutoff):
+    # cutoff=100_000: AND tiers take the one-job small-df fast path;
+    # cutoff=0: every tier forced through two-phase theta pruning.
+    # Both must be rank- AND score-identical to the exact path.
     exact = [
         (int(r["doc_id"]), float(r["score"]), int(r["matched"]))
         for r in eng.search_terms(terms, mode=mode, k=k).collect()
     ]
     wand = [
         (int(r["doc_id"]), float(r["score"]), int(r["matched"]))
-        for r in wand_search(eng, terms, mode=mode, k=k).collect()
+        for r in wand_search(
+            eng, terms, mode=mode, k=k, small_df_cutoff=cutoff
+        ).collect()
     ]
     assert [w[0] for w in wand] == [e[0] for e in exact]
     for (wd, ws, wm), (ed, es, em) in zip(wand, exact):
@@ -82,7 +88,10 @@ def test_wand_with_exclusion(eng):
 def test_wand_small_phase_a(eng):
     """Tiny phase-A budget forces the theta-pruning path in phase B."""
     exact = eng.search_terms(["spark", "index"], "AND", 5).collect()
-    wand = wand_search(eng, ["spark", "index"], "AND", 5, phase_a_groups=1).collect()
+    wand = wand_search(
+        eng, ["spark", "index"], "AND", 5, phase_a_groups=1,
+        small_df_cutoff=0,
+    ).collect()
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact]
 
 
