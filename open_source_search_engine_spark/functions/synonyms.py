@@ -228,9 +228,12 @@ def load_synonyms(source) -> dict[str, list[str]]:
     """User synonym table loader (the ``mysynonyms.txt`` analog,
     `Synonyms.cpp:59`): accepts
 
-    * a path to a text file -- one group per line, whitespace-separated,
+    * a path to a text file -- one group per line: whitespace-separated,
       first word is the base term, the rest its alternatives; '#' starts a
-      comment; a line "a, b, c" with commas also works;
+      comment. A line WITH commas splits on commas instead ("html,
+      hypertext markup language"), so a multi-word alternative keeps its
+      internal spaces and routes through the phrase path (`Synonyms.cpp:59`
+      multi-word targets);
     * a Spark DataFrame with columns (term, alt) or (term, alts array);
     * a dict (returned as-is).
 
@@ -258,7 +261,15 @@ def load_synonyms(source) -> dict[str, list[str]]:
             line = line.split("#", 1)[0].strip()
             if not line:
                 continue
-            words = [w.lower() for w in line.replace(",", " ").split() if w]
+            if "," in line:
+                # comma syntax preserves multi-word alternatives
+                words = [
+                    " ".join(f.lower().split())
+                    for f in line.split(",")
+                    if f.strip()
+                ]
+            else:
+                words = [w.lower() for w in line.split() if w]
             if len(words) < 2:
                 continue
             base, alts = words[0], words[1:]

@@ -312,9 +312,11 @@ def test_synonym_table_loader_roundtrip(eng, tmp_path):
     )
 
     p = tmp_path / "mysynonyms.txt"
+    # whitespace lines = single-word alternatives; comma lines preserve
+    # multi-word alternatives (phrase-path targets, r4)
     p.write_text(
         "# user synonym table\n"
-        "speedy shuffle, fast\n"
+        "speedy shuffle fast\n"
         "merge combine\n"
         "\n"
     )

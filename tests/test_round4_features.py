@@ -91,6 +91,22 @@ class TestMultiwordSynonym:
         got = eng.search_synonyms(["html"], None, "AND", 10).collect()
         assert got == []
 
+    def test_loader_comma_syntax_keeps_multiword_targets(self, tmp_path):
+        from open_source_search_engine_spark.functions.synonyms import (
+            load_synonyms,
+        )
+
+        p = tmp_path / "syn.txt"
+        p.write_text(
+            "html, hypertext markup language  # abbrev\n"
+            "fast quick rapid\n"
+            "sql, structured query language, sequel\n"
+        )
+        t = load_synonyms(str(p))
+        assert t["html"] == ["hypertext markup language"]
+        assert t["fast"] == ["quick", "rapid"]
+        assert t["sql"] == ["structured query language", "sequel"]
+
     def test_three_word_phrase_postings_repeated_words(self, spark, catalog):
         eng = _engine(
             spark,
