@@ -27,11 +27,14 @@ from open_source_search_engine_spark.session import get_spark  # noqa: E402
 
 
 def _work(_):
-    """Fixed pure-numpy workload (scripts/host_probe.py, scaled down)."""
+    """Fixed pure-numpy workload (same size as scripts/host_probe.py --
+    a smaller one is fork-overhead-dominated and reads as false
+    contention: ~0.1 s of compute under ~1.5 s of 32-process pool spinup
+    measured aggregate_scaling 1.75 on an idle box)."""
     import numpy as np
 
-    h = np.full(1_000_000, 0xCBF29CE484222325, dtype=np.uint64)
-    for _ in range(60):
+    h = np.full(2_000_000, 0xCBF29CE484222325, dtype=np.uint64)
+    for _ in range(120):
         h = (h ^ np.uint64(0x9E)) * np.uint64(0x100000001B3)
     return float(h[0])
 
@@ -300,14 +303,18 @@ def main() -> None:
             p50_10.append(lat10[len(lat10) // 2])
         p50_10.sort()
         queries["bm25_10m_p50"] = round(p50_10[len(p50_10) // 2], 4)
+        # 16 queries (not 64): at 10M docs the batch job's cost is the
+        # exact (query, doc) contribution shuffle, which scales linearly
+        # in batch size -- 16 keeps the leg honest without dominating the
+        # whole bench's wall time
         t0 = time.time()
-        eng10.search_many(batch).collect()
+        eng10.search_many(batch[:16]).collect()
         b10 = time.time() - t0
-        queries["batch_64_10m"] = round(b10, 4)
+        queries["batch_16_10m"] = round(b10, 4)
         tenm = {
             "tenm_turns": 10_000_000,
             "tenm_p50_sec": queries["bm25_10m_p50"],
-            "tenm_batch_qps": round(64 / b10, 1),
+            "tenm_batch_qps": round(16 / b10, 2),
         }
 
     total = sum(queries.values())

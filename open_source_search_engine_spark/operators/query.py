@@ -1046,11 +1046,32 @@ class SearchEngine:
             F.first("n_required").alias("n_required"),
             F.first("k").alias("k"),
         ).filter(F.col("matched") >= F.col("n_required"))
+        # per-partition bounded pre-top-k BEFORE the rank window -- the
+        # reference's per-shard TopTree -> Msg3a merge shape
+        # (`TopTree.cpp:185`, `Msg3a.cpp:807-811`). A window alone is a
+        # FULL SORT of every query's candidate set (at 10M docs: 64 sorts
+        # of ~7M rows each -- measured 590 s); any global top-k row is in
+        # its Arrow batch's per-query top-k, so the window then ranks at
+        # most n_batches * k rows per query.
+        max_k = max(int(q.get("k", default_k)) for q in queries)
+        out_schema = scored.schema
+
+        def pre_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                b = b.sort_values(
+                    ["query_id", "score", "doc_id"],
+                    ascending=[True, False, True],
+                )
+                yield b.groupby("query_id", sort=False).head(max_k)
+
+        pre = scored.mapInPandas(pre_topk, schema=out_schema)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         return (
-            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            pre.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", "doc_id", "score", "matched")
             .orderBy("query_id", "rank")

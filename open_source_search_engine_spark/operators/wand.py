@@ -388,16 +388,14 @@ def wand_search(
                 .applyInPandas(scorer, schema=SCORED_SCHEMA)
             )
 
-        # fast path: candidates <= min-df <= cutoff -> one job, no theta
+        # fast path: candidates <= min-df <= cutoff -> one job, no theta.
+        # No gmeta presence pre-filter either: the scorer itself bails on a
+        # group missing any query term before decoding anything (the
+        # rows_by_term < n_query_terms check), so the semi-join would only
+        # add an extra aggregation to save already-cheap work
         if mode == "AND" and int(plan["df"].min()) <= small_df_cutoff:
             scored = _apply_exclusions(
-                engine,
-                score_groups(
-                    q_blocks.join(
-                        gmeta.select("group_id"), "group_id", "left_semi"
-                    )
-                ),
-                exclude_terms,
+                engine, score_groups(q_blocks), exclude_terms
             )
             out = (
                 scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
