@@ -224,3 +224,45 @@ def test_decontaminate_corpus_side_never_shuffles_shingles(spark):
     exchanges = re.findall(r"Exchange (\w+partitioning)\(([^,)]+)", p)
     data_exchanges = [e for e in exchanges if "broadcast" not in e[0].lower()]
     assert all(col.startswith("doc_id") for _, col in data_exchanges), exchanges
+
+
+def test_search_deduped_page_is_broadcast_and_topk(eng):
+    # r4 serve-time result dedup: the over-fetched page drives a BROADCAST
+    # semi-join against the doc store (page <= overfetch*k rows; the doc
+    # store side must not shuffle), the page itself comes from a
+    # TakeOrderedAndProject top-k, and the simhash-equality collapse is a
+    # window over the page only
+    df = eng.search_deduped(["spark", "index"], "AND", k=5, overfetch=4)
+    p = _physical(df)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_phrase_postings_prunes_scan(eng):
+    # r4 multi-word phrase path (n>=3 positional): the postings scan must
+    # be pruned to the phrase's term_ids and MUST read positions (only
+    # here); no cartesian product anywhere
+    df = eng.phrase_postings(["spark", "index", "spark"])
+    p = _physical(df)
+    assert "PushedFilters: [In(term_id" in p
+    scan = [
+        ln for ln in p.splitlines() if "postings" in ln and "ReadSchema" in ln
+    ]
+    assert scan and any("positions" in ln.split("ReadSchema")[1] for ln in scan)
+    assert "Cartesian" not in p
+
+
+def test_search_many_pre_topk_below_window(eng):
+    # r4 batch-serving fix: a bounded per-partition top-k (MapInPandas)
+    # must sit BELOW the per-query rank window, so the window ranks at most
+    # n_batches*k rows per query instead of fully sorting every query's
+    # candidate set (the 10M-index 590s anti-pattern)
+    batch = [
+        {"query_id": "a", "terms": ["spark", "index"], "mode": "AND", "k": 5},
+        {"query_id": "b", "terms": ["the"], "mode": "OR", "k": 5},
+    ]
+    p = _physical(eng.search_many(batch))
+    assert "Window" in p and "MapInPandas" in p
+    # executedPlan prints root-first: the Window node appears above the
+    # pre-top-k MapInPandas it consumes
+    assert p.index("Window") < p.index("MapInPandas")
