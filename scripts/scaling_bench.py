@@ -97,10 +97,42 @@ def child(corpus_dir: str, cpus: int) -> None:
     spark.stop()
 
 
+def leg_probe() -> dict:
+    """Per-leg host-capacity probe (pure numpy multiprocessing, zero
+    Spark): the r3/r4 pair logs show the host granting 2.5-3.6x aggregate
+    at 8 procs DURING sustained legs but 4.5-4.7x immediately AFTER a
+    heavy job ends -- the signature of a burst CPU quota that replenishes
+    when idle. Bracketing each leg (not just the pair) attributes which
+    leg the throttle landed on."""
+    import multiprocessing as mp
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from host_probe import work
+
+    with mp.Pool(2) as p:  # warm fork machinery untimed
+        p.map(work, range(2))
+    walls = {}
+    for n in (1, 2, 8):
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(work, range(n))
+        walls[n] = time.time() - t0
+    return {
+        n: round(n * walls[1] / walls[n], 2) for n in (2, 8)
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=1_000_000)
     ap.add_argument("--cpus", default="8,32")
+    ap.add_argument(
+        "--gap",
+        type=int,
+        default=0,
+        help="idle seconds before EACH leg (burst-quota replenishment; "
+        "applied identically to both legs so neither is favored)",
+    )
     ap.add_argument("--child", nargs=2, metavar=("CORPUS", "CPUS"))
     args = ap.parse_args()
     if args.child:
@@ -123,6 +155,12 @@ def main() -> None:
 
     results = {}
     for c in [int(x) for x in args.cpus.split(",")]:
+        if args.gap:
+            time.sleep(args.gap)
+            print(
+                f"LEG_PROBE cpus={c} after {args.gap}s idle: "
+                + json.dumps(leg_probe())
+            )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", corpus_dir, str(c)],
             capture_output=True,

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Opportunistic scaling-pair runner.
+
+The shared host grants parallel CPU in unpredictable minute-scale
+windows (see BENCH.md's probe-bracketed pair history: identical code
+measured eff 0.21-0.90 across r3's pairs purely by window). This
+watcher polls the numpy host probe every --poll seconds and fires ONE
+full `scaling_bench.py --turns N --cpus 2,8` pair the moment the probe
+grants >= --min-agg8 aggregate scaling at 8 procs AND the 1-minute load
+average is < --max-load (so it never races the session's own pytest /
+bench jobs). Every fired pair is appended to --log with its probe
+brackets; the watcher exits after --max-pairs pairs or --max-hours.
+
+Usage: python scripts/scaling_watch.py [--poll 180] [--min-agg8 4.3]
+           [--max-load 1.5] [--max-pairs 3] [--max-hours 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from host_probe import work  # noqa: E402
+
+
+def probe() -> dict:
+    with mp.Pool(2) as p:  # warm fork machinery untimed
+        p.map(work, range(2))
+    walls = {}
+    for n in (1, 2, 8):
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(work, range(n))
+        walls[n] = time.time() - t0
+    return {n: round(n * walls[1] / walls[n], 2) for n in (2, 8)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--poll", type=int, default=180)
+    ap.add_argument("--min-agg8", type=float, default=4.3)
+    ap.add_argument("--max-load", type=float, default=1.5)
+    ap.add_argument("--max-pairs", type=int, default=3)
+    ap.add_argument("--max-hours", type=float, default=3.0)
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--log", default="/tmp/scaling_watch_r4.log")
+    args = ap.parse_args()
+
+    deadline = time.time() + args.max_hours * 3600
+    fired = 0
+    with open(args.log, "a") as lf:
+        while fired < args.max_pairs and time.time() < deadline:
+            load1 = os.getloadavg()[0]
+            if load1 < args.max_load:
+                pr = probe()
+                stamp = time.strftime("%H:%M:%S")
+                lf.write(f"{stamp} load={load1:.2f} probe={json.dumps(pr)}\n")
+                lf.flush()
+                if pr[8] >= args.min_agg8:
+                    lf.write(f"{stamp} CLEAN WINDOW -> firing pair\n")
+                    lf.flush()
+                    out = subprocess.run(
+                        [
+                            sys.executable,
+                            os.path.join(REPO, "scripts", "scaling_bench.py"),
+                            "--turns", str(args.turns), "--cpus", "2,8",
+                        ],
+                        capture_output=True, text=True, cwd=REPO,
+                    )
+                    post = probe()
+                    lf.write(out.stdout)
+                    lf.write(
+                        f"{time.strftime('%H:%M:%S')} probe AFTER pair: "
+                        f"{json.dumps(post)}\n\n"
+                    )
+                    lf.flush()
+                    fired += 1
+            else:
+                lf.write(
+                    f"{time.strftime('%H:%M:%S')} load={load1:.2f} "
+                    "(session busy, skip probe)\n"
+                )
+                lf.flush()
+            time.sleep(args.poll)
+    with open(args.log, "a") as lf:
+        lf.write(f"{time.strftime('%H:%M:%S')} watcher exit: {fired} pairs\n")
+
+
+if __name__ == "__main__":
+    main()
