@@ -303,10 +303,10 @@ def main() -> None:
             p50_10.append(lat10[len(lat10) // 2])
         p50_10.sort()
         queries["bm25_10m_p50"] = round(p50_10[len(p50_10) // 2], 4)
-        # 16 queries (not 64): at 10M docs the batch job's cost is the
-        # exact (query, doc) contribution shuffle, which scales linearly
-        # in batch size -- 16 keeps the leg honest without dominating the
-        # whole bench's wall time
+        # 16 queries (not 64): at 10M docs every all-common-term query
+        # routes to a pruned per-query union branch (search_many's adaptive
+        # cutoff), so batch cost scales ~linearly in batch size -- 16 keeps
+        # the leg honest without dominating the whole bench's wall time
         t0 = time.time()
         eng10.search_many(batch[:16]).collect()
         b10 = time.time() - t0

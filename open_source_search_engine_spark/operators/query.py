@@ -969,7 +969,10 @@ class SearchEngine:
         )
 
     def search_many(
-        self, queries: list[dict], default_k: int = 10
+        self,
+        queries: list[dict],
+        default_k: int = 10,
+        shared_scan_max_rows: int = 3_000_000,
     ) -> DataFrame:
         """Batch serving: MANY queries answered in ONE distributed job.
 
@@ -981,10 +984,23 @@ class SearchEngine:
         query (Msg3a), a batch pipeline pays one postings scan for the whole
         workload. Per-doc scores aggregate with the same canonical term
         order, so identity holds bit-exactly.
+
+        Adaptive routing: the shared scan replicates each term's postings
+        into every query using the term, so a query over all-common terms
+        contributes sum(df) rows to the scoring shuffle -- at 10M docs a
+        2-common-term query is ~10M shuffled rows for 10 result rows, and
+        the pruned per-query path (TakeOrderedAndProject, hot cache, term-
+        partition pruning) wins. Queries whose sum(df) exceeds
+        ``shared_scan_max_rows`` therefore become per-query UNION BRANCHES
+        of the same returned plan (still ONE job -- branch stages share the
+        scheduler wave) while the rest stay in the shared scan. Routing is
+        deterministic from the term-dictionary dfs; both paths are rank-
+        identical to search_terms, so results do not depend on the cutoff.
         """
         from pyspark.sql import Window
 
-        qmeta_rows = []  # (query_id, term, idf, n_required, k)
+        qmeta_rows = []  # (query_id, term, pos, idf, n_required, k)
+        heavy: list[tuple[str, list[str], str, int]] = []
         all_terms: set[str] = set()
         for q in queries:
             terms = sorted(set(q["terms"]))
@@ -992,6 +1008,7 @@ class SearchEngine:
         plan = self.plan_terms(sorted(all_terms))
         idf_of = dict(zip(plan["term"], plan["idf"]))
         tid_of = dict(zip(plan["term"], plan["term_id"]))
+        df_of = dict(zip(plan["term"], plan["df"]))
         for q in queries:
             qid = str(q["query_id"])
             mode = q.get("mode", "AND")
@@ -1000,21 +1017,46 @@ class SearchEngine:
             present = [t for t in terms if t in idf_of]
             if not present or (mode == "AND" and len(present) < len(terms)):
                 continue  # unanswerable -> no rows (same as search_terms)
+            if sum(int(df_of[t]) for t in present) > shared_scan_max_rows:
+                heavy.append((qid, present, mode, k))
+                continue
             required = len(present) if mode == "AND" else 1
-            for t in present:
+            for pos, t in enumerate(present):
                 qmeta_rows.append(
-                    (qid, t, int(tid_of[t]), float(idf_of[t]), required, k)
+                    (qid, t, pos, int(tid_of[t]), float(idf_of[t]), required, k)
                 )
-        if not qmeta_rows:
-            return self.spark.createDataFrame(
-                [], "query_id string, rank long, doc_id long, score double, matched int"
+        heavy_frames = []
+        for qid, present, mode, k in heavy:
+            branch = self.search_terms(present, mode=mode, k=k)
+            # the branch is already ordered and limited to k rows, so this
+            # unpartitioned window ranks k rows, not the candidate set
+            wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            heavy_frames.append(
+                branch.select(
+                    F.lit(qid).alias("query_id"),
+                    F.row_number().over(wb).cast("long").alias("rank"),
+                    "doc_id",
+                    "score",
+                    "matched",
+                )
             )
+        if not qmeta_rows:
+            if not heavy_frames:
+                return self.spark.createDataFrame(
+                    [],
+                    "query_id string, rank long, doc_id long, score double, "
+                    "matched int",
+                )
+            out = heavy_frames[0]
+            for f in heavy_frames[1:]:
+                out = out.unionByName(f)
+            return out.orderBy("query_id", "rank")
         qmeta = self.spark.createDataFrame(
             qmeta_rows,
-            "query_id string, term string, term_id long, idf double, "
+            "query_id string, term string, pos int, term_id long, idf double, "
             "n_required int, k int",
         )
-        term_ids = sorted({r[2] for r in qmeta_rows})
+        term_ids = sorted({r[3] for r in qmeta_rows})
         decoded = self.decoded_postings(term_ids)
         k1, b = self.params.k1, self.params.b
         contrib = (
@@ -1035,16 +1077,39 @@ class SearchEngine:
                     )
                 ),
             )
-            .select("query_id", "doc_id", "term", "contrib", "n_required", "k")
+            .select("query_id", "doc_id", "pos", "contrib", "n_required", "k")
         )
-        scored = contrib.groupBy("query_id", "doc_id").agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(term, contrib))), "
-                "cast(0.0 as double), (acc, x) -> acc + x.contrib)"
-            ).alias("score"),
+        # Canonical-order float64 sum via per-query term SLOTS: qmeta's
+        # `pos` is the term's index in that query's ascending term list, and
+        # each (query_id, doc_id, pos) has at most one row, so every slot
+        # sum is a single-element sum (bit-exact) and the fixed-order fold
+        # below reproduces search_terms' 0.0 + c_t1 + c_t2 ... exactly.
+        # Unlike the previous collect_list(struct)+array_sort fold this is a
+        # plain codegen HashAggregate with map-side partial aggregation --
+        # at 10M docs the object agg spilled and cost ~4x the sequential
+        # path; slots make batch amortization hold at scale.
+        nslots = max(r[2] for r in qmeta_rows) + 1
+        slot_aggs = [
+            F.sum(F.when(F.col("pos") == i, F.col("contrib"))).alias(f"_c{i}")
+            for i in range(nslots)
+        ]
+        g = contrib.groupBy("query_id", "doc_id").agg(
+            *slot_aggs,
             F.count(F.lit(1)).cast("int").alias("matched"),
             F.first("n_required").alias("n_required"),
             F.first("k").alias("k"),
+        )
+        score = F.lit(0.0)
+        for i in range(nslots):
+            c = F.col(f"_c{i}")
+            score = F.when(c.isNotNull(), score + c).otherwise(score)
+        scored = g.select(
+            "query_id",
+            "doc_id",
+            score.alias("score"),
+            "matched",
+            "n_required",
+            "k",
         ).filter(F.col("matched") >= F.col("n_required"))
         # per-partition bounded pre-top-k BEFORE the rank window -- the
         # reference's per-shard TopTree -> Msg3a merge shape
@@ -1070,12 +1135,14 @@ class SearchEngine:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
-        return (
+        out = (
             pre.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", "doc_id", "score", "matched")
-            .orderBy("query_id", "rank")
         )
+        for f in heavy_frames:
+            out = out.unionByName(f)
+        return out.orderBy("query_id", "rank")
 
     def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
         """Parse a query string: bare terms, '-term' exclusions

@@ -48,6 +48,30 @@ def test_batch_matches_single_queries(spark, eng):
         assert got == single, q["query_id"]
 
 
+def test_batch_routing_invariant(eng):
+    """Results must not depend on the shared-scan/per-query routing cutoff:
+    cutoff=0 routes EVERY answerable query through the pruned union-branch
+    path, cutoff=huge keeps every one in the shared scan -- bit-identical."""
+
+    def snap(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (int(r["rank"]), int(r["doc_id"]), float(r["score"]),
+                 int(r["matched"]))
+            )
+        return out
+
+    all_heavy = snap(eng.search_many(BATCH, shared_scan_max_rows=0).collect())
+    all_shared = snap(
+        eng.search_many(BATCH, shared_scan_max_rows=1 << 60).collect()
+    )
+    assert all_heavy == all_shared
+    # q4 is unanswerable (term absent); q6 is answerable but no doc holds
+    # all three AND terms in this corpus -> zero rows on both paths
+    assert set(all_heavy) == {"q1", "q2", "q3", "q5"}
+
+
 def test_batch_ranks_sequential(eng):
     rows = eng.search_many(BATCH[:2]).collect()
     seen: dict[str, int] = {}
