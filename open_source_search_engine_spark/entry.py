@@ -166,6 +166,34 @@ def q_bm25_stopwords(spark, sf_dir):
     return _ranked(eng.search_terms(["the", "a"], "AND", 10), 10)
 
 
+# One workload shared by the Spark query and the SQL oracle: the batch-
+# serving operator (SearchEngine.search_many -- many queries, ONE job,
+# each rank-identical to search_terms). (query_id, terms, mode, k).
+_BATCH_SERVING = [
+    ("qa", ["spark", "join"], "AND", 5),
+    ("qb", ["vector", "stream"], "OR", 5),
+    ("qc", ["merge"], "AND", 5),
+    ("qd", ["the", "index"], "AND", 5),
+]
+
+
+def q_batch_serving(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    out = eng.search_many(
+        [
+            {"query_id": qid, "terms": terms, "mode": mode, "k": k}
+            for qid, terms, mode, k in _BATCH_SERVING
+        ]
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("matched").cast("long").alias("matched"),
+    ).orderBy("query_id", "rank")
+
+
 def q_term_stats(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     ts = eng.catalog.read_table("term_stats")
@@ -1064,6 +1092,7 @@ QUERIES = {
     "bm25_or": q_bm25_or,
     "bm25_not": q_bm25_not,
     "bm25_stopwords": q_bm25_stopwords,
+    "batch_serving": q_batch_serving,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "term_postings": q_term_postings,
@@ -1204,6 +1233,19 @@ FROM scored
 ORDER BY rank
 LIMIT {k}
 """
+
+
+def _batch_serving_sql(
+    batch: list[tuple[str, list[str], str, int]],
+) -> str:
+    """Oracle for search_many: each query's single-query BM25 oracle as a
+    derived table tagged with its query_id, UNION ALL'd -- the batch
+    operator must reproduce the per-query results exactly."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, t.* FROM ({_bm25_sql(terms, k, mode)}) t"
+        for qid, terms, mode, k in batch
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY query_id, rank"
 
 
 _SHINGLES3 = (
@@ -1645,6 +1687,7 @@ FROM scored ORDER BY rank LIMIT 10
     "bm25_or": _bm25_sql(["vector", "window", "stream"], 15, "OR"),
     "bm25_not": _bm25_sql(["spark"], 10, "AND", exclude=["vector"]),
     "bm25_stopwords": _bm25_sql(["the", "a"], 10, "AND"),
+    "batch_serving": _batch_serving_sql(_BATCH_SERVING),
     "bm25_hot": _bm25_sql(["the"], 10, "AND"),
     "wand": _bm25_sql(["merge", "sort", "hash"], 10, "AND"),
     "lang_filter_bm25": _bm25_sql(
