@@ -307,14 +307,24 @@ def main() -> None:
         # routes to a pruned per-query union branch (search_many's adaptive
         # cutoff), so batch cost scales ~linearly in batch size -- 16 keeps
         # the leg honest without dominating the whole bench's wall time
-        t0 = time.time()
-        eng10.search_many(batch[:16]).collect()
-        b10 = time.time() - t0
+        b10_samples = []
+        for _ in range(n_reps):
+            t0 = time.time()
+            eng10.search_many(batch[:16]).collect()
+            b10_samples.append(time.time() - t0)
+        b10_samples.sort()
+        b10 = b10_samples[len(b10_samples) // 2]
         queries["batch_16_10m"] = round(b10, 4)
         tenm = {
             "tenm_turns": 10_000_000,
             "tenm_p50_sec": queries["bm25_10m_p50"],
             "tenm_batch_qps": round(16 / b10, 2),
+            "tenm_batch_samples_sec": [round(s, 4) for s in b10_samples],
+            # the reference's "doubling index size ~ halves qps"
+            # (html/faq.html:316) linearized from the 200k-corpus batch leg
+            "tenm_envelope_qps": round(
+                batch_qps * 200_000 / 10_000_000, 3
+            ),
         }
 
     total = sum(queries.values())
