@@ -34,18 +34,19 @@ def probe() -> dict:
     with mp.Pool(2) as p:  # warm fork machinery untimed
         p.map(work, range(2))
     walls = {}
-    for n in (1, 2, 8):
+    for n in (1, 2, 4, 8):
         t0 = time.time()
         with mp.Pool(n) as p:
             p.map(work, range(n))
         walls[n] = time.time() - t0
-    return {n: round(n * walls[1] / walls[n], 2) for n in (2, 8)}
+    return {n: round(n * walls[1] / walls[n], 2) for n in (2, 4, 8)}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--poll", type=int, default=180)
     ap.add_argument("--min-agg8", type=float, default=4.3)
+    ap.add_argument("--min-agg4", type=float, default=3.4)
     ap.add_argument("--max-load", type=float, default=1.5)
     ap.add_argument("--max-pairs", type=int, default=3)
     ap.add_argument("--max-hours", type=float, default=3.0)
@@ -63,14 +64,24 @@ def main() -> None:
                 stamp = time.strftime("%H:%M:%S")
                 lf.write(f"{stamp} load={load1:.2f} probe={json.dumps(pr)}\n")
                 lf.flush()
+                # a 2,8 window needs >= min_agg8 at 8 procs; a 1,4 pair
+                # (N=1, 4N=4 -- same 4x rule) only needs the host to grant
+                # ~4 cores, which this box does far more often than 8+
+                cpus = None
                 if pr[8] >= args.min_agg8:
-                    lf.write(f"{stamp} CLEAN WINDOW -> firing pair\n")
+                    cpus = "2,8"
+                elif pr[4] >= args.min_agg4:
+                    cpus = "1,4"
+                if cpus is not None:
+                    lf.write(
+                        f"{stamp} CLEAN WINDOW -> firing pair ({cpus})\n"
+                    )
                     lf.flush()
                     out = subprocess.run(
                         [
                             sys.executable,
                             os.path.join(REPO, "scripts", "scaling_bench.py"),
-                            "--turns", str(args.turns), "--cpus", "2,8",
+                            "--turns", str(args.turns), "--cpus", cpus,
                         ],
                         capture_output=True, text=True, cwd=REPO,
                     )
