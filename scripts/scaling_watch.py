@@ -72,9 +72,14 @@ def main() -> None:
                     cpus = "2,8"
                 elif pr[4] >= args.min_agg4:
                     cpus = "1,4"
-                if cpus is not None:
+                # re-fire immediately while the post-pair probe is still
+                # clean: windows on this host often outlive one short pair
+                # but not the 150 s poll sleep (pair 5's after-probe read
+                # agg@8 = 7.84 and was gone by the next poll)
+                while cpus is not None and fired < args.max_pairs:
                     lf.write(
-                        f"{stamp} CLEAN WINDOW -> firing pair ({cpus})\n"
+                        f"{time.strftime('%H:%M:%S')} CLEAN WINDOW -> "
+                        f"firing pair ({cpus})\n"
                     )
                     lf.flush()
                     out = subprocess.run(
@@ -93,6 +98,11 @@ def main() -> None:
                     )
                     lf.flush()
                     fired += 1
+                    cpus = None
+                    if post[8] >= args.min_agg8:
+                        cpus = "2,8"
+                    elif post[4] >= args.min_agg4:
+                        cpus = "1,4"
             else:
                 lf.write(
                     f"{time.strftime('%H:%M:%S')} load={load1:.2f} "
