@@ -2,14 +2,21 @@
 """Scaling-efficiency evidence (north rule: >=0.8 between N and 4N).
 
 No real multi-node cluster exists in this sandbox, so per driver instruction
-the same job runs at two parallelism levels -- local[8] vs local[32] -- on
-the SAME pre-materialized parquet corpus, and we report throughput at both
-plus eff = throughput(32) / (4 * throughput(8)).
+the same job runs at two parallelism levels on the SAME pre-materialized
+parquet corpus, and we report throughput at both plus
+eff = throughput(4N) / (4 * throughput(N)).
 
-Each level runs in a FRESH JVM (subprocess) so executor-thread count, shuffle
+Two masters:
+  --mode threads   (default) local[N] executor threads in one JVM
+  --mode executors local-cluster[N,cores,mem] -- N SEPARATE executor JVMs
+                   with real netty shuffle, the closest this sandbox gets
+                   to the north rule's "N and 4N executors" wording
+
+Each leg runs in a FRESH driver JVM (subprocess) so executor count, shuffle
 partitions, and memory pools are really reconfigured.
 
-Usage: python scripts/scaling_bench.py [--turns 1000000] [--cpus 8,32]
+Usage: python scripts/scaling_bench.py [--turns 1000000] [--cpus 2,8]
+           [--mode executors] [--exec-cores 1] [--exec-mem-mb 3072]
 Child mode (internal): --child <corpus_dir> <cpus>
 """
 
@@ -27,7 +34,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(corpus_dir: str, cpus: int) -> None:
+def child(
+    corpus_dir: str,
+    cpus: int,
+    mode: str = "threads",
+    exec_cores: int = 1,
+    exec_mem_mb: int = 3072,
+) -> None:
     from open_source_search_engine_spark.catalog import Catalog
     from open_source_search_engine_spark.operators.index_build import (
         IndexConfig,
@@ -39,10 +52,18 @@ def child(corpus_dir: str, cpus: int) -> None:
 
     wh = f"/tmp/osse-scale-wh-{cpus}"
     shutil.rmtree(wh, ignore_errors=True)
+    if mode == "executors":
+        # N separate executor JVMs, each with exec_cores cores: the
+        # "cluster of N executors" reading of the north rule
+        master = f"local-cluster[{cpus},{exec_cores},{exec_mem_mb}]"
+        total_cores = cpus * exec_cores
+    else:
+        master = f"local[{cpus}]"
+        total_cores = cpus
     spark = get_spark(
         f"osse-scale-{cpus}",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(8, cpus),
+        master=master,
+        shuffle_partitions=max(8, total_cores),
     )
     spark.sparkContext.setLogLevel("ERROR")
     cat = Catalog(spark, wh)
@@ -87,6 +108,7 @@ def child(corpus_dir: str, cpus: int) -> None:
         + json.dumps(
             {
                 "cpus": cpus,
+                "master": master,
                 "n_turns": n_turns,
                 "build_sec": round(build_s, 3),
                 "turns_per_sec": round(n_turns / build_s, 1),
@@ -133,10 +155,25 @@ def main() -> None:
         help="idle seconds before EACH leg (burst-quota replenishment; "
         "applied identically to both legs so neither is favored)",
     )
+    ap.add_argument(
+        "--mode",
+        choices=("threads", "executors"),
+        default="threads",
+        help="threads = local[N]; executors = local-cluster[N,cores,mem] "
+        "(N separate executor JVMs, real netty shuffle)",
+    )
+    ap.add_argument("--exec-cores", type=int, default=1)
+    ap.add_argument("--exec-mem-mb", type=int, default=3072)
     ap.add_argument("--child", nargs=2, metavar=("CORPUS", "CPUS"))
     args = ap.parse_args()
     if args.child:
-        child(args.child[0], int(args.child[1]))
+        child(
+            args.child[0],
+            int(args.child[1]),
+            mode=args.mode,
+            exec_cores=args.exec_cores,
+            exec_mem_mb=args.exec_mem_mb,
+        )
         return
 
     corpus_dir = f"/tmp/osse-scale-corpus-{args.turns}"
@@ -162,7 +199,13 @@ def main() -> None:
                 + json.dumps(leg_probe())
             )
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", corpus_dir, str(c)],
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--child", corpus_dir, str(c),
+                "--mode", args.mode,
+                "--exec-cores", str(args.exec_cores),
+                "--exec-mem-mb", str(args.exec_mem_mb),
+            ],
             capture_output=True,
             text=True,
             cwd=REPO,
@@ -186,7 +229,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "scaling": f"local[{cl[0]}] -> local[{cl[1]}]",
+                    "scaling": f"{lo['master']} -> {hi['master']}",
                     "speedup": round(ratio, 3),
                     "ideal": ideal,
                     "efficiency": round(eff, 3),
