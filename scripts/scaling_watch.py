@@ -51,6 +51,7 @@ def main() -> None:
     ap.add_argument("--max-pairs", type=int, default=3)
     ap.add_argument("--max-hours", type=float, default=3.0)
     ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--mode", choices=("threads", "executors"), default="threads")
     ap.add_argument("--log", default="/tmp/scaling_watch_r4.log")
     args = ap.parse_args()
 
@@ -87,6 +88,7 @@ def main() -> None:
                             sys.executable,
                             os.path.join(REPO, "scripts", "scaling_bench.py"),
                             "--turns", str(args.turns), "--cpus", cpus,
+                            "--mode", args.mode,
                         ],
                         capture_output=True, text=True, cwd=REPO,
                     )
