@@ -26,17 +26,12 @@ sys.path.insert(0, REPO)
 from open_source_search_engine_spark.session import get_spark  # noqa: E402
 
 
-def _work(_):
-    """Fixed pure-numpy workload (same size as scripts/host_probe.py --
-    a smaller one is fork-overhead-dominated and reads as false
-    contention: ~0.1 s of compute under ~1.5 s of 32-process pool spinup
-    measured aggregate_scaling 1.75 on an idle box)."""
-    import numpy as np
-
-    h = np.full(2_000_000, 0xCBF29CE484222325, dtype=np.uint64)
-    for _ in range(120):
-        h = (h ^ np.uint64(0x9E)) * np.uint64(0x100000001B3)
-    return float(h[0])
+# the probe workload MUST stay byte-identical to scripts/host_probe.py --
+# BENCH.md's attribution method compares bench-embedded probe numbers
+# against watcher/pair-log probes -- so import the one definition instead
+# of keeping a third copy that could drift
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from host_probe import work as _work  # noqa: E402
 
 
 def host_probe(procs: int) -> dict:
@@ -61,6 +56,33 @@ def host_probe(procs: int) -> dict:
         f"wall_{procs}_sec": round(out[procs], 3),
         "aggregate_scaling": round(procs * out[1] / out[procs], 2),
     }
+
+
+# the SAME reference query set for every serving p50 leg (200k and 10M):
+# the 200k-vs-10M p50 comparison (the reference's "doubling index size ~
+# halves qps" envelope) is only meaningful if both legs run identical work
+_REF_QUERIES = [
+    (["spark", "index"], "AND"),
+    (["query", "merge", "shard"], "AND"),
+    (["vector", "stream", "window"], "OR"),
+    (["the", "score"], "AND"),
+    (["rareterm_xyzzy"], "AND"),
+]
+
+
+def _ref_p50_samples(eng, n_reps: int) -> list[float]:
+    """n_reps sorted per-rep p50s of the reference query set."""
+    samples = []
+    for _ in range(n_reps):
+        lat = []
+        for terms, mode in _REF_QUERIES:
+            t0 = time.time()
+            eng.search_terms(terms, mode, 10).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        samples.append(lat[len(lat) // 2])
+    samples.sort()
+    return samples
 
 
 def main() -> None:
@@ -232,22 +254,7 @@ def main() -> None:
     turns_per_sec = n_turns / build_s
 
     eng = SearchEngine(spark, cat, tokenizer_mode="ascii")
-    p50_samples = []
-    for _ in range(n_reps):
-        lat = []
-        for terms, mode in [
-            (["spark", "index"], "AND"),
-            (["query", "merge", "shard"], "AND"),
-            (["vector", "stream", "window"], "OR"),
-            (["the", "score"], "AND"),
-            (["rareterm_xyzzy"], "AND"),
-        ]:
-            t0 = time.time()
-            eng.search_terms(terms, mode, 10).collect()
-            lat.append(time.time() - t0)
-        lat.sort()
-        p50_samples.append(lat[len(lat) // 2])
-    p50_samples.sort()
+    p50_samples = _ref_p50_samples(eng, n_reps)
     p50 = p50_samples[len(p50_samples) // 2]
     queries["bm25_transcript_p50"] = round(p50, 4)
 
@@ -286,22 +293,7 @@ def main() -> None:
         eng10 = SearchEngine(
             spark, Catalog(spark, tenm_wh), tokenizer_mode="ascii"
         )
-        p50_10 = []
-        for _ in range(n_reps):
-            lat10 = []
-            for terms, mode in [
-                (["spark", "index"], "AND"),
-                (["query", "merge", "shard"], "AND"),
-                (["vector", "stream", "window"], "OR"),
-                (["the", "score"], "AND"),
-                (["rareterm_xyzzy"], "AND"),
-            ]:
-                t0 = time.time()
-                eng10.search_terms(terms, mode, 10).collect()
-                lat10.append(time.time() - t0)
-            lat10.sort()
-            p50_10.append(lat10[len(lat10) // 2])
-        p50_10.sort()
+        p50_10 = _ref_p50_samples(eng10, n_reps)
         queries["bm25_10m_p50"] = round(p50_10[len(p50_10) // 2], 4)
         # 16 queries (not 64): at 10M docs every all-common-term query
         # routes to a pruned per-query union branch (search_many's adaptive
@@ -323,7 +315,7 @@ def main() -> None:
             # the reference's "doubling index size ~ halves qps"
             # (html/faq.html:316) linearized from the 200k-corpus batch leg
             "tenm_envelope_qps": round(
-                batch_qps * 200_000 / 10_000_000, 3
+                batch_qps * n_turns / 10_000_000, 3
             ),
         }
 

@@ -132,6 +132,17 @@ def fold_accents(word: str) -> str:
     )
 
 
+# s/es-final English words that are NOT inflections of their stripped form
+# (the stripped form is a real, unrelated word, so plan-time
+# corpus-presence validation would wrongly admit it into the vote group)
+_NON_INFLECTIONS = frozenset(
+    {
+        "news", "series", "species", "always", "perhaps", "whereas",
+        "besides", "outdoors", "indoors",
+    }
+)
+
+
 def morph_forms(token: str) -> list[str]:
     """Rule-based de-inflection CANDIDATES for one index term (regular
     s / es / ies / ed / ing English morphology).
@@ -145,8 +156,17 @@ def morph_forms(token: str) -> list[str]:
     only real corpus words ever score. This replaces the hardcoded ~20-word
     plural table (r3 VERDICT task 5) and generalizes to any vocabulary.
 
-    Returns candidates in fixed rule order, the token itself excluded."""
+    Returns candidates in fixed rule order, the token itself excluded.
+
+    Corpus-presence validation cannot catch LEXICALIZED false friends --
+    words that end in an inflection suffix but are not inflections of the
+    stripped form, where the stripped form is itself a common word
+    ("news" -> "new") -- so those are excluded outright. This list covers
+    the dictionary entries a rule cannot; everything else stays
+    rule-generated + plan-validated (the dictionary-free trade-off)."""
     t = token
+    if t in _NON_INFLECTIONS:
+        return []
     out: list[str] = []
 
     def add(c: str):
@@ -262,12 +282,19 @@ def load_synonyms(source) -> dict[str, list[str]]:
             if not line:
                 continue
             if "," in line:
-                # comma syntax preserves multi-word alternatives
-                words = [
+                # comma syntax preserves multi-word alternatives; the BASE
+                # must stay a single token (expand() looks up per query
+                # word), so extra words in the first field become leading
+                # alternatives -- this also keeps legacy space-separated
+                # lines that happen to contain a comma parsing as before
+                fields = [
                     " ".join(f.lower().split())
                     for f in line.split(",")
                     if f.strip()
                 ]
+                if not fields:
+                    continue
+                words = fields[0].split() + fields[1:]
             else:
                 words = [w.lower() for w in line.split() if w]
             if len(words) < 2:

@@ -318,7 +318,10 @@ def _tokenize_batch_with_bigrams(
     doc_ids_in = b["doc_id"].to_numpy(dtype=np.int64)
     lowered = b["text"].fillna("").str.lower()
     token_lists = lowered.str.findall(pattern).to_numpy()
-    if pattern is _UNICODE_RE:
+    # value-compare, NOT `is`: the compiled pattern crosses the
+    # driver->executor pickle boundary and only aliases the module-level
+    # object while re's pattern cache happens to hold it
+    if pattern.pattern == _UNICODE_RE.pattern:
         token_lists = expand_cjk_in_lists(lowered, token_lists)
     lens = np.fromiter((len(t) for t in token_lists), np.int64, len(b))
     if not (lens > 0).any():
@@ -373,7 +376,8 @@ def _tokenize_batch(b: pd.DataFrame, pattern):
     doc_ids = b["doc_id"].to_numpy(dtype=np.int64)
     lowered = b["text"].fillna("").str.lower()
     token_lists = lowered.str.findall(pattern).to_numpy()
-    if pattern is _UNICODE_RE:
+    # value-compare, NOT `is` (see _tokenize_batch_with_bigrams)
+    if pattern.pattern == _UNICODE_RE.pattern:
         token_lists = expand_cjk_in_lists(lowered, token_lists)
     lens = np.fromiter((len(t) for t in token_lists), np.int64, len(b))
     if not (lens > 0).any():

@@ -141,6 +141,13 @@ class SearchEngine:
         #: term -> (term_id, df, max_salt_bits) | None for confirmed-absent
         #: (the g_termFreqCache analog, `Posdb.cpp:306`; snapshot-bound)
         self._plan_cache: dict[str, tuple | None] = {}
+        #: phrase string -> (persisted hits frame, df); bounded FIFO so a
+        #: long-lived serving engine answering many expanded queries with
+        #: n>=3-word phrase members never accumulates unbounded cached
+        #: blocks (evicted entries are unpersisted). Snapshot-bound like
+        #: _plan_cache.
+        self._phrase_hits_cache: dict[str, tuple[DataFrame, int]] = {}
+        self._phrase_hits_cache_max = 32
         # ranged tombstones from incremental updates (operators/updates.py):
         # ignore a doc's postings from segments with seg_seq <= upto_seq
         if catalog.table_exists("tombstones"):
@@ -562,9 +569,16 @@ class SearchEngine:
             pplan = self.plan_terms([ph]) if len(words) == 2 else None
             if pplan is not None and not pplan.empty:
                 df_ph = int(pplan["df"].iloc[0])
+            elif ph in self._phrase_hits_cache:
+                hits, df_ph = self._phrase_hits_cache[ph]
             else:
                 hits = hits.persist()
                 df_ph = hits.count()
+                while len(self._phrase_hits_cache) >= self._phrase_hits_cache_max:
+                    old, (old_hits, _) = next(iter(self._phrase_hits_cache.items()))
+                    del self._phrase_hits_cache[old]
+                    old_hits.unpersist()
+                self._phrase_hits_cache[ph] = (hits, df_ph)
             if df_ph > 0:
                 idf_ph = float(bm25_idf(float(df_ph), self.n_docs))
                 from .hot_cache import tf_norm_col
@@ -1200,6 +1214,11 @@ class SearchEngine:
         if ugroups and terms:
             grouped: set[str] = set()
             vote: dict[str, list[tuple[str, float]]] = {}
+            # only tokens that survived query_eligibility's term selection
+            # may score: a stopword dropped by IGNORE_DEFAULT must not
+            # re-enter through its UOR group (the raw parse tree still
+            # contains it)
+            eligible_toks = set(terms)
             for g in ugroups:
                 members = sorted(
                     {
@@ -1207,7 +1226,7 @@ class SearchEngine:
                         for text in g
                         for tok in self.tokenize_query(text)
                     }
-                    - grouped
+                    & (eligible_toks - grouped)
                 )
                 if members:
                     vote["\x01uor:" + " ".join(members)] = [

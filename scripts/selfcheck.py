@@ -64,6 +64,8 @@ def main():
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            sys.exit("usage: selfcheck.py [--json PATH] [query ...]")
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = argv
