@@ -496,9 +496,12 @@ def doc_length_col(mode: str = "unicode"):
                 import numpy as _np
 
                 idx = _np.flatnonzero(cjk)
-                counts.iloc[idx] = [
-                    len(tokenize(filled.iloc[i], mode)) for i in idx
-                ]
+                # explicit int32: a bare list assigns as int64 and pandas
+                # deprecates (soon errors on) the implicit downcast
+                counts.iloc[idx] = _np.array(
+                    [len(tokenize(filled.iloc[i], mode)) for i in idx],
+                    dtype="int32",
+                )
         return counts
 
     return _dl
