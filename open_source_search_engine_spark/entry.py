@@ -2284,7 +2284,9 @@ per AS (
 SELECT doc_id, n_tokens, n_distinct, top_term, top_tf,
        round(1 - n_distinct::DOUBLE / n_tokens, 4) AS repetition_ratio,
        floor(10.0 * greatest(1 - n_distinct::DOUBLE / n_tokens,
-                             top_tf::DOUBLE / n_tokens))::BIGINT AS spam_rank
+                             CASE WHEN n_tokens >= 5
+                                  THEN top_tf::DOUBLE / n_tokens
+                                  ELSE 0.0 END))::BIGINT AS spam_rank
 FROM per
 ORDER BY spam_rank DESC, doc_id
 LIMIT 100

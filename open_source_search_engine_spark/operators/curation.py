@@ -74,18 +74,24 @@ def boilerplate_stats(
     source-level boilerplate (XmlDoc_Indexing.cpp:1886 applies the frag
     vector at index time; here it becomes a filterable quality column).
 
-    Returns (doc_id, source, n_frags, n_boiler, boiler_ratio). The
-    boilerplate set is small → Spark broadcasts the join side under AQE.
+    Returns (doc_id, source, n_frags, n_boiler, boiler_ratio).
+
+    Plan shape: ONE corpus scan. The former self-join against
+    boilerplate_fragments re-ran the tokenize+shingle+distinct pass on
+    both sides (two full scans, verified in the physical plan -- no
+    ReusedExchange); since frags is already (doc_id, source, shingle)
+    DISTINCT, a count window over (source, shingle) yields exactly
+    countDistinct(doc_id) per fragment without touching the corpus again.
+    Skew bound: a window partition holds at most the docs of one source
+    containing that shingle -- the same key skew the join had.
     """
     frags = doc_fragments(docs, n)
-    boiler = boilerplate_fragments(docs, n=n, min_docs=min_docs, per_source=True)
-    # no forced broadcast: at corpus scale with a low min_docs the
-    # boilerplate set is NOT guaranteed small -- AQE broadcasts it when its
-    # runtime size qualifies and falls back to a shuffle join when not
-    marked = frags.join(
-        boiler.select("source", "shingle", F.lit(1).alias("is_boiler")),
-        on=["source", "shingle"],
-        how="left",
+    w_frag = Window.partitionBy("source", "shingle")
+    marked = frags.withColumn(
+        "is_boiler",
+        F.when(
+            F.count(F.lit(1)).over(w_frag) >= min_docs, F.lit(1)
+        ).otherwise(F.lit(None).cast("int")),
     )
     return (
         marked.groupBy("doc_id", "source")
@@ -237,17 +243,30 @@ def pack_shards(
     counts = with_tokens(docs, text_col).select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
-    lo, hi = counts.agg(F.min("doc_id"), F.max("doc_id")).first()
+    # min/max over docs directly (NOT counts): column pruning drops the
+    # tokenize projection, so this pass reads only the doc_id column
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     if lo is None:
         return counts.withColumn("shard_id", F.lit(None).cast("long")).select(
             "doc_id", "n_tokens", "shard_id"
         )
+    # cache the tiny (doc_id, n_tokens) projection: the totals collect and
+    # the final windowed result would otherwise each re-tokenize the full
+    # corpus (2 extra 100 TB scans for a 16 B/doc frame). Spark evicts /
+    # spills under pressure; an export job calls this once.
+    counts = counts.persist()
     span = max(int(hi) - int(lo) + 1, 1)
+    # integer-exact monotonic range bucketing. The obvious
+    # (doc_id - lo) * n_buckets / span overflows long for the engine's own
+    # 63-bit hash doc_ids (ANSI mode: job abort; non-ANSI: wrapped sign
+    # breaks the doc_id-ordered-shards contract), so divide by a
+    # precomputed width instead of multiplying.
+    width = span // n_buckets + 1
     counts = counts.withColumn(
         "bucket",
         F.least(
             F.lit(n_buckets - 1),
-            ((F.col("doc_id") - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("int"),
+            F.expr(f"(doc_id - {int(lo)}L) div {width}L").cast("int"),
         ),
     )
     totals = (

@@ -40,10 +40,16 @@ def tokens_col(text: Column) -> Column:
 
 def shingles_expr(tokens_col_name: str, n: int = 3) -> Column:
     """n-gram shingle array from a token-array column (JVM higher-order fns,
-    no UDF): shingle i = tokens[i..i+n-1] joined by spaces."""
+    no UDF): shingle i = tokens[i..i+n-1] joined by spaces; docs with fewer
+    than n tokens yield an EMPTY array (the size guard is load-bearing:
+    sequence(1, 0) is the DESCENDING [1, 0] and slice(_, 0, n) throws, so
+    without it one short doc crashes the whole query)."""
+    c = tokens_col_name
     return F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col_name}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({tokens_col_name}, i, {n})))"
+        f"case when size({c}) >= {n} then "
+        f"transform(sequence(1, size({c}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({c}, i, {n}))) "
+        f"else array() end"
     )
 
 

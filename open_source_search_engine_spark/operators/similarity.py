@@ -180,6 +180,7 @@ def ivf_centroids(
     iterations: int = 2,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means with hash-seeded init and
     a FIXED number of Lloyd iterations (determinism beats convergence for a
@@ -191,7 +192,7 @@ def ivf_centroids(
     seeded = (
         embeddings.select(
             F.col(vec_col),
-            F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("_h"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
         )
         .orderBy("_h")
         .limit(n_centroids)
@@ -273,7 +274,9 @@ def ivf_topk(
     cents = (
         centroids
         if centroids is not None
-        else ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
+        else ivf_centroids(
+            embeddings, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+        )
     )
     qv = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort(-(cents @ qv))
@@ -332,7 +335,7 @@ def build_ann_index(
     bucket_bits = min(bucket_bits, n_planes)
     planes = hyperplanes(dim, n_planes, seed)
     cents = ivf_centroids(
-        embeddings, n_centroids, kmeans_iterations, seed, vec_col
+        embeddings, n_centroids, kmeans_iterations, seed, vec_col, id_col
     )
     base = embeddings.withColumn("vec_norm", _norm(F.col(vec_col)))
     lsh = base.withColumn("lsh_sig", lsh_signature_col(vec_col, planes))

@@ -119,12 +119,15 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # tokenize ONCE into a materialized array column -- one split per row,
     # not one per language (13 marker filters reference the same array;
     # see with_tokens for why the projection must be explicit)
+    # coalesce once: with a NULL text every hits_/rlike/when predicate
+    # below is NULL and the CASE chain falls through to NULL instead of
+    # the documented 'und'
     toked = docs.select(
         "doc_id",
-        F.col(text_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         F.expr(
-            f"filter(split(lower({text_col}), '{ASCII_SPLIT_REGEX}'), "
-            "t -> t <> '')"
+            f"filter(split(lower(coalesce({text_col}, '')), "
+            f"'{ASCII_SPLIT_REGEX}'), t -> t <> '')"
         ).alias("_lt"),
     )
     cols = []
@@ -216,6 +219,11 @@ def doc_keywords(
     )
 
 
+#: docs below this token count score spam_rank from repetition_ratio only
+#: (top_tf/n_tokens is degenerate at tiny n: a 1-token doc would rank 10)
+_SPAM_MIN_TOKENS = 5
+
+
 def word_spam_rank(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """W5 word-spam rank (XmlDoc.cpp:19206 getWordSpamVec): the reference
     walks each doc's word sequence counting repetition patterns and assigns
@@ -228,7 +236,9 @@ def word_spam_rank(docs: DataFrame, text_col: str = "text") -> DataFrame:
       re-occurrences
     * spam_rank = floor(10 * greatest(repetition_ratio, top_tf/n_tokens))
       in 0..10 — 0 is clean prose, 10 is one token stamped over and over;
-      the filterable column a curation pipeline thresholds on.
+      the filterable column a curation pipeline thresholds on. Docs with
+      fewer than _SPAM_MIN_TOKENS tokens use repetition_ratio only (the
+      top-term ratio is degenerate at tiny n).
 
     One explode + two hash aggregations (map-side combined), the same
     one-shuffle shape as token_counts; no UDFs, fully SQL-expressible.
@@ -253,7 +263,14 @@ def word_spam_rank(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     rep = 1.0 - F.col("n_distinct") / F.col("n_tokens")
-    top_ratio = F.col("top_tf") / F.col("n_tokens")
+    # the top-term ratio is only evidence of stamping when there ARE
+    # enough tokens for a ratio to mean anything: a 1-token doc has
+    # top_tf/n = 1.0 and would score the maximal rank 10 despite zero
+    # repetition, so tiny docs fall back to repetition_ratio alone
+    top_ratio = F.when(
+        F.col("n_tokens") >= _SPAM_MIN_TOKENS,
+        F.col("top_tf") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
     return (
         per_doc.withColumn("repetition_ratio", F.round(rep, 4))
         .withColumn(
@@ -297,33 +314,37 @@ def gopher_quality_flags(
     * <= max_ellipsis_ratio of lines ending in '...'
     * >= min_common_hits distinct Gopher common words present
     """
-    toks = tokens_col(F.col(text_col))
+    # every expression below reads the COALESCED text: with raw NULL text
+    # each flag evaluates to NULL (not 1) and quality_pass silently becomes
+    # three-valued, so an audit of quality_pass == 0 never sees those docs
+    tc = f"coalesce({text_col}, '')"
     t = F.coalesce(F.col(text_col), F.lit(""))
-    n_tokens = F.size(toks)
-    sum_tok_len = F.expr(
-        f"aggregate(transform(filter(split(lower({text_col}), "
-        f"'{ASCII_SPLIT_REGEX}'), x -> x <> ''), x -> length(x)), "
-        "0, (acc, x) -> acc + x)"
+    n_tokens = F.size(tokens_col(t))
+    # mean token length via ONE regex scan: for [a-z0-9_]+ tokenization the
+    # summed token lengths equal the count of [a-z0-9_] chars (the same
+    # idiom quality_features uses), replacing an O(tokens) aggregate lambda
+    alnum_chars = F.length(
+        F.regexp_replace(F.lower(t), "[^a-z0-9_]", "")
     )
-    mean_len = F.when(n_tokens > 0, sum_tok_len / n_tokens).otherwise(F.lit(0.0))
+    mean_len = F.when(n_tokens > 0, alnum_chars / n_tokens).otherwise(F.lit(0.0))
     n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
     n_ellipsis = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
     sym_ratio = F.when(
         n_tokens > 0, (n_hash + n_ellipsis) / n_tokens
     ).otherwise(F.lit(0.0))
-    lines = F.expr(f"transform(split({text_col}, '\\n'), l -> ltrim(l))")
+    lines = F.expr(f"transform(split({tc}, '\\n'), l -> ltrim(l))")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_lines = F.expr(
-        f"size(filter(transform(split({text_col}, '\\n'), l -> ltrim(l)), "
+        f"size(filter(transform(split({tc}, '\\n'), l -> ltrim(l)), "
         "l -> startswith(l, '- ') OR startswith(l, '* ')))"
     )
     ellipsis_lines = F.expr(
-        f"size(filter(transform(split({text_col}, '\\n'), l -> rtrim(l)), "
+        f"size(filter(transform(split({tc}, '\\n'), l -> rtrim(l)), "
         "l -> endswith(l, '...')))"
     )
     common_arr = "array(" + ",".join(f"'{w}'" for w in GOPHER_COMMON) + ")"
     common_hits = F.expr(
-        f"size(array_intersect(array_distinct(filter(split(lower({text_col}), "
+        f"size(array_intersect(array_distinct(filter(split(lower({tc}), "
         f"'{ASCII_SPLIT_REGEX}'), x -> x <> '')), {common_arr}))"
     )
     flags = {

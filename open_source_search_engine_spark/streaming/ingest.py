@@ -12,9 +12,14 @@ turns, immediately visible to queries (tree+files-merged-at-read semantics),
 with the stream checkpoint directory playing saveAddsInProgress. Compaction
 (compact_updates) is the background RdbMerge.
 
-No watermark/late-data logic is needed -- the reference's contract is
-last-writer-wins per (conv_id, turn_idx), which apply_updates' tombstone
-versioning implements exactly, whatever order batches arrive in.
+Last-WRITER-wins per (conv_id, turn_idx) needs two mechanisms, because
+apply_updates' tombstone versioning alone is last-APPLIED-wins (seg_seq
+order): duplicates WITHIN a batch collapse to the highest-ts row, and a
+row whose stored version is STRICTLY NEWER by ts is dropped before it
+reaches apply_updates (the stale-redelivery guard -- an at-least-once
+source re-emitting an old turn in a later micro-batch must not overwrite
+the edit a previous batch installed). Equal-ts redelivery still
+re-applies, which keeps half-processed-batch replay idempotent.
 """
 
 from __future__ import annotations
@@ -36,7 +41,9 @@ def ingest_batch(
     """Absorb one (micro-)batch of transcript rows (input_hint schema).
 
     Rows are upserts keyed by (conv_id, turn_idx): a re-delivered or edited
-    turn replaces its prior version (negative-key annihilation)."""
+    turn replaces its prior version (negative-key annihilation), EXCEPT
+    when the stored version is strictly newer by ts (stale redelivery from
+    an at-least-once source; see module docstring)."""
     docs = transcripts_to_docs(batch_df)
     # duplicate turns WITHIN a batch: last write wins deterministically
     # (highest ts, then arbitrary-but-deterministic tie on text)
@@ -49,6 +56,19 @@ def ingest_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # stale-redelivery guard ACROSS batches: drop rows older than the
+    # stored version. Both joins broadcast the batch-sized side, so the
+    # doc store is never shuffled (the daily-ingest shape at scale).
+    if "ts" in docs.columns and catalog.table_exists("documents"):
+        stored = catalog.read_table("documents")
+        if "ts" in stored.columns:
+            keys = docs.select("doc_id", F.col("ts").alias("_new_ts"))
+            stale = (
+                stored.join(F.broadcast(keys), "doc_id")
+                .filter(F.col("ts") > F.col("_new_ts"))
+                .select("doc_id")
+            )
+            docs = docs.join(F.broadcast(stale), "doc_id", "left_anti")
     return apply_updates(spark, catalog, upserts=docs, config=config)
 
 

@@ -1,9 +1,17 @@
-"""Regression gates for the round-4 review findings: CJK expansion must
-not depend on regex object identity across the pickle boundary, UOR vote
-groups must honor query-side stopword dropping, morphology must not
-derive false friends ("news" -> "new"), the synonym loader must keep
-legacy space-separated lines that contain a comma parsing as before, and
-the phrase-member hits cache must stay bounded."""
+"""Regression gates for the round-4 review findings (two passes).
+
+Pass 1 (query/build path): CJK expansion must not depend on regex object
+identity across the pickle boundary, UOR vote groups must honor
+query-side stopword dropping, morphology must not derive false friends
+("news" -> "new"), the synonym loader must keep legacy space-separated
+lines that contain a comma parsing as before, and the phrase-member hits
+cache must stay bounded.
+
+Pass 2 (curation/analysis/streaming): shingling must not crash on docs
+shorter than n tokens, pack_shards must not overflow on 63-bit hash
+doc_ids, ivf must honor id_col, lang_id/gopher flags must not go NULL on
+NULL text, spam_rank must not max out on tiny docs, and streaming ingest
+must not let a stale redelivery overwrite a newer stored turn."""
 
 from __future__ import annotations
 
@@ -137,3 +145,162 @@ class TestPhraseHitsCacheBounded:
         assert [(r.doc_id, r.score) for r in r1b] == [
             (r.doc_id, r.score) for r in r1
         ]
+
+
+class TestShortDocShingles:
+    def test_short_docs_yield_empty_not_crash(self, spark):
+        from open_source_search_engine_spark.operators.dedup import (
+            doc_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "one two"), (2, "a"), (3, "x y z w"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = doc_shingles(docs, n=3).collect()
+        # only doc 3 has >= 3 tokens: shingles "x y z" and "y z w"
+        assert sorted((r.doc_id, r.shingle) for r in got) == [
+            (3, "x y z"),
+            (3, "y z w"),
+        ]
+        # the pair generator inherits the guard (used to abort the job)
+        assert ngram_jaccard_pairs(docs, n=3).collect() == []
+
+    def test_diversity_rank_single_token_doc(self, spark):
+        from open_source_search_engine_spark.operators.text_analysis import (
+            diversity_rank,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "rep rep other rep")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in diversity_rank(docs).collect()}
+        assert 1 not in rows  # no repeated term, and no crash
+        assert rows[2].n_repeated == 1
+
+
+class TestPackShardsOverflow:
+    def test_63bit_doc_ids(self, spark):
+        from open_source_search_engine_spark.operators.curation import (
+            pack_shards,
+        )
+
+        big = [(2**62 + i * 7, f"tok{i} alpha beta gamma") for i in range(40)]
+        docs = spark.createDataFrame(big, "doc_id long, text string")
+        rows = sorted(
+            pack_shards(docs, budget_tokens=40, n_buckets=8).collect(),
+            key=lambda r: r.doc_id,
+        )
+        assert len(rows) == 40
+        # shard_id must be non-decreasing in doc_id order (the
+        # byte-identical-shards contract): the old (doc_id-lo)*n_buckets
+        # bucket expression overflowed long here and aborted under ANSI
+        shard_seq = [r.shard_id for r in rows]
+        assert shard_seq == sorted(shard_seq)
+        # exact prefix-sum semantics: shard of doc i = floor(excl_sum/40)
+        excl = 0
+        for r in rows:
+            assert r.shard_id == excl // 40
+            excl += r.n_tokens
+
+
+class TestIvfIdCol:
+    def test_ivf_topk_honors_id_col(self, spark):
+        import numpy as np
+
+        from open_source_search_engine_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=8)])
+            for i in range(30)
+        ]
+        emb = spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        )
+        q = [float(x) for x in rng.normal(size=8)]
+        got = ivf_topk(
+            emb, q, k=5, n_centroids=4, n_probe=4, id_col="doc_id"
+        ).collect()
+        assert len(got) == 5  # used to throw UNRESOLVED_COLUMN vec_id
+
+
+class TestNullTextAnalysis:
+    def test_lang_id_null_text_is_und(self, spark):
+        from open_source_search_engine_spark.operators.text_analysis import (
+            lang_id,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "the cat and the dog have been there")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in lang_id(docs).collect()}
+        assert rows[1].lang_pred == "und" and rows[1].lang_score == 0
+        assert rows[2].lang_pred == "en"
+
+    def test_gopher_flags_null_text_fails_gates(self, spark):
+        from open_source_search_engine_spark.operators.text_analysis import (
+            gopher_quality_flags,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, None)], "doc_id long, text string"
+        )
+        r = gopher_quality_flags(docs).collect()[0]
+        assert r.quality_pass == 0  # used to be NULL (three-valued)
+        assert r.flag_n_tokens == 1 and r.flag_common_words == 1
+        assert r.flag_bullets == 0 and r.flag_ellipsis == 0
+
+    def test_spam_rank_tiny_docs_not_maximal(self, spark):
+        from open_source_search_engine_spark.operators.text_analysis import (
+            word_spam_rank,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "hello"),
+                (2, "two words"),
+                (3, "spam spam spam spam spam spam spam spam"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in word_spam_rank(docs).collect()}
+        assert rows[1].spam_rank == 0  # used to be 10
+        assert rows[2].spam_rank == 0
+        assert rows[3].spam_rank == 10  # genuine stamping still maxes
+
+
+class TestStaleRedelivery:
+    def test_older_ts_does_not_overwrite(self, spark, catalog):
+        import pyspark.sql.functions as SF
+
+        from open_source_search_engine_spark.operators.index_build import (
+            build_index,
+            transcripts_to_docs,
+        )
+        from open_source_search_engine_spark.streaming.ingest import (
+            ingest_batch,
+        )
+
+        def turns(text, ts):
+            return spark.createDataFrame(
+                [("conv-a", 0, "user", text, None)],
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string",
+            ).withColumn("ts", SF.lit(ts).cast("timestamp"))
+
+        build_index(
+            spark, catalog, transcripts_to_docs(turns("original words", "2026-01-01 00:00:00"))
+        )
+        # batch 1: the EDIT (newer ts) replaces the original
+        ingest_batch(spark, catalog, turns("edited words", "2026-01-02 00:00:00"))
+        # batch 2: an at-least-once source re-delivers the ORIGINAL (older
+        # ts) -- it must NOT overwrite the edit
+        ingest_batch(spark, catalog, turns("original words", "2026-01-01 00:00:00"))
+        stored = catalog.read_table("documents").collect()
+        assert len(stored) == 1 and stored[0].text == "edited words"
