@@ -974,10 +974,20 @@ def build_index(
     n_terms = catalog.read_table("term_stats").count()
     n_blocks = postings.count()
     corpus = spark.createDataFrame(
-        [(n_docs, avgdl, block_bits, n_terms, n_blocks)],
-        "n_docs long, avgdl double, block_bits int, n_terms long, n_blocks long",
+        [(n_docs, avgdl, block_bits, n_terms, n_blocks,
+          bool(config.store_positions))],
+        "n_docs long, avgdl double, block_bits int, n_terms long,"
+        " n_blocks long, store_positions boolean",
     )
     catalog.write_table(corpus, "corpus_stats")
+    # a rebuild into a previously-updated catalog must not inherit stale
+    # tombstones / a nonzero segment sequence: doc_ids are deterministic,
+    # so an old tombstone would annihilate the rebuilt doc's seg-0
+    # postings (the doc would exist but be unsearchable)
+    if catalog.table_exists("tombstones") or catalog.table_exists("index_meta"):
+        from .updates import reset_update_state
+
+        reset_update_state(spark, catalog)
     if config.hot_cache_k:
         from .hot_cache import build_hot_term_cache
 

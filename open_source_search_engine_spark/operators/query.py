@@ -132,6 +132,9 @@ class SearchEngine:
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
         self.block_bits = int(row["block_bits"])
+        # indexes written before the column existed always stored positions
+        sp = row.asDict().get("store_positions")
+        self.store_positions = True if sp is None else bool(sp)
         self._postings = catalog.read_table("postings")
         if "seg_seq" not in self._postings.columns:
             self._postings = self._postings.withColumn(
@@ -451,6 +454,7 @@ class SearchEngine:
         terms = sorted(plan["term"])
         if prox_weight == 0.0 or len(terms) < 2:
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        self._require_positions("the proximity boost")
         tid_of = dict(zip(plan["term"], plan["term_id"]))
         decoded = self.decoded_postings(
             [int(t) for t in plan["term_id"]], include_positions=True
@@ -667,6 +671,7 @@ class SearchEngine:
                     F.max("dl").cast("int").alias("dl"),
                 )
             )
+        self._require_positions("bigram adjacency without an indexed bigram termlist")
         plan = self.plan_terms([a, b])
         if len(plan) < len({a, b}):
             return empty
@@ -702,6 +707,16 @@ class SearchEngine:
             .filter(F.col("tf") > 0)
         )
 
+    def _require_positions(self, what: str) -> None:
+        """Fail loudly instead of silently returning empty/unboosted
+        results: store_positions=False blocks carry positions=b'', which
+        positional intersection would read as tf=0 for every doc."""
+        if not self.store_positions:
+            raise ValueError(
+                f"{what} needs word positions, but this index was built "
+                "with store_positions=False"
+            )
+
     def phrase_postings(self, words: list[str]) -> DataFrame:
         """(doc_id, tf, dl) of the exact n-word phrase: tf = number of
         start positions p with word_i at p+i for all i (the bigram-termlist
@@ -730,6 +745,7 @@ class SearchEngine:
             )
         if n == 2:
             return self.bigram_postings(words[0], words[1])
+        self._require_positions(f"the {n}-word phrase path")
         uniq = sorted(set(words))
         plan = self.plan_terms(uniq)
         if len(plan) < len(uniq):
@@ -927,7 +943,11 @@ class SearchEngine:
         from .dedup import simhash64
 
         c = max(int(overfetch) * k, k)
-        top = self.search_terms(query_terms, mode, c)
+        # the over-fetched page feeds TWO plan branches (the semi-join's id
+        # list and the final page join); without materialization Spark
+        # recomputes the whole postings-scan + top-k subtree for each.
+        # localCheckpoint bounds storage at <= c rows and truncates lineage
+        top = self.search_terms(query_terms, mode, c).localCheckpoint(eager=True)
         docs = self.catalog.read_table("documents").select("doc_id", "text")
         page_docs = docs.join(
             F.broadcast(top.select("doc_id")), "doc_id", "left_semi"
@@ -1073,23 +1093,14 @@ class SearchEngine:
         term_ids = sorted({r[3] for r in qmeta_rows})
         decoded = self.decoded_postings(term_ids)
         k1, b = self.params.k1, self.params.b
+        from .hot_cache import tf_norm_col
+
         contrib = (
             decoded.join(F.broadcast(qmeta), "term_id")
             .withColumn(
                 "contrib",
                 F.col("idf")
-                * (
-                    F.col("tf")
-                    * F.lit(k1 + 1.0)
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1.0 - b)
-                            + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
-                        )
-                    )
-                ),
+                * tf_norm_col(F.col("tf"), F.col("dl"), k1, b, self.avgdl),
             )
             .select("query_id", "doc_id", "pos", "contrib", "n_required", "k")
         )
@@ -1492,23 +1503,14 @@ class SearchEngine:
             plan[["term_id", "term", "idf"]]
         )
         k1, b = self.params.k1, self.params.b
+        from .hot_cache import tf_norm_col
+
         return (
             decoded.join(F.broadcast(meta), "term_id")
             .withColumn(
                 "contrib",
                 F.col("idf")
-                * (
-                    F.col("tf")
-                    * F.lit(k1 + 1.0)
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1.0 - b)
-                            + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
-                        )
-                    )
-                ),
+                * tf_norm_col(F.col("tf"), F.col("dl"), k1, b, self.avgdl),
             )
             .select("doc_id", "term", "contrib")
         )

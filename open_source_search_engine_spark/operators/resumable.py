@@ -124,10 +124,23 @@ def resumable_build(
     catalog.write_table(docs, "documents")
     docs = catalog.read_table("documents")
 
-    stats_row = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
+    # same ONE-job doc_id collision audit as build_index: without it a
+    # duplicate doc_id corrupts n_docs/avgdl here and then surfaces as a
+    # misleading "duplicate posting survived merge" error deep in the
+    # partition build
+    stats_row = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("c")).alias("n_rows"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .collect()[0]
+    )
     n_docs = int(stats_row["n_docs"])
+    if int(stats_row["n_rows"] or 0) != n_docs:
+        raise ValueError("doc_id collision detected; rehash with a salt")
     avgdl = (int(stats_row["sum_dl"] or 0) / n_docs) if n_docs else 0.0
     block_bits = pick_block_bits(n_docs, config.target_block_docs)
 
@@ -172,7 +185,15 @@ def resumable_build(
             config.target_reduce_docs,
             config.tokenizer_mode,
             config.store_positions,
+            config.bigrams,
         ).withColumn("seg_seq", F.lit(0).cast("long"))
+        if config.skip_terms:
+            # build_index parity (X7): skip words' unigram termlists are
+            # dropped; bigrams containing them survive for phrase search
+            from .index_build import py_term_id
+
+            skip_ids = [py_term_id(t) for t in config.skip_terms]
+            postings = postings.filter(~F.col("term_id").isin(skip_ids))
         postings.write.mode("overwrite").parquet(seg_dir)
         elapsed = time.time() - tp
         seg_bytes = _dir_bytes(seg_dir)
@@ -197,10 +218,18 @@ def resumable_build(
     n_terms = catalog.read_table("term_stats").count()
     n_blocks = postings.count()
     corpus = spark.createDataFrame(
-        [(n_docs, avgdl, block_bits, n_terms, n_blocks)],
-        "n_docs long, avgdl double, block_bits int, n_terms long, n_blocks long",
+        [(n_docs, avgdl, block_bits, n_terms, n_blocks,
+          bool(config.store_positions))],
+        "n_docs long, avgdl double, block_bits int, n_terms long,"
+        " n_blocks long, store_positions boolean",
     )
     catalog.write_table(corpus, "corpus_stats")
+    # rebuild parity with build_index: clear stale tombstones / seg
+    # sequence from a previously-updated catalog (see build_index)
+    if catalog.table_exists("tombstones") or catalog.table_exists("index_meta"):
+        from .updates import reset_update_state
+
+        reset_update_state(spark, catalog)
     if config.hot_cache_k:
         from .hot_cache import build_hot_term_cache
 
@@ -293,6 +322,13 @@ def merge_postings(
     postings = catalog.read_table("postings")
     if "seg_seq" not in postings.columns:
         postings = postings.withColumn("seg_seq", F.lit(0).cast("long"))
+    # honor the build's positions setting (stored in corpus_stats; older
+    # indexes predate the column and always stored positions)
+    store_positions = True
+    if catalog.table_exists("corpus_stats"):
+        cs = catalog.read_table("corpus_stats").collect()[0].asDict()
+        if cs.get("store_positions") is not None:
+            store_positions = bool(cs["store_positions"])
     fan_in = len(catalog.data_dirs("postings"))
     packed_tombs = False
     if tombstone_df is not None and tombstone_df.limit(1).count():
@@ -304,7 +340,7 @@ def merge_postings(
         postings = postings.join(routed, ["salt_bits", "block_id"], "left_outer")
         packed_tombs = True
     stream = _merge_stream_factory(
-        store_positions=True,
+        store_positions=store_positions,
         has_seg=True,
         packed_tombs=packed_tombs,
     )

@@ -71,6 +71,22 @@ def max_seg_seq(catalog: Catalog) -> int:
     return 0
 
 
+def reset_update_state(spark: SparkSession, catalog: Catalog) -> None:
+    """Clear tombstones and reset the segment sequence to 0.
+
+    Called by compaction (every prior version is physically gone) AND by
+    the full-build paths: doc_ids are deterministic, so a fresh rebuild
+    into a previously-updated catalog would otherwise inherit stale
+    tombstones whose (doc_id, upto_seq>=0) annihilate the rebuilt seg-0
+    postings -- the doc exists in the new index but is unsearchable."""
+    catalog.write_table(
+        spark.createDataFrame([], TOMBSTONES_SCHEMA), "tombstones"
+    )
+    catalog.write_table(
+        spark.createDataFrame([(0,)], "max_seg long"), "index_meta"
+    )
+
+
 def apply_updates(
     spark: SparkSession,
     catalog: Catalog,
@@ -122,6 +138,19 @@ def apply_updates(
         .groupBy("term")
         .agg(F.sum("ddf").alias("ddf"), F.sum("dcf").alias("dcf"))
     )
+    if config.skip_terms:
+        # X7 build parity: skip words have no termlists and no term_stats
+        # rows in the built index, so their deltas must not create them.
+        # Exact-match filter only -- bigram terms ("t1 t2") containing a
+        # skip word survive, same as build_index's term_id filter
+        delta = delta.filter(~F.col("term").isin(list(config.skip_terms)))
+    # eager materialization BEFORE the documents overwrite below: the
+    # negative leg tokenizes the OLD doc versions, and in a
+    # snapshot-resolved catalog (Iceberg) a lazy read evaluated after the
+    # overwrite commit would tokenize the NEW text instead -- the delta
+    # would net to 0 and df/cf drift permanently. (Parquet-snapshot mode
+    # pins the file list at read_table time, which masked this.)
+    delta = delta.localCheckpoint(eager=True)
     ts = catalog.read_table("term_stats")
     new_ts = (
         ts.join(delta, "term", "full_outer")
@@ -138,12 +167,18 @@ def apply_updates(
             .alias("cf"),
             # carried forward (grouping-granularity hint only; new terms'
             # delta segments are tiny -> salt_bits 0 is the right default).
-            # A delta segment's blocks are built at salt_bits 0, so the
-            # term's min drops to 0 until compaction recomputes it
+            # A delta segment's blocks are built at salt_bits 0, so min
+            # drops to 0 for the terms THIS delta touches -- and only
+            # those: zeroing every row (the old behavior) collapsed
+            # wand.pick_granularity's floor for all queries after one tiny
+            # upsert, until compaction recomputed it
             F.coalesce("max_salt_bits", F.lit(0)).cast("int").alias(
                 "max_salt_bits"
             ),
-            F.lit(0).cast("int").alias("min_salt_bits"),
+            F.when(F.col("ddf").isNotNull(), F.lit(0))
+            .otherwise(F.coalesce("min_salt_bits", F.lit(0)))
+            .cast("int")
+            .alias("min_salt_bits"),
         )
         .filter(F.col("df") > 0)
     )
@@ -183,6 +218,13 @@ def apply_updates(
         config.store_positions,
         config.bigrams,
     ).withColumn("seg_seq", F.lit(new_seq).cast("long"))
+    if config.skip_terms:
+        # same unigram-id filter as build_index: a delta segment must not
+        # reintroduce termlists the build skipped (X7)
+        from .index_build import py_term_id
+
+        skip_ids = [py_term_id(t) for t in config.skip_terms]
+        delta_postings = delta_postings.filter(~F.col("term_id").isin(skip_ids))
     catalog.append_table(delta_postings, "postings")
     catalog.write_table(
         spark.createDataFrame([(new_seq,)], "max_seg long"), "index_meta"
@@ -200,8 +242,10 @@ def apply_updates(
     avgdl = (int(stats["s"] or 0) / n_docs) if n_docs else 0.0
     catalog.write_table(
         spark.createDataFrame(
-            [(n_docs, avgdl, block_bits, n_terms, n_blocks)],
-            "n_docs long, avgdl double, block_bits int, n_terms long, n_blocks long",
+            [(n_docs, avgdl, block_bits, n_terms, n_blocks,
+              bool(config.store_positions))],
+            "n_docs long, avgdl double, block_bits int, n_terms long,"
+            " n_blocks long, store_positions boolean",
         ),
         "corpus_stats",
     )
@@ -228,12 +272,7 @@ def compact_updates(spark: SparkSession, catalog: Catalog) -> int:
     catalog.write_table(
         term_stats_from_postings(catalog.read_table("postings")), "term_stats"
     )
-    catalog.write_table(
-        spark.createDataFrame([], TOMBSTONES_SCHEMA), "tombstones"
-    )
-    catalog.write_table(
-        spark.createDataFrame([(0,)], "max_seg long"), "index_meta"
-    )
+    reset_update_state(spark, catalog)
     # compaction resets max_seg to 0, which would make a STALE hot-term
     # shortcut cache (hot_cache.py) look fresh again -- rebuild it against
     # the compacted postings so the freshness marker is truthful. The

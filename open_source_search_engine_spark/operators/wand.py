@@ -90,19 +90,15 @@ MAX_GROUP_SPLIT = 6
 
 
 def _ub_col(k1: float, b: float, avgdl: float):
-    """JVM-side block upper bound -- same operation order as the contrib
-    expression in query.py so bound >= score holds bit-safely (modulo EPS)."""
-    return F.col("idf") * (
-        F.col("block_max_tf").cast("double")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("block_max_tf").cast("double")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * F.col("block_min_dl").cast("double") / F.lit(avgdl)
-            )
-        )
+    """JVM-side block upper bound -- THE canonical tf-norm expression
+    (hot_cache.tf_norm_col) over the block's max tf / min dl, so
+    bound >= score holds bit-safely (modulo EPS): bound validity depends
+    on both sides sharing one operation order, which sharing the code
+    guarantees."""
+    from .hot_cache import tf_norm_col
+
+    return F.col("idf") * tf_norm_col(
+        F.col("block_max_tf"), F.col("block_min_dl"), k1, b, avgdl
     )
 
 

@@ -304,3 +304,180 @@ class TestStaleRedelivery:
         ingest_batch(spark, catalog, turns("original words", "2026-01-01 00:00:00"))
         stored = catalog.read_table("documents").collect()
         assert len(stored) == 1 and stored[0].text == "edited words"
+
+
+# ---------------------------------------------------------------------------
+# pass 3: build/update lifecycle parity
+# ---------------------------------------------------------------------------
+class TestRebuildClearsUpdateState:
+    def test_rebuilt_doc_searchable_after_prior_delete(self, spark, catalog):
+        from open_source_search_engine_spark.operators.updates import (
+            apply_updates,
+        )
+
+        rows = [(1, "alpha target words"), (2, "beta filler words")]
+        eng = _engine(spark, catalog, rows)
+        apply_updates(
+            spark,
+            catalog,
+            delete_ids=spark.createDataFrame([(1,)], "doc_id long"),
+        )
+        # doc 1 deleted: unsearchable
+        eng = SearchEngine(spark, catalog)
+        assert eng.search_terms(["target"], "AND", 5).count() == 0
+        # FULL REBUILD over a corpus containing doc 1 again: the stale
+        # tombstone (1, upto_seq>=0) used to annihilate its seg-0 postings
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from open_source_search_engine_spark.operators.index_build import (
+            build_index as bi,
+        )
+
+        bi(spark, catalog, docs)
+        eng = SearchEngine(spark, catalog)
+        assert [r.doc_id for r in eng.search_terms(["target"], "AND", 5).collect()] == [1]
+
+
+class TestResumableConfigParity:
+    def test_bigrams_built_by_resumable(self, spark, catalog):
+        from open_source_search_engine_spark.operators.resumable import (
+            resumable_build,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "quick brown fox jumps"), (2, "brown quick separated x")],
+            "doc_id long, text string",
+        )
+        resumable_build(
+            spark, catalog, docs, IndexConfig(bigrams=True), n_partitions=2
+        )
+        eng = SearchEngine(spark, catalog)
+        # the indexed bigram termlist must exist and serve the initial
+        # corpus (used to be silently skipped -> phrase missed doc 1)
+        assert not eng.plan_terms(["quick brown"]).empty
+        hits = eng.bigram_postings("quick", "brown").collect()
+        assert [r.doc_id for r in hits] == [1]
+
+    def test_skip_terms_honored_by_resumable(self, spark, catalog):
+        from open_source_search_engine_spark.operators.resumable import (
+            resumable_build,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "www example site"), (2, "plain doc words")],
+            "doc_id long, text string",
+        )
+        resumable_build(
+            spark,
+            catalog,
+            docs,
+            IndexConfig(skip_terms=("www",)),
+            n_partitions=2,
+        )
+        eng = SearchEngine(spark, catalog)
+        assert eng.search_terms(["www"], "AND", 5).count() == 0
+        assert eng.search_terms(["example"], "AND", 5).count() == 1
+
+    def test_duplicate_doc_id_raises(self, spark, catalog):
+        from open_source_search_engine_spark.operators.resumable import (
+            resumable_build,
+        )
+
+        docs = spark.createDataFrame(
+            [(7, "first version"), (7, "second version")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="collision"):
+            resumable_build(spark, catalog, docs, n_partitions=2)
+
+
+class TestUpdateSkipTerms:
+    def test_delta_does_not_reintroduce_skip_word(self, spark, catalog):
+        from open_source_search_engine_spark.operators.updates import (
+            apply_updates,
+        )
+
+        cfg = IndexConfig(tokenizer_mode="ascii", skip_terms=("www",))
+        eng = _engine(
+            spark,
+            catalog,
+            [(1, "www alpha site"), (2, "beta words")],
+            skip_terms=("www",),
+        )
+        assert eng.search_terms(["www"], "AND", 5).count() == 0
+        up = spark.createDataFrame(
+            [(3, "www gamma fresh")], "doc_id long, text string"
+        )
+        apply_updates(spark, catalog, upserts=up, config=cfg)
+        eng = SearchEngine(spark, catalog)
+        # the skip word must stay unanswerable (used to return doc 3 only,
+        # a partial inconsistent result) and must not gain a stats row
+        assert eng.search_terms(["www"], "AND", 5).count() == 0
+        from pyspark.sql import functions as F
+
+        ts = catalog.read_table("term_stats").filter(F.col("term") == "www")
+        assert ts.count() == 0
+        # the new doc's other terms are searchable
+        assert eng.search_terms(["gamma"], "AND", 5).count() == 1
+
+
+class TestMinSaltBitsPreserved:
+    def test_untouched_terms_keep_min(self, spark, catalog):
+        from open_source_search_engine_spark.operators.updates import (
+            apply_updates,
+        )
+
+        eng = _engine(
+            spark,
+            catalog,
+            [(i, "common filler" if i else "unique_zz only") for i in range(12)],
+            target_reduce_docs=4,  # force salted blocks at tiny scale
+        )
+        before = {
+            r.term: (r.min_salt_bits, r.max_salt_bits)
+            for r in catalog.read_table("term_stats").collect()
+        }
+        # precondition: at least one term actually has a nonzero min --
+        # otherwise this gate would pass vacuously under the old zeroing
+        assert any(p[0] > 0 for p in before.values()), before
+        up = spark.createDataFrame(
+            [(100, "unique_zz again")], "doc_id long, text string"
+        )
+        apply_updates(spark, catalog, upserts=up)
+        after = {
+            r.term: (r.min_salt_bits, r.max_salt_bits)
+            for r in catalog.read_table("term_stats").collect()
+        }
+        # terms NOT in the delta keep their stored profile (used to be
+        # zeroed wholesale)
+        for t, prof in before.items():
+            if t not in ("unique_zz", "again", "only"):
+                assert after[t] == prof, t
+
+
+class TestPositionsGuard:
+    def test_positional_queries_raise_without_positions(self, spark, catalog):
+        eng = _engine(
+            spark,
+            catalog,
+            [(1, "one two three four five")],
+            store_positions=False,
+        )
+        with pytest.raises(ValueError, match="store_positions"):
+            eng.phrase_postings(["one", "two", "three"])
+        with pytest.raises(ValueError, match="store_positions"):
+            eng.bigram_postings("one", "two")
+        with pytest.raises(ValueError, match="store_positions"):
+            eng.search_proximity(["one", "two"], k=5)
+        # non-positional serving still works
+        assert eng.search_terms(["three"], "AND", 5).count() == 1
+
+    def test_indexed_bigram_termlist_needs_no_positions(self, spark, catalog):
+        eng = _engine(
+            spark,
+            catalog,
+            [(1, "one two three")],
+            store_positions=False,
+            bigrams=True,
+        )
+        hits = eng.bigram_postings("one", "two").collect()
+        assert [r.doc_id for r in hits] == [1]
