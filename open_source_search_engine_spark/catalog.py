@@ -26,6 +26,7 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,6 +55,43 @@ class Catalog:
             return None
         with open(p) as f:
             return json.load(f)
+
+    @contextmanager
+    def _commit_lock(self, name: str, timeout: float = 30.0, stale: float = 120.0):
+        """Serialize the read-parent -> merge-dirs -> publish critical
+        section. Without it two concurrent appenders both read the same
+        parent manifest and the second commit silently orphans the first
+        append (and duplicates its sequence number) -- the exact lost
+        update Iceberg's compare-and-swap commit rejects. O_CREAT|O_EXCL
+        lock file; a lock older than ``stale`` seconds (crashed holder) is
+        broken."""
+        path = os.path.join(self._tdir(name), "_commit.lock")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > stale:
+                        os.unlink(path)
+                        continue
+                except OSError:
+                    continue  # holder released between exists and stat
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock on table {name} held past {timeout}s"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
     def _commit(self, name: str, data_dirs: list[str], parent: dict | None) -> dict:
         tdir = self._tdir(name)
@@ -114,17 +152,22 @@ class Catalog:
             return
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
-        parent = self._read_manifest(name)
-        seq = (parent["sequence"] + 1) if parent else 0
+        # the (long) parquet write runs OUTSIDE the lock -- the seq here
+        # only names the dir, uniqueness comes from the uuid suffix
+        seq = ((self._read_manifest(name) or {}).get("sequence", -1)) + 1
         data_dir = os.path.join(tdir, f"data-{seq:06d}-{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
-        dirs = [data_dir]
-        if mode == "append" and parent:
-            dirs = parent["data_dirs"] + dirs
-        self._commit(name, dirs, parent)
+        with self._commit_lock(name):
+            # re-read the parent UNDER the lock: append merges against the
+            # latest committed snapshot, never a stale pre-write read
+            parent = self._read_manifest(name)
+            dirs = [data_dir]
+            if mode == "append" and parent:
+                dirs = parent["data_dirs"] + dirs
+            self._commit(name, dirs, parent)
 
     def append_table(self, df: DataFrame, name: str) -> None:
         self.write_table(df, name, mode="append")
@@ -142,11 +185,12 @@ class Catalog:
             return
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
-        parent = self._read_manifest(name)
-        dirs = list(data_dirs)
-        if mode == "append" and parent:
-            dirs = parent["data_dirs"] + dirs
-        self._commit(name, dirs, parent)
+        with self._commit_lock(name):
+            parent = self._read_manifest(name)
+            dirs = list(data_dirs)
+            if mode == "append" and parent:
+                dirs = parent["data_dirs"] + dirs
+            self._commit(name, dirs, parent)
 
     def snapshot_id(self, name: str) -> str | None:
         if self.use_iceberg:
@@ -211,5 +255,12 @@ class Catalog:
             self._tdir(name), f"data-{parent['sequence'] + 1:06d}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(data_dir)
-        self._commit(name, [data_dir], parent)
+        with self._commit_lock(name):
+            # a writer may have committed while we rewrote: committing the
+            # merged dir would silently DROP that writer's data, so abort
+            # this compaction instead (it can simply run again)
+            latest = self._read_manifest(name)
+            if latest is None or latest["snapshot_id"] != parent["snapshot_id"]:
+                return 0
+            self._commit(name, [data_dir], latest)
         return fan_in

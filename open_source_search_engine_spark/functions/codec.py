@@ -78,8 +78,13 @@ def varbyte_encode_groups(
     buf = out.tobytes()
     if gs.size == 0:
         return []
+    # sentinel entry: a group_starts value equal to values.size (a TRAILING
+    # empty group) must map to end-of-buffer, not index out of starts
+    starts_ext = np.empty(starts.size + 1, dtype=np.int64)
+    starts_ext[:-1] = starts
+    starts_ext[-1] = len(buf)
     bounds = np.empty(gs.size + 1, dtype=np.int64)
-    bounds[:-1] = starts[gs] if starts.size else 0
+    bounds[:-1] = starts_ext[gs]
     bounds[-1] = len(buf)
     return [buf[bounds[i]: bounds[i + 1]] for i in range(gs.size)]
 
@@ -239,7 +244,11 @@ def encode_positions(tfs: np.ndarray, flat_positions: np.ndarray) -> bytes:
     gaps[0] = p[0]
     gaps[1:] = p[1:] - p[:-1]
     starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-    gaps[starts] = p[starts]  # first position of each doc is absolute
+    # only docs that OWN positions get an absolute first position: a tf=0
+    # doc's start aliases its successor's (harmless) or equals p.size for a
+    # trailing empty doc (IndexError without the mask)
+    own = starts[tfs > 0]
+    gaps[own] = p[own]  # first position of each doc is absolute
     return varbyte_encode(gaps)
 
 
@@ -249,11 +258,17 @@ def decode_positions(tfs: np.ndarray, buf: bytes) -> np.ndarray:
     gaps = varbyte_decode(buf)
     if gaps.size == 0:
         return np.empty(0, dtype=np.int64)
-    ends = np.cumsum(tfs)
-    starts = ends - tfs
-    # per-doc cumulative sum: global cumsum minus offset carried across docs
+    starts = np.cumsum(tfs) - tfs
+    # per-doc cumulative sum: global cumsum minus offset carried across
+    # docs. Bases are computed ONLY for docs with tf > 0: the old scatter
+    # (base[starts[1:]] = flat[starts[1:]-1]) silently corrupted the first
+    # doc via flat[-1] wraparound when tfs[0] == 0, and indexed out of
+    # bounds for a trailing tf=0 doc
+    nz = tfs > 0
+    own = starts[nz]
     flat = np.cumsum(gaps, dtype=_U64)
-    base = np.zeros_like(gaps)
-    base[starts[1:]] = flat[starts[1:] - 1]
-    flat = flat - np.repeat(base[starts], tfs)
+    bases = np.zeros(own.size, dtype=_U64)
+    mask = own > 0
+    bases[mask] = flat[own[mask] - 1]
+    flat = flat - np.repeat(bases, tfs[nz])
     return flat.astype(np.int64)

@@ -58,12 +58,19 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when the gap to
     the user's previous event exceeds ``gap_minutes``. Output one row per
     session: (user_id, session_idx, session_start, session_end, n_events,
-    sum_value)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    sum_value).
+
+    ``id_col`` is the deterministic tie-break among same-timestamp events;
+    when the frame has no such column, ordering falls back to ts alone
+    (session BOUNDARIES are unaffected -- a zero gap never starts a
+    session -- only which tied row counts as "first" is arbitrary)."""
+    order = [ts_col] + ([id_col] if id_col and id_col in events.columns else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_sess = F.when(
@@ -105,20 +112,21 @@ def as_of_join(
     l = left.withColumn("_side", F.lit(1)).withColumn(
         "_ats", F.col(left_ts)
     )
+    # the whole right payload travels as ONE struct: carrying each column
+    # independently with last(ignorenulls) would mix values from DIFFERENT
+    # right rows whenever a payload column is NULL (the joined row would
+    # never have existed in right); the struct is non-null for every right
+    # row, so last(ignorenulls) attaches the latest right ROW atomically
+    pay = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
     r = right.select(
         F.col(key_col),
         F.col(right_ts).alias("_ats"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        *(
-            [F.col(right_order_col).alias("_rord")]
-            if right_order_col and right_order_col not in right_cols
-            else []
-        ),
+        pay.alias("_rpay"),
+        *([F.col(right_order_col).alias("_rord")] if right_order_col else []),
     ).withColumn("_side", F.lit(0))
-    if right_order_col and right_order_col in right_cols:
-        r = r.withColumn("_rord", F.col(f"{right_order_col}{suffix}"))
-    r = r.withColumn(f"{right_ts}{suffix}", F.col("_ats"))
-    carry = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     merged = l.unionByName(r, allowMissingColumns=True)
     if right_order_col:
         # right rows ordered among themselves by _rord asc, so last_value
@@ -132,9 +140,12 @@ def as_of_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in carry:
-        merged = merged.withColumn(
-            c, F.last(F.col(c), ignorenulls=True).over(w)
-        )
-    out = merged.filter(F.col("_side") == 1).drop("_side", "_ats")
-    return out.drop("_rord") if right_order_col else out
+    merged = merged.withColumn(
+        "_rpay", F.last(F.col("_rpay"), ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_rpay.{c}"))
+    out = out.withColumn(f"{right_ts}{suffix}", F.col("_rpay.__rts"))
+    drop = ["_side", "_ats", "_rpay"] + (["_rord"] if right_order_col else [])
+    return out.drop(*drop)

@@ -119,9 +119,14 @@ def _audio_feature(samples: np.ndarray) -> np.ndarray:
         if len(x) > 1
         else 0.0
     )
-    spec = np.abs(np.fft.rfft(x)) ** 2
-    bands = np.array([b.sum() for b in np.array_split(spec, 6)], np.float32)
-    bands = bands / max(float(bands.sum()), 1e-9)
+    if len(x):
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        bands = np.array([b.sum() for b in np.array_split(spec, 6)], np.float32)
+        bands = bands / max(float(bands.sum()), 1e-9)
+    else:
+        # rfft raises on size 0; an empty-but-valid data chunk descriptor
+        # is all-zero like the rms/zcr guards above
+        bands = np.zeros(6, np.float32)
     return np.concatenate([[rms, zcr], bands]).astype(np.float32).round(4)
 
 
@@ -149,6 +154,13 @@ def real_decode(payload: bytes, media_type: str) -> dict:
         )
     elif kind == "avi":
         fps, frames = codecs.decode_avi(payload)
+        if not frames or fps <= 0:
+            # fail per-item with the codec's clean error, not an
+            # IndexError/ZeroDivisionError that kills the whole Arrow batch
+            raise ValueError(
+                f"degenerate AVI for {media_type}: "
+                f"{len(frames)} frames at fps={fps}"
+            )
         out.update(
             width=frames[0].shape[1],
             height=frames[0].shape[0],
@@ -341,15 +353,16 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling -> one row per sampled frame.
 
-    extract_fn(payload, frame_idx) -> frame bytes; defaults to the real
-    AVI backend (`avi_frame_bmp`: decode container, re-encode the sampled
-    frame as BMP). Output explodes per frame, so downstream image stages
-    run unchanged on frames. every_n maps sample i -> source frame
-    i * every_n (the real backend clamps to the last frame)."""
+    extract_fn(payload, source_frame_idx) -> frame bytes; defaults to the
+    real AVI backend (`avi_frame_bmp`: decode container, re-encode the
+    sampled frame as BMP; clamps to the last frame). Output explodes per
+    frame, so downstream image stages run unchanged on frames. every_n
+    maps sample i -> source frame i * every_n -- the stride is applied at
+    the CALL SITE so a custom extract_fn honors it too (it used to live
+    inside the default lambda only, silently ignoring every_n for
+    user-supplied backends)."""
 
-    fn = extract_fn or (
-        lambda payload, idx: avi_frame_bmp(payload, idx * every_n)
-    )
+    fn = extract_fn or avi_frame_bmp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -363,7 +376,7 @@ def sample_frames(
                         {
                             "doc_id": int(row.doc_id),
                             "frame_idx": i,
-                            "frame": fn(payload, i),
+                            "frame": fn(payload, i * every_n),
                         }
                     )
             yield pd.DataFrame(recs)

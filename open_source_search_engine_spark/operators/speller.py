@@ -141,6 +141,10 @@ def split_runon(
     q = _query_frame(spark, query_terms)
     if skip_known:
         q = q.join(vocab, q["qterm"] == vocab["term"], "left_anti")
+    # length guard: sequence(1, 0) is the DESCENDING [1, 0] (the hazard
+    # dedup.shingles_expr documents), which would explode a bogus
+    # split_pos=0 row with an empty left half for 1-char terms
+    q = q.filter(F.length("qterm") >= 2)
     parts = (
         q.withColumn(
             "split_pos", F.explode(F.sequence(F.lit(1), F.length("qterm") - 1))

@@ -86,7 +86,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("OSSE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    ship_package = extra_conf is None or "osse.ship_package" not in extra_conf
+    # pseudo-conf, VALUE-sensitive: only 'false' disables shipping (key
+    # presence alone used to disable it, so opting IN with 'true' did the
+    # opposite of what the caller asked); popped so it never reaches Spark
+    extra_conf = dict(extra_conf) if extra_conf else {}
+    ship_package = (
+        str(extra_conf.pop("osse.ship_package", "true")).lower() != "false"
+    )
     jar = iceberg_jar()
     if jar:
         wh = warehouse or "/tmp/osse-iceberg-warehouse"

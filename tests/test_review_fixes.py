@@ -19,6 +19,7 @@ import re
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.functions.synonyms import (
     load_synonyms,
@@ -481,3 +482,151 @@ class TestPositionsGuard:
         )
         hits = eng.bigram_postings("one", "two").collect()
         assert [r.doc_id for r in hits] == [1]
+
+
+# ---------------------------------------------------------------------------
+# pass 4: events/codec/multimodal/catalog edges
+# ---------------------------------------------------------------------------
+class TestAsOfNullPayload:
+    def test_latest_right_row_attached_atomically(self, spark):
+        from open_source_search_engine_spark.operators.events import (
+            as_of_join,
+        )
+
+        right = spark.createDataFrame(
+            [(1, 1, 5, None), (1, 2, None, 7)],
+            "k long, ts long, a int, b int",
+        )
+        left = spark.createDataFrame([(1, 3)], "k long, ts long")
+        row = as_of_join(
+            left, right, key_col="k", left_ts="ts", right_ts="ts"
+        ).collect()[0]
+        # the latest right row (ts=2) is (a=NULL, b=7); carrying columns
+        # independently used to fabricate (a=5, b=7) -- a row that never
+        # existed in right
+        assert row.ts_asof == 2
+        assert row.a_asof is None and row.b_asof == 7
+
+
+class TestSessionizeNoEventId:
+    def test_frame_without_event_id_column(self, spark):
+        from open_source_search_engine_spark.operators.events import (
+            sessionize,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", "2026-01-01 00:00:00", 1.0),
+             ("u1", "2026-01-01 02:00:00", 2.0)],
+            "user_id string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        rows = sessionize(df, gap_minutes=30).collect()
+        assert len(rows) == 2  # used to crash UNRESOLVED_COLUMN event_id
+
+
+class TestCodecEmptyDocs:
+    def test_positions_roundtrip_with_zero_tfs(self):
+        import numpy as np
+
+        from open_source_search_engine_spark.functions.codec import (
+            decode_positions,
+            encode_positions,
+        )
+
+        for tfs in ([0, 2], [2, 0], [0, 2, 0, 1], [0, 0, 3]):
+            tfs_a = np.asarray(tfs, dtype=np.int64)
+            n = int(tfs_a.sum())
+            flat = np.arange(3, 3 + n, dtype=np.int64)
+            buf = encode_positions(tfs_a, flat)
+            got = decode_positions(tfs_a, buf)
+            # leading-zero case used to decode [-2, 0] via flat[-1] wrap
+            assert got.tolist() == flat.tolist(), tfs
+
+    def test_varbyte_groups_trailing_empty_group(self):
+        import numpy as np
+
+        from open_source_search_engine_spark.functions.codec import (
+            varbyte_encode_groups,
+        )
+
+        out = varbyte_encode_groups(
+            np.array([1], dtype=np.uint64), np.array([0, 1])
+        )
+        assert len(out) == 2 and out[1] == b""  # used to IndexError
+
+
+class TestMultimodalEdges:
+    def test_empty_wav_features(self):
+        import numpy as np
+
+        from open_source_search_engine_spark.functions.codecs import encode_wav
+        from open_source_search_engine_spark.operators.multimodal import (
+            real_decode,
+        )
+
+        payload = encode_wav(np.array([], dtype=np.int16), 8000)
+        out = real_decode(payload, "audio")
+        assert list(out["feature"]) == [0.0] * 8  # used to raise in rfft
+
+    def test_custom_extract_fn_honors_stride(self, spark):
+        from open_source_search_engine_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(b"0123456789abcdef"))],
+            "doc_id long, media_type string, media binary",
+        )
+        calls = sample_frames(
+            df,
+            every_n=4,
+            n_frames=3,
+            extract_fn=lambda p, i: bytes([i]),
+        ).collect()
+        # the SOURCE frame index must stride by every_n for custom
+        # backends too (it used to be applied only inside the default)
+        assert sorted(bytes(r.frame)[0] for r in calls) == [0, 4, 8]
+
+
+class TestSplitRunonShortTerm:
+    def test_one_char_term_no_bogus_split(self, spark):
+        from open_source_search_engine_spark.operators.speller import (
+            split_runon,
+        )
+
+        vocab = spark.createDataFrame(
+            [("", 5), ("x", 3)], "term string, df long"
+        )
+        got = split_runon(spark, vocab, ["x"], skip_known=False).collect()
+        assert got == []  # used to emit split_pos=0 with empty halves
+
+
+class TestCatalogConcurrentAppend:
+    def test_parallel_appends_lose_nothing(self, spark, tmp_path_factory):
+        import threading
+
+        from open_source_search_engine_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("cat-race")))
+        cat.write_table(
+            spark.createDataFrame([(0,)], "v long"), "t", mode="overwrite"
+        )
+        errs = []
+
+        def appender(base):
+            try:
+                for j in range(2):
+                    cat.append_table(
+                        spark.createDataFrame([(base * 10 + j,)], "v long"), "t"
+                    )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        # every append's data dir is live in the final snapshot (the
+        # unlocked read-then-replace used to orphan concurrent appends)
+        assert cat.read_table("t").count() == 1 + 8
+        seqs = [s["sequence"] for s in cat.snapshots("t")]
+        assert len(seqs) == len(set(seqs))  # no duplicated sequence
