@@ -402,3 +402,54 @@ def pack_export(
         )
         .select("shard_id", "n_docs", "n_tokens", "packed")
     )
+
+
+#: PII patterns: (kind, regex, placeholder). Deliberately conservative,
+#: high-precision forms (the C4/Gopher-style pipelines scrub exactly these
+#: classes before training). The subset of regex syntax used (\b \d
+#: char-classes, bounded repetition) means Java regex (Spark executors)
+#: and RE2 (the DuckDB oracle) agree on every match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over the document table.
+
+    The reference never ships user documents onward (it serves snippets),
+    but every LLM training-data pipeline scrubs contact/identifier strings
+    before packing shards; this is that stage, placed with the other
+    curation ops so `pack_export` can consume `clean_text`.
+
+    Per document: a count per PII class matched in the ORIGINAL text
+    (classes count independently on the original text; counts answer
+    "how much PII of each kind", not "how many disjoint spans"), a total, and ``clean_text`` with
+    matches replaced by typed placeholders, applied in PII_PATTERNS
+    order (email before card/phone/ipv4, so a longer match wins the
+    span before a shorter pattern can split it).
+
+    Scale notes (100 TB): pure JVM projection — regexp_extract_all /
+    regexp_replace inside whole-stage codegen, zero shuffles, zero Python.
+    Returns (doc_id, n_email, n_card, n_phone, n_ipv4, pii_total,
+    clean_text).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = docs.select("doc_id", t.alias("_t"))
+    clean = F.col("_t")
+    total = F.lit(0).cast("long")
+    counts = []
+    for kind, pat, placeholder in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), F.lit(0)))
+        counts.append(c.cast("long").alias(f"n_{kind}"))
+        total = total + c.cast("long")
+        clean = F.regexp_replace(clean, pat, placeholder)
+    return out.select(
+        "doc_id",
+        *counts,
+        total.alias("pii_total"),
+        clean.alias("clean_text"),
+    )

@@ -307,3 +307,45 @@ def test_pack_export_order_and_budget(spark):
         for r in assign.groupBy("shard_id").agg(SF.sum("n_tokens").alias("t")).collect()
     }
     assert {k: r["n_tokens"] for k, r in out.items()} == exp
+
+
+def test_pii_scrub_goldens(spark):
+    rows = [
+        (1, "write to alice.smith+x@mail.example.org about the invoice"),
+        (2, "server at 192.168.1.254 timed out; retry 10.0.0.1"),
+        (3, "call +44 020 711 1234 or +1 555 010 4242"),
+        (4, "card 4111 1111 1111 1111 declined"),
+        (5, "no pii here at all"),
+        (6, None),
+        # user@IPv4: the email pattern requires an alphabetic TLD, so
+        # only the IPv4 class counts and only the IP span is redacted
+        (7, "root@10.1.2.3 logged in"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in curation.pii_scrub(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["pii_total"] == 1
+    assert "alice" not in out[1]["clean_text"]
+    assert "<EMAIL>" in out[1]["clean_text"]
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["clean_text"] == "server at <IP> timed out; retry <IP>"
+    assert out[3]["n_phone"] == 2 and "<PHONE>" in out[3]["clean_text"]
+    assert out[4]["n_card"] == 1
+    assert out[4]["clean_text"] == "card <CARD> declined"
+    assert out[5]["pii_total"] == 0 and out[5]["clean_text"] == rows[4][1]
+    assert out[6]["pii_total"] == 0 and out[6]["clean_text"] == ""
+    assert out[7]["n_email"] == 0 and out[7]["n_ipv4"] == 1
+    assert out[7]["clean_text"] == "root@<IP> logged in"
+
+
+def test_pii_scrub_plan_is_pure_projection(spark):
+    df = curation.pii_scrub(
+        spark.createDataFrame([(1, "x@y.zz")], ["doc_id", "text"])
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p  # zero shuffles: scales by partition count
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p  # JVM-side regex only, no Python workers
