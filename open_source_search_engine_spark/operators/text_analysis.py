@@ -511,3 +511,95 @@ def detect_query_language(
     if country:
         return COUNTRY_LANG.get(country.lower(), "en")
     return "en"
+
+
+def repetition_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    dup_line_max: float = 0.30,
+    dup_para_max: float = 0.30,
+    top_bigram_max: float = 0.20,
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1; the reference's
+    repeated-fragment idea at the WITHIN-document grain, complementing
+    `curation.boilerplate_*` which is cross-document): flag documents
+    whose content is internally repetitive.
+
+    Per doc: duplicate-line fraction (1 - distinct/total over trimmed
+    non-empty lines), duplicate-paragraph fraction (same over blank-line-
+    separated blocks), and top-bigram fraction (occurrences of the most
+    frequent token bigram / total bigrams). A doc fails a rule when the
+    fraction exceeds its threshold; ``repetition_pass`` = all rules pass.
+
+    Scale notes (100 TB): the line/paragraph fractions are shuffle-free
+    array projections. The top-bigram count is ONE map-side-combined
+    aggregation keyed (doc_id, bigram) then (doc_id) — bigram keys are
+    doc-local so there is no corpus-wide hot key, and AQE handles residual
+    skew. Nothing is collected.
+
+    Returns (doc_id, n_lines, dup_line_frac, dup_para_frac,
+    top_bigram_frac, flag_dup_lines, flag_dup_paras, flag_top_bigram,
+    repetition_pass).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def blocks(sep: str) -> Column:
+        return F.expr(
+            f"filter(transform(split(coalesce({text_col}, ''), '{sep}'), "
+            "l -> trim(l)), l -> l <> '')"
+        )
+
+    base = with_tokens(docs.select("doc_id", text_col), text_col).select(
+        "doc_id",
+        "toks",
+        blocks(r"\\n").alias("_lines"),
+        blocks(r"\\n\\n").alias("_paras"),
+    )
+
+    def dup_frac(col: str) -> Column:
+        n = F.size(F.col(col))
+        return F.when(
+            n > 0,
+            (n - F.size(F.array_distinct(F.col(col)))).cast("double") / n,
+        ).otherwise(F.lit(0.0))
+
+    bg = base.select(
+        "doc_id", F.explode(shingles_expr("toks", 2)).alias("bg")
+    )
+    top = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_top_bg"))
+    )
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    out = (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_lines").cast("long").alias("n_lines"),
+            dup_frac("_lines").alias("dup_line_frac"),
+            dup_frac("_paras").alias("dup_para_frac"),
+            F.when(
+                n_bg > 0,
+                F.coalesce(F.col("_top_bg"), F.lit(0)).cast("double") / n_bg,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+    return out.select(
+        "*",
+        (F.col("dup_line_frac") > dup_line_max).cast("int").alias("flag_dup_lines"),
+        (F.col("dup_para_frac") > dup_para_max).cast("int").alias("flag_dup_paras"),
+        (F.col("top_bigram_frac") > top_bigram_max)
+        .cast("int")
+        .alias("flag_top_bigram"),
+    ).withColumn(
+        "repetition_pass",
+        (
+            (F.col("flag_dup_lines") == 0)
+            & (F.col("flag_dup_paras") == 0)
+            & (F.col("flag_top_bigram") == 0)
+        ).cast("int"),
+    )

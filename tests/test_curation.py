@@ -349,3 +349,36 @@ def test_pii_scrub_plan_is_pure_projection(spark):
     assert "Exchange" not in p  # zero shuffles: scales by partition count
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p  # JVM-side regex only, no Python workers
+
+
+def test_repetition_flags_goldens(spark):
+    rows = [
+        # 4 lines, 2 identical -> dup_line_frac 0.25 passes (<= 0.30);
+        # but the repeated "alpha one" bigram is 2 of 9 (> 0.20) -> flagged
+        (1, "alpha one\nbeta two\nalpha one\ngamma three delta four"),
+        # 3 lines all identical -> dup_line_frac 2/3, flagged
+        (2, "same line\nsame line\nsame line"),
+        # stamped bigram: "buy now" is every bigram -> top share 1.0, flagged
+        (3, "buy now buy now buy now buy now"),
+        # duplicate paragraphs (blank-line separated), unique lines inside
+        (4, "para one text\n\npara two text\n\npara one text"),
+        (5, "perfectly normal varied sentence with distinct words"),
+        (6, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in text_analysis.repetition_flags(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_frac"] == 0.25
+    assert out[1]["flag_dup_lines"] == 0 and out[1]["flag_dup_paras"] == 0
+    assert out[1]["top_bigram_frac"] == 2 / 9
+    assert out[1]["flag_top_bigram"] == 1 and out[1]["repetition_pass"] == 0
+    assert out[2]["flag_dup_lines"] == 1 and out[2]["dup_line_frac"] == 2 / 3
+    assert out[3]["flag_top_bigram"] == 1
+    # "buy now"/"now buy" alternate: top bigram = 4 of 7
+    assert out[3]["top_bigram_frac"] == 4 / 7
+    assert out[4]["flag_dup_paras"] == 1 and out[4]["flag_dup_lines"] == 1
+    assert out[5]["repetition_pass"] == 1 and out[5]["top_bigram_frac"] > 0
+    assert out[6]["n_lines"] == 0 and out[6]["repetition_pass"] == 1
