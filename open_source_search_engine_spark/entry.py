@@ -24,7 +24,7 @@ from .functions.bm25 import B_DEFAULT, K1_DEFAULT
 from .operators import curation, dedup, similarity, speller, text_analysis
 from .operators.index_build import IndexConfig, build_index
 from .operators.query import SearchEngine
-from .operators.wand import wand_search
+from .operators.wand import wand_proximity, wand_search
 
 # --------------------------------------------------------------------------
 # engine cache: build the index once per (process, sf_dir)
@@ -480,6 +480,20 @@ def q_bm25_proximity(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return _ranked(
         eng.search_proximity(["merge", "sort"], k=10, prox_weight=1.0), 10
+    )
+
+
+def q_wand_proximity(spark, sf_dir):
+    # r4-VERDICT task 1: proximity rescoring on the WAND scale path
+    # (reference applies the sliding-window pair score to EVERY candidate,
+    # PosdbTable.cpp:3404-3620; ours over-fetches c*k BM25 candidates via
+    # block-max WAND, rescores only those with the one-pass pair kernel
+    # under a bounded-bonus exactness guarantee, re-ranks). Three terms ->
+    # three pair bonuses; formula identical to bm25_proximity's.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        wand_proximity(eng, ["merge", "sort", "data"], k=10, prox_weight=1.0),
+        10,
     )
 
 
@@ -1156,8 +1170,33 @@ def q_bm25_cjk(spark, sf_dir):
 # follow; the tail queries are veterans green in CORRECTNESS_r01-r03 and
 # replayed by scripts/selfcheck.py (all 70) every session.
 QUERIES = {
-    # -- never driver-checked before round 4: lead so CORRECTNESS_r04
-    #    finally covers them -------------------------------------------
+    # -- round-5 additions: lead so CORRECTNESS_r05 covers them ---------
+    "wand_proximity": q_wand_proximity,
+    # -- rotation (r4 VERDICT task 3): the driver records only the FIRST
+    #    50 registry entries; these 20 were outside r4's window (their
+    #    freshest driver evidence is r1-r3), so they lead this round ----
+    "query_scorefree": q_query_scorefree,
+    "ivf_ann": q_ivf_ann,
+    "events_range_agg": q_events_range_agg,
+    "bm25_paging": q_bm25_paging,
+    "bm25_source_cap": q_bm25_source_cap,
+    "multimodal": q_multimodal,
+    "lsh_candidates": q_lsh_candidates,
+    "bpe_count": q_bpe_count,
+    "phrase_rank": q_phrase_rank,
+    "spellcheck": q_spellcheck,
+    "word_split": q_word_split,
+    "dedup_clusters": q_dedup_clusters,
+    "doc_keywords": q_doc_keywords,
+    "events_rollup": q_events_rollup,
+    "sessions": q_sessions,
+    "events_asof": q_events_asof,
+    "media_real": q_media_real,
+    "embed_neardup": q_embed_neardup,
+    "spam_rank": q_spam_rank,
+    "boilerplate": q_boilerplate,
+    # -- r4-green (all hash-green in CORRECTNESS_r04): fill the rest of
+    #    the first-50 window, newest first ------------------------------
     "pii_scrub": q_pii_scrub,
     "repetition_flags": q_repetition_flags,
     "bm25_multiword_synonym": q_bm25_multiword_synonym,
@@ -1178,7 +1217,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "resample": q_resample,
     "pack_export": q_pack_export,
-    # -- headline core -------------------------------------------------
+    # -- headline core (r4-green) ---------------------------------------
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
     "bm25_not": q_bm25_not,
@@ -1209,28 +1248,6 @@ QUERIES = {
     "bm25_hot": q_bm25_hot,
     "bm25_bigram_boost": q_bm25_bigram_boost,
     "possessive": q_possessive,
-    "query_scorefree": q_query_scorefree,
-    "ivf_ann": q_ivf_ann,
-    # -- veterans: green in CORRECTNESS_r01-r03; selfcheck.py replays
-    #    them (and everything above) per session ------------------------
-    "events_range_agg": q_events_range_agg,
-    "bm25_paging": q_bm25_paging,
-    "bm25_source_cap": q_bm25_source_cap,
-    "multimodal": q_multimodal,
-    "lsh_candidates": q_lsh_candidates,
-    "bpe_count": q_bpe_count,
-    "phrase_rank": q_phrase_rank,
-    "spellcheck": q_spellcheck,
-    "word_split": q_word_split,
-    "dedup_clusters": q_dedup_clusters,
-    "doc_keywords": q_doc_keywords,
-    "events_rollup": q_events_rollup,
-    "sessions": q_sessions,
-    "events_asof": q_events_asof,
-    "media_real": q_media_real,
-    "embed_neardup": q_embed_neardup,
-    "spam_rank": q_spam_rank,
-    "boilerplate": q_boilerplate,
 }
 
 # --------------------------------------------------------------------------
@@ -2102,6 +2119,32 @@ boosted AS (
          s.s + coalesce(1.0 / (pd.d + 1.0), 0.0) AS s,
          s.matched
   FROM scored s LEFT JOIN pd ON pd.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM boosted ORDER BY rank LIMIT 10
+""",
+    # WAND-path proximity rescore: same score contract as bm25_proximity
+    # generalized to 3 terms — per unordered term pair the min position
+    # distance d, bonus sum over pairs of 1/(d+1), added to the AND BM25
+    "wand_proximity": f"""
+WITH {_bm25_ctes(['merge', 'sort', 'data'], 'AND')},
+posd AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM toks
+),
+pd AS (
+  SELECT a.doc_id, a.term AS ta, b.term AS tb, min(abs(a.pos - b.pos)) AS d
+  FROM posd a JOIN posd b ON a.doc_id = b.doc_id AND a.term < b.term
+  WHERE a.term IN ('data', 'merge', 'sort')
+    AND b.term IN ('data', 'merge', 'sort')
+  GROUP BY a.doc_id, a.term, b.term
+),
+bon AS (SELECT doc_id, sum(1.0 / (d + 1.0)) AS bonus FROM pd GROUP BY doc_id),
+boosted AS (
+  SELECT s.doc_id, s.s + coalesce(bon.bonus, 0.0) AS s, s.matched
+  FROM scored s LEFT JOIN bon ON bon.doc_id = s.doc_id
 )
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched

@@ -456,12 +456,45 @@ class SearchEngine:
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         self._require_positions("the proximity boost")
         tid_of = dict(zip(plan["term"], plan["term_id"]))
-        decoded = self.decoded_postings(
-            [int(t) for t in plan["term_id"]], include_positions=True
+        bonus = self.position_bonus(terms, tid_of)
+        out = scored.join(bonus, "doc_id", "left_outer")
+        score = F.when(
+            F.col("_bonus").isNotNull() & (F.col("_bonus") > 0.0),
+            F.col("score") + F.lit(float(prox_weight)) * F.col("_bonus"),
+        ).otherwise(F.col("score"))
+        return (
+            out.select("doc_id", score.alias("score"), "matched")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
-        # pivot: one row per doc, one position array per query term (slot
-        # order = lexicographic term order). Segments' sub-arrays flatten
-        # unsorted (min-dist is order-invariant; the kernel sorts).
+
+    def position_bonus(
+        self,
+        terms: list[str],
+        tid_of: dict,
+        restrict: DataFrame | None = None,
+    ) -> DataFrame:
+        """(doc_id, _bonus): the term-pair min-distance proximity bonus for
+        the given (lexicographically sorted) query terms — the shared
+        rescoring stage of the exact path (search_proximity) and the WAND
+        scale path (wand.wand_proximity).
+
+        Pivot: one row per doc, one position array per query term (slot
+        order = lexicographic term order; segments' sub-arrays flatten
+        unsorted — min-dist is order-invariant, the kernel sorts), then the
+        one-pass Arrow kernel sums 1/(min|p_a-p_b|+1) over pairs.
+
+        ``restrict``: optional SMALL (doc_id, ...) frame — the over-fetched
+        candidate set. Broadcast semi-joined onto the decoded postings
+        BEFORE the pivot so the groupBy shuffles only candidate docs'
+        positions, not every posting of a common term."""
+        decoded = self.decoded_postings(
+            [int(tid_of[t]) for t in terms], include_positions=True
+        )
+        if restrict is not None:
+            decoded = decoded.join(
+                F.broadcast(restrict.select("doc_id")), "doc_id", "left_semi"
+            )
         slot_aggs = [
             F.flatten(
                 F.collect_list(
@@ -473,21 +506,11 @@ class SearchEngine:
             for i, t in enumerate(terms)
         ]
         posd = decoded.groupBy("doc_id").agg(*slot_aggs)
-        bonus = posd.select(
+        return posd.select(
             "doc_id",
             _pair_min_dist_bonus_udf()(
                 F.array(*[F.col(f"_p{i}") for i in range(len(terms))])
             ).alias("_bonus"),
-        )
-        out = scored.join(bonus, "doc_id", "left_outer")
-        score = F.when(
-            F.col("_bonus").isNotNull() & (F.col("_bonus") > 0.0),
-            F.col("score") + F.lit(float(prox_weight)) * F.col("_bonus"),
-        ).otherwise(F.col("score"))
-        return (
-            out.select("doc_id", score.alias("score"), "matched")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
         )
 
     def search_synonyms(
