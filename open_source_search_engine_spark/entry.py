@@ -483,6 +483,25 @@ def q_bm25_proximity(spark, sf_dir):
     )
 
 
+def q_spell_fallback(spark, sf_dir):
+    # r4-VERDICT task 5: did-you-mean IN the serving flow (Speller.cpp:69
+    # unified dict, consulted from the SERP path). 'mrege' is OOV so the
+    # AND search is empty -> the engine corrects it to 'merge' (best
+    # dictionary word within 2 edits, df breaks ties), auto-requeries, and
+    # annotates every row with the corrected query string.
+    eng = engine_for(spark, sf_dir)
+    out = eng.search_with_suggestion("mrege sort data", k=10)
+    top = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("score", F.round("score", 4))
+        .withColumn("matched", F.col("matched").cast("long"))
+        .select("rank", "doc_id", "score", "matched", "suggested_query")
+        .orderBy("rank")
+    )
+
+
 def q_wand_proximity(spark, sf_dir):
     # r4-VERDICT task 1: proximity rescoring on the WAND scale path
     # (reference applies the sliding-window pair score to EVERY candidate,
@@ -1172,6 +1191,7 @@ def q_bm25_cjk(spark, sf_dir):
 QUERIES = {
     # -- round-5 additions: lead so CORRECTNESS_r05 covers them ---------
     "wand_proximity": q_wand_proximity,
+    "spell_fallback": q_spell_fallback,
     # -- rotation (r4 VERDICT task 3): the driver records only the FIRST
     #    50 registry entries; these 20 were outside r4's window (their
     #    freshest driver evidence is r1-r3), so they lead this round ----
@@ -2123,6 +2143,65 @@ boosted AS (
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM boosted ORDER BY rank LIMIT 10
+""",
+    # serving-integrated did-you-mean: empty AND result ('mrege' is OOV by
+    # construction) -> per-term best dictionary word within 2 edits
+    # (dist ASC, df DESC, term ASC; in-vocab terms keep themselves; no
+    # candidate -> verbatim) -> BM25 AND re-serve of the corrected terms,
+    # suggested_query = corrected terms in original order
+    "spell_fallback": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+vocab AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY term
+),
+q AS (SELECT * FROM (VALUES ('mrege', 1), ('sort', 2), ('data', 3))
+      AS t(qterm, ord)),
+cand AS (
+  SELECT q.qterm, v.term AS suggestion,
+         levenshtein(q.qterm, v.term) AS dist, v.df
+  FROM q JOIN vocab v
+    ON abs(length(q.qterm) - length(v.term)) <= 2
+   AND levenshtein(q.qterm, v.term) <= 2
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qterm ORDER BY dist ASC, df DESC, suggestion ASC) AS rn
+  FROM cand
+),
+corr AS (
+  SELECT q.ord, coalesce(b.suggestion, q.qterm) AS term
+  FROM q LEFT JOIN (SELECT qterm, suggestion FROM best WHERE rn = 1) b
+    ON b.qterm = q.qterm
+),
+cq AS (SELECT string_agg(term, ' ' ORDER BY ord) AS corrected FROM corr),
+qt AS (SELECT DISTINCT term FROM corr),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+              * (tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                    + {B_DEFAULT} * dl.dl / c.avgdl))) ) AS s,
+         count(*) AS matched
+  FROM tf
+  JOIN qdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+  HAVING count(*) = (SELECT count(*) FROM qt)
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched,
+       (SELECT corrected FROM cq) AS suggested_query
+FROM scored ORDER BY rank LIMIT 10
 """,
     # WAND-path proximity rescore: same score contract as bm25_proximity
     # generalized to 3 terms — per unordered term pair the min position

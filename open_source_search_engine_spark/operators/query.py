@@ -1205,6 +1205,71 @@ class SearchEngine:
                 include.extend(self.tokenize_query(w))
         return self.search_terms(include, mode=mode, k=k, exclude_terms=exclude)
 
+    def search_with_suggestion(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "AND",
+        min_results: int = 1,
+        max_dist: int = 2,
+        auto_requery: bool = True,
+    ) -> DataFrame:
+        """Serving-integrated did-you-mean (r4 VERDICT task 5).
+
+        Reference: the speller sits IN the result flow — the SERP path
+        consults the unified dictionary and surfaces a "did you mean"
+        alongside (or instead of) thin results (`Speller.cpp:69`
+        loadUnifiedDict; `Speller.cpp:463` getPhrasePopularity, called from
+        the query serving path). Here:
+
+        1. run the normal search; if it returns >= ``min_results`` rows the
+           results ship as-is (suggested_query NULL — no recommendation);
+        2. otherwise correct each query term to its best dictionary word
+           within ``max_dist`` edits (speller.suggest over the index's own
+           term_stats vocabulary — dist ASC, df DESC, term ASC, so
+           in-vocabulary terms keep themselves); terms with no candidate
+           stay verbatim;
+        3. if the corrected query differs and ``auto_requery`` is set,
+           re-serve it and annotate every row with ``suggested_query``
+           (the reference's auto-requery-on-empty shape); else return the
+           original (thin) results with the suggestion attached.
+
+        Output: (doc_id, score, matched, suggested_query) — score order,
+        suggested_query constant per response (NULL = served as asked).
+
+        Driver-side work is bounded: the trigger check collects at most
+        ``min_results`` rows and the correction collects <= n_terms
+        suggestion rows; both searches are the engine's normal top-k jobs.
+        """
+        from . import speller
+
+        terms = self.tokenize_query(query)
+        base = self.search(query, mode=mode, k=k)
+        no_sugg = F.lit(None).cast("string")
+        if not terms:
+            return base.withColumn("suggested_query", no_sugg)
+        got = base.limit(int(min_results)).collect()
+        if len(got) >= int(min_results):
+            return base.withColumn("suggested_query", no_sugg)
+        vocab = speller.vocab_from_term_stats(
+            self.catalog.read_table("term_stats")
+        )
+        sugg = speller.suggest(
+            self.spark, vocab, terms, max_dist=max_dist, per_term=1
+        )
+        best = {r["qterm"]: r["suggestion"] for r in sugg.collect()}
+        corrected = [best.get(t, t) for t in terms]
+        if corrected == terms or not auto_requery:
+            sq = (
+                F.lit(" ".join(corrected))
+                if corrected != terms
+                else no_sugg
+            )
+            return base.withColumn("suggested_query", sq)
+        return self.search_terms(corrected, mode=mode, k=k).withColumn(
+            "suggested_query", F.lit(" ".join(corrected))
+        )
+
     def search_query(
         self,
         query: str,
