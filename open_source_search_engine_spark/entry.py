@@ -1379,6 +1379,7 @@ def _lang_id_sql(k: int = 200) -> str:
         for lang in langs
     )
     best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    desc = "list_sort([" + ", ".join(f"h_{lang}" for lang in langs) + "], 'DESC')"
     script_cases = "\n       ".join(
         f"WHEN regexp_matches(text, '[\\x{{{lo:04x}}}-\\x{{{hi:04x}}}]') "
         f"THEN '{lang}'"
@@ -1398,7 +1399,8 @@ SELECT doc_id,
        WHEN {best} = 0 THEN 'und'
        {marker_cases}
        END AS lang_pred,
-  CAST({best} AS BIGINT) AS lang_score
+  CAST({best} AS BIGINT) AS lang_score,
+  CAST({desc}[1] - {desc}[2] AS BIGINT) AS lang_margin
 FROM hits ORDER BY doc_id LIMIT {k}
 """
 

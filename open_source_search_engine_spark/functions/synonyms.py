@@ -143,6 +143,30 @@ _NON_INFLECTIONS = frozenset(
 )
 
 
+_IRREGULARS: dict[str, list[str]] | None = None
+
+
+def irregular_forms() -> dict[str, list[str]]:
+    """Bundled irregular-forms dictionary (r4 VERDICT task 6): ~190
+    public-knowledge English irregular plurals and verb forms mapped to
+    their base ("children" -> "child", "went" -> "go") in the
+    mysynonyms.txt loader format (`Synonyms.cpp:59`; the reference ships
+    these Wiktionary-scale, `Wiktionary.cpp`). Parsed by load_synonyms from
+    functions/data/irregular_forms.txt once per process — driver-side only
+    (morphology runs at plan time). Deployments extend or override by
+    passing their own table through the same loader."""
+    global _IRREGULARS
+    if _IRREGULARS is None:
+        import os
+
+        _IRREGULARS = load_synonyms(
+            os.path.join(
+                os.path.dirname(__file__), "data", "irregular_forms.txt"
+            )
+        )
+    return _IRREGULARS
+
+
 def morph_forms(token: str) -> list[str]:
     """Rule-based de-inflection CANDIDATES for one index term (regular
     s / es / ies / ed / ing English morphology).
@@ -173,6 +197,12 @@ def morph_forms(token: str) -> list[str]:
         if c and c != t and c not in out:
             out.append(c)
 
+    # irregular forms first (dictionary entries a rule cannot produce:
+    # "children" -> "child", "went" -> "go" — the bundled fixture,
+    # irregular_forms()); like rule candidates, anything absent from the
+    # corpus drops at plan time
+    for irr in irregular_forms().get(t, ()):
+        add(irr)
     if len(t) > 3 and t.endswith("ies"):
         add(t[:-3] + "y")          # queries -> query
     if len(t) > 3 and t.endswith("es"):

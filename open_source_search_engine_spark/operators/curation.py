@@ -435,7 +435,10 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale notes (100 TB): pure JVM projection — regexp_extract_all /
     regexp_replace inside whole-stage codegen, zero shuffles, zero Python.
     Returns (doc_id, n_email, n_card, n_phone, n_ipv4, pii_total,
-    clean_text).
+    clean_text). Because counts run on the original text while redaction
+    is sequential, ``pii_total`` may exceed the number of placeholders in
+    ``clean_text`` (e.g. an IPv4 inside an email's domain counts as n_ipv4
+    but is consumed by the <EMAIL> replacement).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     out = docs.select("doc_id", t.alias("_t"))

@@ -125,6 +125,13 @@ class IndexConfig:
     #: positions) but get no postings, no df, and no hot-cache entry --
     #: querying one finds nothing, exactly the reference behavior.
     skip_terms: tuple[str, ...] = ()
+    #: automatic compaction trigger (`Rdb.h:279` m_minToMerge; `Rdb.cpp:41`
+    #: attemptMergeAll fires merges itself when the file count reaches it).
+    #: When set, apply_updates compacts as soon as the live segment count
+    #: (initial build + one per applied delta) reaches this value, so
+    #: segment count stays bounded without a caller remembering to compact.
+    #: None keeps compaction caller-invoked.
+    min_to_merge: int | None = None
 
 
 @dataclass

@@ -249,7 +249,39 @@ def apply_updates(
         ),
         "corpus_stats",
     )
-    return {"upserted": n_new, "replaced_or_deleted": n_old, "seg_seq": new_seq}
+    # ---- automatic compaction (Rdb.h:279 minToMerge) ----------------------
+    auto_compacted = False
+    if config.min_to_merge:
+        auto_compacted = maybe_compact(spark, catalog, config.min_to_merge)
+    return {
+        "upserted": n_new,
+        "replaced_or_deleted": n_old,
+        "seg_seq": new_seq,
+        "auto_compacted": auto_compacted,
+    }
+
+
+def live_segments(catalog: Catalog) -> int:
+    """Live posting segment count: the initial build (seg 0) plus one per
+    applied delta — the analog of the reference's per-Rdb file count
+    (`Rdb.h:270` getNumFiles feeding the merge policy)."""
+    return max_seg_seq(catalog) + 1
+
+
+def maybe_compact(
+    spark: SparkSession, catalog: Catalog, min_segments: int
+) -> bool:
+    """Segment-count compaction policy (`Rdb.h:279` m_minToMerge;
+    `Rdb.cpp:41` attemptMergeAll — the reference fires merges ITSELF when
+    an Rdb reaches minToMerge files; callers never schedule them): compact
+    when the live segment count reaches ``min_segments``, no-op below it.
+    Returns True iff a compaction fired. Queries are identical either way
+    (compaction is physical annihilation of already-invisible rows —
+    gated in tests/test_updates.py::test_auto_compaction_policy)."""
+    if live_segments(catalog) >= int(min_segments):
+        compact_updates(spark, catalog)
+        return True
+    return False
 
 
 def compact_updates(spark: SparkSession, catalog: Catalog) -> int:

@@ -198,11 +198,15 @@ def test_lang_id_breadth(spark):
         13: "ar", 14: "he", 15: "hi", 16: "th", 17: "und",
     }
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        int(r["doc_id"]): r["lang_pred"]
-        for r in text_analysis.lang_id(docs).collect()
-    }
+    out = text_analysis.lang_id(docs).collect()
+    got = {int(r["doc_id"]): r["lang_pred"] for r in out}
     assert got == expect
+    # confidence margin (CLD2-style, r4 VERDICT task 9): best marker hits
+    # minus runner-up. Clear-language docs separate; no-hit docs sit at 0.
+    marg = {int(r["doc_id"]): int(r["lang_margin"]) for r in out}
+    assert marg[0] > 0 and marg[1] > 0
+    assert marg[17] == 0
+    assert all(m >= 0 for m in marg.values())
 
 
 def test_doc_keywords_rank_order(spark):

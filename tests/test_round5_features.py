@@ -65,3 +65,52 @@ def test_no_auto_requery_attaches_suggestion_only(eng):
         "sprak index", k=5, auto_requery=False
     ).collect()
     assert out == []  # original thin result kept (empty), suggestion branch
+
+
+# ---------------------------------------------------------------------------
+# bundled irregular-forms fixture (r4 VERDICT task 6): morphology beyond
+# regular rules, exercised through the search_expanded plan path
+# ---------------------------------------------------------------------------
+
+
+def test_irregular_fixture_width_and_shape():
+    from open_source_search_engine_spark.functions.synonyms import (
+        irregular_forms,
+        morph_forms,
+    )
+
+    table = irregular_forms()
+    assert len(table) >= 100  # "realistic width" per the verdict
+    assert all(v and all(isinstance(a, str) for a in v) for v in table.values())
+    assert morph_forms("children") == ["child"]
+    assert morph_forms("geese") == ["goose"]
+    assert morph_forms("went") == ["go"]
+    # irregular + regular-rule candidates coexist ("wives" also generates
+    # rule noise like "wive" that plan-validation drops)
+    assert "wife" in morph_forms("wives")
+
+
+def test_children_matches_child_docs(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "the child ran to the park", None),
+            ("c1", 1, "assistant", "every child deserves a book", None),
+            ("c2", 0, "user", "adults only in this document", None),
+            ("c2", 1, "assistant", "we go to the market to buy bread", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("irr-wh")))
+    build_index(spark, cat, transcripts_to_docs(rows))
+    e = SearchEngine(spark, cat)
+    # 'children' is ABSENT from the corpus: only the irregular-forms entry
+    # makes it match the two 'child' docs (Synonyms.cpp wordform contract)
+    hits = e.search_expanded(["children"], "AND", 10).collect()
+    assert len(hits) == 2
+    # 'went' -> 'go' through the same fixture
+    went = e.search_expanded(["went"], "AND", 10).collect()
+    assert len(went) == 1
+    # sanity: without morphology there is no match
+    assert e.search_expanded(["children"], "AND", 10, morphology=False).collect() == []

@@ -241,6 +241,50 @@ def test_lifecycle_delete_readd_cycles_match_fresh_builds(
     assert _topk(spark, cat, ["revived_zz"], "AND", 5) == []
 
 
+def test_auto_compaction_policy(spark, tmp_path_factory, corpora):
+    """r4 VERDICT task 4 — the reference fires merges ITSELF at minToMerge
+    files (`Rdb.h:279`, `Rdb.cpp:41` attemptMergeAll); callers never
+    schedule them. Interleave M update batches under
+    IndexConfig(min_to_merge=3) and assert (a) the live segment count
+    stays < 3 after every batch (the policy fires inside apply_updates),
+    (b) at least one auto-compaction actually fired, and (c) after every
+    batch queries are rank-identical to a FRESH build of the current
+    corpus — auto-firing mid-stream changes nothing observable."""
+    from open_source_search_engine_spark.operators.index_build import (
+        IndexConfig,
+    )
+    from open_source_search_engine_spark.operators.updates import (
+        live_segments,
+    )
+
+    base, *_ = corpora
+    cfg = IndexConfig(min_to_merge=3)
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("autocompact")))
+    build_index(spark, cat, base, cfg)
+    assert live_segments(cat) == 1
+
+    victims = [int(r["doc_id"]) for r in base.orderBy("doc_id").limit(4).collect()]
+    current = base
+    probe = (["spark", "the"], "OR", 15)
+    fired = 0
+    for i, vid in enumerate(victims):
+        batch_up = current.filter(F.col("doc_id") == vid).withColumn(
+            "text", F.concat(F.lit(f"autocmp_{i} edited "), F.col("text"))
+        )
+        res = apply_updates(spark, cat, upserts=batch_up, config=cfg)
+        fired += int(res["auto_compacted"])
+        assert live_segments(cat) < 3
+        current = current.filter(F.col("doc_id") != vid).unionByName(batch_up)
+        ecat = Catalog(spark, str(tmp_path_factory.mktemp(f"autocmp-exp{i}")))
+        build_index(spark, ecat, current)
+        assert _topk(spark, cat, *probe) == _topk(spark, ecat, *probe)
+        assert _topk(spark, cat, [f"autocmp_{i}"], "AND", 5) == _topk(
+            spark, ecat, [f"autocmp_{i}"], "AND", 5
+        )
+    # 4 batches under min_to_merge=3: segments go 1->2->3(fire)->1->2->3(fire)
+    assert fired == 2
+
+
 def _topk_of(spark, catalog, doc_id):
     eng = SearchEngine(spark, catalog)
     return [
