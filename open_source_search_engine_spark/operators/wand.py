@@ -344,12 +344,50 @@ def wand_search(
             "doc_ids", "tfs", "dls",
         )
     )
-    q_blocks = q_blocks.persist()
     tomb_groups = None
     if engine._tombstones is not None:
         tomb_groups = engine._tombstones.withColumn(
             "group_id", _tomb_group_udf(g)(F.col("doc_id"))
         )
+    scorer = _make_scorer(mode, k1, b, avgdl, g, len(plan))
+    group_cols = [
+        "group_id", "salt_bits", "term", "idf", "seg_seq",
+        "doc_ids", "tfs", "dls",
+    ]
+
+    def score_groups(blocks: DataFrame) -> DataFrame:
+        blocks = blocks.select(*group_cols)
+        if tomb_groups is None:
+            return blocks.groupBy("group_id").applyInPandas(
+                lambda key, pdf: scorer(key, pdf, None),
+                schema=SCORED_SCHEMA,
+            )
+        return (
+            blocks.groupby("group_id")
+            .cogroup(tomb_groups.groupby("group_id"))
+            .applyInPandas(scorer, schema=SCORED_SCHEMA)
+        )
+
+    # fast path: candidates <= min-df <= cutoff -> one job, no theta.
+    # No gmeta presence pre-filter either: the scorer itself bails on a
+    # group missing any query term before decoding anything (the
+    # rows_by_term < n_query_terms check), so the semi-join would only
+    # add an extra aggregation to save already-cheap work. q_blocks is
+    # consumed exactly ONCE here, so it is NOT persisted on this path --
+    # the two-phase branch persists it because phases A and B both scan it
+    if mode == "AND" and int(plan["df"].min()) <= small_df_cutoff:
+        scored = _apply_exclusions(
+            engine, score_groups(q_blocks), exclude_terms
+        )
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema) if rows else (
+            spark.createDataFrame(
+                [], "doc_id long, score double, matched int"
+            )
+        )
+
+    q_blocks = q_blocks.persist()
     try:
         # group metadata: per-(group, term) MAX bound (a doc is in exactly
         # one of a term's blocks), summed per group; presence count for AND
@@ -364,44 +402,6 @@ def wand_search(
         )
         if mode == "AND":
             gmeta = gmeta.filter(F.col("n_present") == len(plan))
-
-        scorer = _make_scorer(mode, k1, b, avgdl, g, len(plan))
-        group_cols = [
-            "group_id", "salt_bits", "term", "idf", "seg_seq",
-            "doc_ids", "tfs", "dls",
-        ]
-
-        def score_groups(blocks: DataFrame) -> DataFrame:
-            blocks = blocks.select(*group_cols)
-            if tomb_groups is None:
-                return blocks.groupBy("group_id").applyInPandas(
-                    lambda key, pdf: scorer(key, pdf, None),
-                    schema=SCORED_SCHEMA,
-                )
-            return (
-                blocks.groupby("group_id")
-                .cogroup(tomb_groups.groupby("group_id"))
-                .applyInPandas(scorer, schema=SCORED_SCHEMA)
-            )
-
-        # fast path: candidates <= min-df <= cutoff -> one job, no theta.
-        # No gmeta presence pre-filter either: the scorer itself bails on a
-        # group missing any query term before decoding anything (the
-        # rows_by_term < n_query_terms check), so the semi-join would only
-        # add an extra aggregation to save already-cheap work
-        if mode == "AND" and int(plan["df"].min()) <= small_df_cutoff:
-            scored = _apply_exclusions(
-                engine, score_groups(q_blocks), exclude_terms
-            )
-            out = (
-                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-            )
-            rows = out.collect()
-            return spark.createDataFrame(rows, out.schema) if rows else (
-                spark.createDataFrame(
-                    [], "doc_id long, score double, matched int"
-                )
-            )
 
         gmeta = gmeta.persist()
         # JOB 1 (fused): group metadata -> phase-A selection (top ub_sum
