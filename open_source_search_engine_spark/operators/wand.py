@@ -328,15 +328,33 @@ def wand_search(
         max_group_split,
     )
 
-    meta = spark.createDataFrame(plan[["term_id", "term", "idf"]])
+    # term_id -> (term, idf) as LITERAL map expressions rather than a
+    # broadcast-joined driver DataFrame: a query has at most tens of terms,
+    # so the maps are tiny constants folded into the scan projection -- no
+    # createDataFrame roundtrip, no BroadcastExchange stage per query
     term_ids = [int(t) for t in plan["term_id"]]
+    term_map = F.create_map(
+        *[
+            lit
+            for tid, term in zip(plan["term_id"], plan["term"])
+            for lit in (F.lit(int(tid)), F.lit(str(term)))
+        ]
+    )
+    idf_map = F.create_map(
+        *[
+            lit
+            for tid, idf in zip(plan["term_id"], plan["idf"])
+            for lit in (F.lit(int(tid)), F.lit(float(idf)))
+        ]
+    )
     q_blocks = (
         engine._postings.filter(F.col("term_id").isin(term_ids))
         .select(
             "term_id", "block_id", "salt_bits", "block_max_tf", "block_min_dl",
             "seg_seq", "doc_ids", "tfs", "dls",
         )
-        .join(F.broadcast(meta), "term_id")
+        .withColumn("term", term_map[F.col("term_id")])
+        .withColumn("idf", idf_map[F.col("term_id")])
         .withColumn("ub", _ub_col(k1, b, avgdl))
         .withColumn("group_id", F.explode(_group_expr(g)))
         .select(
@@ -379,13 +397,12 @@ def wand_search(
         scored = _apply_exclusions(
             engine, score_groups(q_blocks), exclude_terms
         )
-        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema) if rows else (
-            spark.createDataFrame(
-                [], "doc_id long, score double, matched int"
-            )
-        )
+        # returned LAZY: nothing in this lineage is persisted (unlike the
+        # two-phase branch below, which must materialize before unpersist),
+        # the ordering is total (score desc, doc_id asc), and skipping the
+        # collect+createDataFrame roundtrip saves a driver round trip on
+        # the serving hot path
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     q_blocks = q_blocks.persist()
     try:
