@@ -201,6 +201,25 @@ def main() -> None:
         samples.sort()
         queries[name] = round(samples[len(samples) // 2], 4)
 
+    # ---- paired WAND-vs-exact ratio (r4 VERDICT task 2) ------------------
+    # The r3 "wand <= 1.5x bm25_and" criterion kept failing in driver
+    # artifacts despite passing in clean windows: the two legs run minutes
+    # apart in the headline loop, so a shared-host throttle spike can hit
+    # one and not the other. Here the two legs run BACK-TO-BACK inside each
+    # rep and the criterion value is the median of PER-REP ratios -- any
+    # throttling hits both legs of a rep equally and cancels in the ratio.
+    pair_ratios = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        qfns["bm25_and"](spark, sf_dir).collect()
+        t_and = time.time() - t0
+        t0 = time.time()
+        qfns["wand"](spark, sf_dir).collect()
+        t_wand = time.time() - t0
+        pair_ratios.append((round(t_and, 4), round(t_wand, 4)))
+    ratios = sorted(w / a for a, w in pair_ratios)
+    wand_ratio = ratios[len(ratios) // 2]
+
     # ---- transcript-corpus build throughput (the north-rule metric) ------
     # ISOLATE these legs from the sf-query section: stop the session and
     # start a fresh one. r1's bench ran ~20 queries before this point;
@@ -339,6 +358,10 @@ def main() -> None:
                     # shared/throttled during THIS run and absolute wall
                     # numbers carry that noise
                     "host_probe": probe,
+                    # paired-rep wand/bm25_and criterion (see comment at
+                    # the measurement site): median per-rep ratio + samples
+                    "wand_bm25_and_ratio": round(wand_ratio, 3),
+                    "wand_pair_samples_sec": pair_ratios,
                     "transcript_build_samples_sec": [
                         round(s, 4) for s in build_samples
                     ],

@@ -1189,9 +1189,13 @@ def q_bm25_cjk(spark, sf_dir):
 # follow; the tail queries are veterans green in CORRECTNESS_r01-r03 and
 # replayed by scripts/selfcheck.py (all 70) every session.
 QUERIES = {
-    # -- round-5 additions: lead so CORRECTNESS_r05 covers them ---------
+    # -- round-5 additions + r5-CHANGED code: lead so CORRECTNESS_r05
+    #    covers them (wand gained the literal-map/lazy fast path, lang_id
+    #    gained the confidence-margin column this round) -----------------
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
+    "wand": q_wand,
+    "lang_id": q_lang_id,
     # -- rotation (r4 VERDICT task 3): the driver records only the FIRST
     #    50 registry entries; these 20 were outside r4's window (their
     #    freshest driver evidence is r1-r3), so they lead this round ----
@@ -1254,13 +1258,11 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "quality": q_quality,
-    "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
     "lsh_ann": q_lsh_ann,
     "simhash": q_simhash,
-    "wand": q_wand,
     "snippet": q_snippet,
     "query_grammar": q_query_grammar,
     "synonyms": q_synonyms,

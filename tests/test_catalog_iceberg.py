@@ -11,6 +11,12 @@ falls back to the parquet-snapshot warehouse with the same commit semantics
 To exercise for real: drop an iceberg-spark-runtime jar matching the Spark
 version into /opt/spark/jars (or set ICEBERG_JAR), then
 ``python -m pytest tests/test_catalog_iceberg.py``.
+
+Vendoring attempts (the jar cannot be fetched from inside the sandbox):
+  r3: pip/maven fetch -> no route.  r4: curl repo1.maven.org -> blocked.
+  r5 (2026-08-19): DNS itself fails (``getent hosts repo1.maven.org`` ->
+  not found), no ~/.ivy2 / ~/.m2 cache, and a full-disk ``find`` shows no
+  iceberg jar anywhere in the image. Third consecutive environment block.
 """
 
 from __future__ import annotations
