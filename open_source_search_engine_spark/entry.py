@@ -516,6 +516,40 @@ def q_wand_proximity(spark, sf_dir):
     )
 
 
+_BATCH_PROX = [
+    ("pa", ["merge", "sort"], "AND", 5),
+    ("pb", ["merge", "sort", "data"], "AND", 5),
+    ("pc", ["merge"], "AND", 5),
+    ("pd", ["vector", "window"], "OR", 5),
+]
+
+
+def q_batch_proximity(spark, sf_dir):
+    # r5: proximity on the BATCH serving path (the reference rescores every
+    # candidate of every query with the sliding-window pair score,
+    # PosdbTable.cpp:3404-3620 from the per-query Msg39 entry; ours
+    # amortizes: ONE over-fetch job + ONE batched pair-kernel rescore over
+    # the broadcast candidate set, per-query exactness certificate with
+    # exact fallback branches). Per query rank-identical to
+    # search_proximity -- the oracle is the per-query proximity SQL tagged
+    # and UNION ALL'd.
+    eng = engine_for(spark, sf_dir)
+    out = eng.search_many_proximity(
+        [
+            {"query_id": qid, "terms": terms, "mode": mode, "k": k}
+            for qid, terms, mode, k in _BATCH_PROX
+        ],
+        prox_weight=1.0,
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("matched").cast("long").alias("matched"),
+    ).orderBy("query_id", "rank")
+
+
 def q_synonyms(spark, sf_dir):
     # X5 query-side synonym expansion (Synonyms.cpp:59 / Query.cpp:414-445):
     # 'speedy' is ABSENT from the corpus and matches only through its
@@ -1194,6 +1228,7 @@ QUERIES = {
     #    gained the confidence-margin column this round) -----------------
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
+    "batch_proximity": q_batch_proximity,
     "wand": q_wand,
     "lang_id": q_lang_id,
     # -- rotation (r4 VERDICT task 3): the driver records only the FIRST
@@ -1357,6 +1392,53 @@ def _batch_serving_sql(
     operator must reproduce the per-query results exactly."""
     parts = [
         f"SELECT '{qid}' AS query_id, t.* FROM ({_bm25_sql(terms, k, mode)}) t"
+        for qid, terms, mode, k in batch
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY query_id, rank"
+
+
+def _prox_sql(terms: list[str], k: int, mode: str = "AND") -> str:
+    """Single-query proximity oracle: BM25 (same CTEs as _bm25_sql) plus
+    the unordered term-pair min-position-distance bonus sum(1/(d+1)) --
+    the scoring contract of search_proximity / wand_proximity /
+    search_many_proximity. A single-term query has no pair and is plain
+    BM25."""
+    uniq = sorted(set(terms))
+    if len(uniq) < 2:
+        return _bm25_sql(terms, k, mode)
+    tlist = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH {_bm25_ctes(terms, mode)},
+posd AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM toks
+),
+pd AS (
+  SELECT a.doc_id, a.term AS ta, b.term AS tb, min(abs(a.pos - b.pos)) AS d
+  FROM posd a JOIN posd b ON a.doc_id = b.doc_id AND a.term < b.term
+  WHERE a.term IN ({tlist}) AND b.term IN ({tlist})
+  GROUP BY a.doc_id, a.term, b.term
+),
+bon AS (SELECT doc_id, sum(1.0 / (d + 1.0)) AS bonus FROM pd GROUP BY doc_id),
+boosted AS (
+  SELECT s.doc_id, s.s + coalesce(bon.bonus, 0.0) AS s, s.matched
+  FROM scored s LEFT JOIN bon ON bon.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM boosted ORDER BY rank LIMIT {k}
+"""
+
+
+def _batch_proximity_sql(
+    batch: list[tuple[str, list[str], str, int]],
+) -> str:
+    """Oracle for search_many_proximity: per-query proximity oracle tagged
+    with its query_id, UNION ALL'd (the batch path must reproduce the
+    per-query exact-path results regardless of certificate routing)."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, t.* FROM ({_prox_sql(terms, k, mode)}) t"
         for qid, terms, mode, k in batch
     ]
     return "\nUNION ALL\n".join(parts) + "\nORDER BY query_id, rank"
@@ -1804,6 +1886,7 @@ FROM scored ORDER BY rank LIMIT 10
     "bm25_not": _bm25_sql(["spark"], 10, "AND", exclude=["vector"]),
     "bm25_stopwords": _bm25_sql(["the", "a"], 10, "AND"),
     "batch_serving": _batch_serving_sql(_BATCH_SERVING),
+    "batch_proximity": _batch_proximity_sql(_BATCH_PROX),
     "bm25_hot": _bm25_sql(["the"], 10, "AND"),
     "wand": _bm25_sql(["merge", "sort", "hash"], 10, "AND"),
     "lang_filter_bm25": _bm25_sql(

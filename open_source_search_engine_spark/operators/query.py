@@ -82,33 +82,69 @@ def _pair_min_dist_bonus_udf():
                 np.sort(np.asarray(ps, dtype=np.int64))
                 for ps in lists
             ]
-            total = 0.0
-            for i in range(len(arrs)):
-                a = arrs[i]
-                if a.size == 0:
-                    continue
-                for j in range(i + 1, len(arrs)):
-                    b = arrs[j]
-                    if b.size == 0:
-                        continue
-                    # min |a - b|: for each a, nearest b is one of the two
-                    # neighbors around its insertion point
-                    idx = np.searchsorted(b, a)
-                    best = np.iinfo(np.int64).max
-                    left = idx > 0
-                    if left.any():
-                        best = min(
-                            best,
-                            int(np.min(a[left] - b[idx[left] - 1])),
-                        )
-                    right = idx < b.size
-                    if right.any():
-                        best = min(
-                            best,
-                            int(np.min(b[idx[right]] - a[right])),
-                        )
-                    total += 1.0 / (float(abs(best)) + 1.0)
-            out[row_i] = total
+            out[row_i] = _pairwise_bonus(arrs)
+        return pd.Series(out)
+
+    return bonus
+
+
+def _pairwise_bonus(arrs: list) -> float:
+    """sum over slot pairs (i < j) of 1/(min |p_i - p_j| + 1) for SORTED
+    int64 position arrays, fixed pair order (the shared inner loop of both
+    proximity kernels)."""
+    total = 0.0
+    for i in range(len(arrs)):
+        a = arrs[i]
+        if a.size == 0:
+            continue
+        for j in range(i + 1, len(arrs)):
+            b = arrs[j]
+            if b.size == 0:
+                continue
+            # min |a - b|: for each a, nearest b is one of the two
+            # neighbors around its insertion point
+            idx = np.searchsorted(b, a)
+            best = np.iinfo(np.int64).max
+            left = idx > 0
+            if left.any():
+                best = min(
+                    best,
+                    int(np.min(a[left] - b[idx[left] - 1])),
+                )
+            right = idx < b.size
+            if right.any():
+                best = min(
+                    best,
+                    int(np.min(b[idx[right]] - a[right])),
+                )
+            total += 1.0 / (float(abs(best)) + 1.0)
+    return total
+
+
+def _pair_min_dist_bonus_slots_udf():
+    """Batched variant of the proximity kernel for search_many_proximity:
+    one cell per (query, doc) = array<struct<slot int, positions>>, where
+    different queries have different slot counts so the fixed-width
+    array-of-arrays input of _pair_min_dist_bonus_udf cannot be used.
+    Structs sharing a slot (a term's positions arrive per index segment)
+    concatenate before the sort; the pair math and accumulation order are
+    the shared _pairwise_bonus, so a (query, doc) cell here is bit-equal
+    to the same doc's cell on the single-query path."""
+
+    @F.pandas_udf("double")
+    def bonus(cells: pd.Series) -> pd.Series:
+        out = np.zeros(len(cells), dtype=np.float64)
+        for row_i, slots in enumerate(cells):
+            by_slot: dict = {}
+            for el in slots:
+                s = int(el["slot"])
+                by_slot.setdefault(s, []).append(
+                    np.asarray(el["positions"], dtype=np.int64)
+                )
+            arrs = [
+                np.sort(np.concatenate(by_slot[s])) for s in sorted(by_slot)
+            ]
+            out[row_i] = _pairwise_bonus(arrs)
         return pd.Series(out)
 
     return bonus
@@ -1190,6 +1226,186 @@ class SearchEngine:
         )
         for f in heavy_frames:
             out = out.unionByName(f)
+        return out.orderBy("query_id", "rank")
+
+    def search_many_proximity(
+        self,
+        queries: list[dict],
+        prox_weight: float = 1.0,
+        default_k: int = 10,
+        overfetch: int = 4,
+        shared_scan_max_rows: int = 3_000_000,
+    ) -> DataFrame:
+        """Batch serving WITH the term-pair proximity boost — the last
+        serving path that lacked it (exact: search_proximity; WAND scale:
+        wand.wand_proximity; batch: here). Per query the result contract is
+        search_proximity(terms, k, prox_weight, mode) tagged with
+        (query_id, rank); the reference applies the sliding-window pair
+        score to every candidate of every query (`PosdbTable.cpp:3404-3620`
+        from the Msg39 per-query entry), while a batch pipeline amortizes:
+
+          1. ONE search_many job over-fetches m = overfetch*k BM25
+             candidates per multi-term query (single-term queries are
+             final immediately — no pair exists);
+          2. ONE job rescores every (query, doc) candidate pair with the
+             shared pair kernel — the positions pivot is restricted to the
+             broadcast candidate set, never a common term's full postings;
+          3. per query, the same exactness certificate as wand_proximity:
+             the bonus is bounded by W_q = prox_weight * C(n_terms, 2), so
+             when the k-th rescored score clears (weakest candidate BM25 +
+             W_q) — or the candidate set is the whole match set — the
+             top-k is provably final. Queries failing the certificate
+             (BM25 order flat relative to W_q) fall back to their exact
+             search_proximity plan as union branches, so the result is
+             EXACT for every query regardless of routing.
+
+        Driver materialization is bounded by sum_q(overfetch * k_q) rows —
+        the same class of bound as the batch's own output.
+        prox_weight=0 delegates to search_many verbatim."""
+        out_schema = (
+            "query_id string, rank long, doc_id long, score double, "
+            "matched int"
+        )
+        if prox_weight == 0.0:
+            return self.search_many(
+                queries,
+                default_k=default_k,
+                shared_scan_max_rows=shared_scan_max_rows,
+            )
+        from pyspark.sql import Window
+
+        self._require_positions("the proximity boost")
+        all_terms = sorted({t for q in queries for t in q["terms"]})
+        plan = self.plan_terms(all_terms)
+        tid_of = dict(zip(plan["term"], plan["term_id"]))
+        meta: dict[str, tuple[list[str], str, int, int | None]] = {}
+        over_batch = []
+        for q in queries:
+            qid = str(q["query_id"])
+            mode = q.get("mode", "AND")
+            k = int(q.get("k", default_k))
+            terms = sorted(set(q["terms"]))
+            present = [t for t in terms if t in tid_of]
+            if not present or (mode == "AND" and len(present) < len(terms)):
+                continue  # unanswerable -> no rows (search_terms contract)
+            m = max(k * overfetch, k + 1) if len(present) >= 2 else None
+            meta[qid] = (present, mode, k, m)
+            over_batch.append(
+                {"query_id": qid, "terms": present, "mode": mode,
+                 "k": m if m is not None else k}
+            )
+        empty = self.spark.createDataFrame([], out_schema)
+        if not over_batch:
+            return empty
+        cand_rows = self.search_many(
+            over_batch,
+            default_k=default_k,
+            shared_scan_max_rows=shared_scan_max_rows,
+        ).collect()  # bounded: sum_q m_q
+        # single-term queries: BM25 rank IS the final rank (no pair bonus)
+        final_rows = [
+            (r["query_id"], r["rank"], r["doc_id"], r["score"], r["matched"])
+            for r in cand_rows
+            if meta[r["query_id"]][3] is None
+        ]
+        resc = [r for r in cand_rows if meta[r["query_id"]][3] is not None]
+        fallback_qids: list[str] = []
+        if resc:
+            cand_df = self.spark.createDataFrame(
+                [
+                    (r["query_id"], r["doc_id"], r["score"], r["matched"])
+                    for r in resc
+                ],
+                "query_id string, doc_id long, bm25 double, matched int",
+            )
+            qt_rows = [
+                (qid, int(tid_of[t]), slot)
+                for qid, (present, mode, k, m) in meta.items()
+                if m is not None
+                for slot, t in enumerate(present)  # lexicographic slots
+            ]
+            qterms = self.spark.createDataFrame(
+                qt_rows, "query_id string, term_id long, slot int"
+            )
+            decoded = self.decoded_postings(
+                sorted({r[1] for r in qt_rows}), include_positions=True
+            )
+            per = (
+                decoded.join(F.broadcast(qterms), "term_id")
+                .join(
+                    F.broadcast(cand_df.select("query_id", "doc_id")),
+                    ["query_id", "doc_id"],
+                    "left_semi",
+                )
+                .groupBy("query_id", "doc_id")
+                .agg(
+                    F.collect_list(
+                        F.struct(F.col("slot"), F.col("positions"))
+                    ).alias("_slots")
+                )
+            )
+            bonus = per.select(
+                "query_id",
+                "doc_id",
+                _pair_min_dist_bonus_slots_udf()(F.col("_slots")).alias(
+                    "_bonus"
+                ),
+            )
+            rescored = (
+                cand_df.join(bonus, ["query_id", "doc_id"], "left_outer")
+                .select(
+                    "query_id",
+                    "doc_id",
+                    "bm25",
+                    (
+                        F.col("bm25")
+                        + F.lit(float(prox_weight))
+                        * F.coalesce(F.col("_bonus"), F.lit(0.0))
+                    ).alias("score"),
+                    "matched",
+                )
+                .collect()  # bounded: <= len(resc) rows
+            )
+            by_q: dict[str, list] = {}
+            for r in rescored:
+                by_q.setdefault(r["query_id"], []).append(r)
+            for qid, rows in sorted(by_q.items()):
+                present, mode, k, m = meta[qid]
+                rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+                exhausted = len(rows) < m
+                n_pairs = len(present) * (len(present) - 1) // 2
+                ceiling = float(prox_weight) * n_pairs
+                kth = rows[k - 1]["score"] if len(rows) >= k else float("-inf")
+                weakest_bm25 = min(r["bm25"] for r in rows)
+                if exhausted or kth >= weakest_bm25 + ceiling:
+                    final_rows.extend(
+                        (qid, i + 1, r["doc_id"], r["score"], r["matched"])
+                        for i, r in enumerate(rows[:k])
+                    )
+                else:
+                    fallback_qids.append(qid)
+        out = (
+            self.spark.createDataFrame(final_rows, out_schema)
+            if final_rows
+            else empty
+        )
+        for qid in fallback_qids:
+            present, mode, k, m = meta[qid]
+            branch = self.search_proximity(
+                present, k=k, prox_weight=prox_weight, mode=mode
+            )
+            # the branch is already ordered and limited to k rows, so this
+            # unpartitioned window ranks k rows, not the candidate set
+            wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            out = out.unionByName(
+                branch.select(
+                    F.lit(qid).alias("query_id"),
+                    F.row_number().over(wb).cast("long").alias("rank"),
+                    "doc_id",
+                    "score",
+                    "matched",
+                )
+            )
         return out.orderBy("query_id", "rank")
 
     def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
