@@ -185,6 +185,9 @@ def main() -> None:
         # serve-time result dedup + refill, UOR opcode, CJK char bigrams
         "bm25_multiword_synonym", "bm25_plural", "bm25_dedup_results",
         "uor", "bm25_cjk",
+        # round 5: proximity on the WAND + batch scale paths, serving-
+        # integrated did-you-mean
+        "wand_proximity", "batch_proximity", "spell_fallback",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
