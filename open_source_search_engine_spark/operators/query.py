@@ -1235,6 +1235,7 @@ class SearchEngine:
         default_k: int = 10,
         overfetch: int = 4,
         shared_scan_max_rows: int = 3_000_000,
+        exhaustive_df_cutoff: int | None = None,
     ) -> DataFrame:
         """Batch serving WITH the term-pair proximity boost — the last
         serving path that lacked it (exact: search_proximity; WAND scale:
@@ -1259,8 +1260,15 @@ class SearchEngine:
              search_proximity plan as union branches, so the result is
              EXACT for every query regardless of routing.
 
-        Driver materialization is bounded by sum_q(overfetch * k_q) rows —
-        the same class of bound as the batch's own output.
+        Driver materialization is bounded by
+        sum_q(max(overfetch * k_q, exhaustive_df_cutoff)) rows — the same
+        class of bound as the batch's own output. (Queries whose plan-time
+        match-set bound — rarest df under AND, sum(df) under OR — is below
+        ``exhaustive_df_cutoff`` over-fetch their WHOLE match set instead:
+        one pass is then trivially exact and the certificate/fallback
+        machinery never fires for them. The cutoff defaults to a fixed
+        200k-row driver-collect budget split evenly across the batch, so
+        the bound holds regardless of batch size.)
         prox_weight=0 delegates to search_many verbatim."""
         out_schema = (
             "query_id string, rank long, doc_id long, score double, "
@@ -1278,6 +1286,9 @@ class SearchEngine:
         all_terms = sorted({t for q in queries for t in q["terms"]})
         plan = self.plan_terms(all_terms)
         tid_of = dict(zip(plan["term"], plan["term_id"]))
+        df_of = dict(zip(plan["term"], plan["df"]))
+        if exhaustive_df_cutoff is None:
+            exhaustive_df_cutoff = max(2_000, 200_000 // max(1, len(queries)))
         meta: dict[str, tuple[list[str], str, int, int | None]] = {}
         over_batch = []
         for q in queries:
@@ -1288,7 +1299,22 @@ class SearchEngine:
             present = [t for t in terms if t in tid_of]
             if not present or (mode == "AND" and len(present) < len(terms)):
                 continue  # unanswerable -> no rows (search_terms contract)
-            m = max(k * overfetch, k + 1) if len(present) >= 2 else None
+            m = None
+            if len(present) >= 2:
+                m = max(k * overfetch, k + 1)
+                # Exhaustive-candidate bound (same move as wand_proximity):
+                # the match set is <= rarest df under AND, <= sum(df) under
+                # OR -- both known at plan time. When affordable, fetch the
+                # whole match set so the query is final in one pass, never
+                # reaching the certificate or the per-query exact fallback
+                # branch (which costs its own jobs).
+                bound = (
+                    min(int(df_of[t]) for t in present)
+                    if mode == "AND"
+                    else sum(int(df_of[t]) for t in present)
+                )
+                if bound < exhaustive_df_cutoff:
+                    m = max(m, bound + 1)
             meta[qid] = (present, mode, k, m)
             over_batch.append(
                 {"query_id": qid, "terms": present, "mode": mode,

@@ -520,6 +520,17 @@ def wand_proximity(
     n_pairs = len(terms) * (len(terms) - 1) // 2
     ceiling = float(prox_weight) * n_pairs
     m = max(k * overfetch, k + 1)
+    # Exhaustive-candidate fast path: under AND the match set is bounded
+    # by the rarest term's df, already in the plan (no extra job). When
+    # that bound is affordable, fetch the WHOLE match set in one pass --
+    # the candidate set is exhaustive so a single rescore is trivially
+    # exact, skipping every certificate/escalation iteration. Never worse
+    # than the loop's own worst case: its fallback (search_proximity)
+    # pivots positions for the same <= rarest_df match set anyway, after
+    # having paid log_4(max_candidates/m) wand passes to get there.
+    rarest_df = int(plan["df"].min())
+    if rarest_df < max_candidates:
+        m = max(m, rarest_df + 1)
     while True:
         cands = wand_search(engine, query_terms, "AND", m, **wand_kwargs)
         cand_rows = cands.collect()  # <= m rows (wand's own contract)
