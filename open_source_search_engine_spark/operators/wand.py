@@ -560,7 +560,27 @@ def wand_proximity(
             return engine.search_proximity(
                 query_terms, k=k, prox_weight=prox_weight
             )
-        m = min(m * 4, max_candidates)
+        # Escalation schedule (performance only -- exactness never depends
+        # on it): the certificate needs weakest_bm25(m') <= kth - ceiling.
+        # BM25 scores decay monotonically with rank, so extrapolate the
+        # observed tail slope to the rank where the threshold is reached;
+        # when even max_candidates cannot plausibly get there, skip the
+        # intermediate WAND passes and take the exact path NOW (it is the
+        # loop's terminal state anyway). A flat observed tail (ties) is
+        # hopeless by definition.
+        s_star = kth - ceiling
+        scores = [r["score"] for r in cand_rows]  # BM25, desc (wand order)
+        tail = scores[len(scores) // 2 :]
+        slope = (tail[0] - tail[-1]) / max(1, len(tail) - 1)
+        if slope > 0:
+            m_needed = m + int((scores[-1] - s_star) / slope) + 1
+        else:
+            m_needed = max_candidates + 1
+        if m_needed > max_candidates:
+            return engine.search_proximity(
+                query_terms, k=k, prox_weight=prox_weight
+            )
+        m = min(max(m * 4, int(m_needed * 1.25)), max_candidates)
     return (
         spark.createDataFrame(rows, top.schema) if rows else empty
     )

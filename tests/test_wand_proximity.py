@@ -98,6 +98,29 @@ def test_max_candidates_fallback_is_exact(eng):
     assert [s[0] for s in scale] == [e[0] for e in exact]
 
 
+def test_escalation_schedule_is_exact(eng):
+    # Force the IN-LOOP escalation path (r5: tail-slope extrapolated
+    # schedule): max_candidates far below the stopword pair's match count
+    # disables the pre-loop exhaustive bump, and overfetch=1 starts m at
+    # k+1, so the certificate must fail at least once. Whichever branch
+    # the extrapolation picks (jump m, or exact-now), the result must be
+    # the exact answer.
+    exact = _rows(eng.search_proximity(["the", "to"], k=3, prox_weight=5.0))
+    for max_candidates in (8, 64, 256):
+        scale = _rows(
+            wand_proximity(
+                eng,
+                ["the", "to"],
+                k=3,
+                prox_weight=5.0,
+                overfetch=1,
+                max_candidates=max_candidates,
+            )
+        )
+        assert [s[0] for s in scale] == [e[0] for e in exact], max_candidates
+        assert scale == pytest.approx(exact)
+
+
 def test_w0_rank_identity_with_wand(eng):
     for terms, k in [(["spark", "index"], 10), (["the", "to"], 15)]:
         base = _rows(wand_search(eng, terms, "AND", k))
