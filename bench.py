@@ -304,14 +304,50 @@ def main() -> None:
     queries["batch_64_queries"] = round(batch_s, 4)
     batch_qps = 64 / batch_s
 
-    # ---- optional 10M-turn serving leg (r3 VERDICT task 8) ---------------
-    # When a prebuilt 10M-turn index exists (scripts/build_10m.py writes
-    # it), measure the SAME reference query set against it so the envelope
-    # "doubling index size ~ halves qps" (reference html/faq.html:316) is
-    # checkable inside the driver artifact. Skipped silently when absent.
+    # ---- sustained-scale serving legs (r3/r4 VERDICT task 8) --------------
+    # Measure the SAME reference query set against a much larger index so
+    # the envelope "doubling index size ~ halves qps" (reference
+    # html/faq.html:316) is checkable inside the driver artifact. The
+    # prebuilt 10M-turn warehouse (scripts/build_10m.py) is looked up at
+    # $OSSE_10M_WH, then a repo-local cache (survives /tmp teardown between
+    # builder and driver runs — BENCH_r03/r04 lost the legs exactly this
+    # way), then /tmp. When NO prebuilt warehouse exists anywhere, build a
+    # bounded OSSE_SUSTAIN_TURNS-turn one in-bench (timed as its own
+    # `sustain_build` leg) so the artifact always carries a sustained-scale
+    # serving number; `tenm_turns` in the JSON records which size ran.
     tenm = {}
-    tenm_wh = os.environ.get("OSSE_10M_WH", "/tmp/osse-10m-wh")
-    if os.path.isdir(os.path.join(tenm_wh, "postings")):
+    tenm_turns = 10_000_000
+    candidates = [
+        os.environ.get("OSSE_10M_WH", ""),
+        os.path.join(REPO, ".cache", "osse-10m-wh"),
+        "/tmp/osse-10m-wh",
+    ]
+    tenm_wh = next(
+        (
+            c
+            for c in candidates
+            if c and os.path.isdir(os.path.join(c, "postings"))
+        ),
+        None,
+    )
+    if tenm_wh is None:
+        tenm_turns = int(os.environ.get("OSSE_SUSTAIN_TURNS", "2000000"))
+        tenm_wh = f"/tmp/osse-sustain-wh-{tenm_turns}"
+        sus_corpus = f"/tmp/osse-bench-corpus-{tenm_turns}"
+        if not os.path.exists(os.path.join(sus_corpus, "_SUCCESS")):
+            synth_transcripts(spark, tenm_turns).write.mode(
+                "overwrite"
+            ).parquet(sus_corpus)
+        shutil.rmtree(tenm_wh, ignore_errors=True)
+        t0 = time.time()
+        build_index(
+            spark,
+            Catalog(spark, tenm_wh),
+            transcripts_to_docs(spark.read.parquet(sus_corpus)),
+            IndexConfig(tokenizer_mode="ascii"),
+        )
+        queries["sustain_build"] = round(time.time() - t0, 4)
+    if True:
         eng10 = SearchEngine(
             spark, Catalog(spark, tenm_wh), tokenizer_mode="ascii"
         )
@@ -330,14 +366,14 @@ def main() -> None:
         b10 = b10_samples[len(b10_samples) // 2]
         queries["batch_16_10m"] = round(b10, 4)
         tenm = {
-            "tenm_turns": 10_000_000,
+            "tenm_turns": tenm_turns,
             "tenm_p50_sec": queries["bm25_10m_p50"],
             "tenm_batch_qps": round(16 / b10, 2),
             "tenm_batch_samples_sec": [round(s, 4) for s in b10_samples],
             # the reference's "doubling index size ~ halves qps"
             # (html/faq.html:316) linearized from the 200k-corpus batch leg
             "tenm_envelope_qps": round(
-                batch_qps * n_turns / 10_000_000, 3
+                batch_qps * n_turns / tenm_turns, 3
             ),
         }
 

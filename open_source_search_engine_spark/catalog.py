@@ -101,6 +101,13 @@ class Catalog:
             "sequence": (parent["sequence"] + 1) if parent else 0,
             "committed_at": time.time(),
             "data_dirs": data_dirs,
+            # recorded so a moved/cloned warehouse stays readable: readers
+            # remap any dir that no longer exists from this root onto the
+            # current one (_resolve_dirs) -- the Iceberg-metadata-relocation
+            # analog, needed because a warehouse built in a scratch dir is
+            # routinely copied to durable storage (our bench cache does
+            # exactly this)
+            "warehouse": self.warehouse,
         }
         tmp = os.path.join(tdir, f"_tmp-{snap['snapshot_id']}.json")
         with open(tmp, "w") as f:
@@ -110,6 +117,31 @@ class Catalog:
             json.dump(snap, f)
         os.replace(tmp, self._manifest_path(name))
         return snap
+
+    def _resolve_dirs(self, name: str, snap: dict) -> list[str]:
+        """Remap snapshot data dirs after a warehouse move/copy.
+
+        A dir that still exists is used as-is (same-session reads never
+        change behavior). A missing dir is remapped (a) from the snapshot's
+        recorded warehouse root onto the current one -- covers external
+        segment dirs under ``<warehouse>/segments/...`` -- or (b) for
+        pre-relocation manifests without the root, by basename into the
+        table dir. If the remap target doesn't exist either, the original
+        path is kept so the reader raises the honest PATH_NOT_FOUND."""
+        out = []
+        old_root = (snap.get("warehouse") or "").rstrip("/")
+        for d in snap["data_dirs"]:
+            if os.path.exists(d):
+                out.append(d)
+                continue
+            if old_root and d.startswith(old_root + "/"):
+                cand = os.path.join(self.warehouse, os.path.relpath(d, old_root))
+            else:
+                cand = os.path.join(
+                    self._tdir(name), os.path.basename(d.rstrip("/"))
+                )
+            out.append(cand if os.path.exists(cand) else d)
+        return out
 
     # -- public API ----------------------------------------------------------
     def table_exists(self, name: str) -> bool:
@@ -125,7 +157,7 @@ class Catalog:
             raise FileNotFoundError(f"table {name} has no committed snapshot")
         if not m["data_dirs"]:
             raise FileNotFoundError(f"table {name} is empty")
-        return self.spark.read.parquet(*m["data_dirs"])
+        return self.spark.read.parquet(*self._resolve_dirs(name, m))
 
     def write_table(
         self,
@@ -231,13 +263,13 @@ class Catalog:
             if snap["snapshot_id"] == snapshot_id:
                 if not snap["data_dirs"]:
                     raise FileNotFoundError(f"snapshot {snapshot_id} is empty")
-                return self.spark.read.parquet(*snap["data_dirs"])
+                return self.spark.read.parquet(*self._resolve_dirs(name, snap))
         raise FileNotFoundError(f"table {name} has no snapshot {snapshot_id}")
 
     def data_dirs(self, name: str) -> list[str]:
         """Live data directories of the current snapshot (parquet mode)."""
         m = self._read_manifest(name)
-        return list(m["data_dirs"]) if m else []
+        return self._resolve_dirs(name, m) if m else []
 
     def compact(self, name: str, sort_cols: list[str] | None = None) -> int:
         """Merge all live data dirs into one sorted dir (the RdbMerge analog,
@@ -248,7 +280,7 @@ class Catalog:
         if parent is None or len(parent["data_dirs"]) <= 1:
             return 0
         fan_in = len(parent["data_dirs"])
-        df = self.spark.read.parquet(*parent["data_dirs"])
+        df = self.spark.read.parquet(*self._resolve_dirs(name, parent))
         if sort_cols:
             df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
         data_dir = os.path.join(

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Build the persistent 10M-turn index that bench.py's optional 10M serving
-leg queries (r3 VERDICT task 8). Writes to $OSSE_10M_WH (default
-/tmp/osse-10m-wh); reuses an existing build unless --force.
+"""Build the persistent 10M-turn index that bench.py's sustained-scale
+serving legs query (r3/r4 VERDICT task 8). Writes to $OSSE_10M_WH
+(default: the repo-local .cache/osse-10m-wh — /tmp is torn down between
+the builder session and the driver's bench run, which is how BENCH_r03/
+r04 lost the 10M legs); reuses an existing build unless --force.
 
     python scripts/build_10m.py [--turns 10000000] [--force]
 """
@@ -24,7 +26,9 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=10_000_000)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
-    wh = os.environ.get("OSSE_10M_WH", "/tmp/osse-10m-wh")
+    wh = os.environ.get(
+        "OSSE_10M_WH", os.path.join(REPO, ".cache", "osse-10m-wh")
+    )
     if os.path.isdir(os.path.join(wh, "postings")) and not args.force:
         print(json.dumps({"wh": wh, "status": "exists"}))
         return

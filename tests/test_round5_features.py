@@ -171,3 +171,39 @@ def test_batch_proximity_weight_zero_is_search_many(eng):
     a = [tuple(r) for r in eng.search_many_proximity(BATCH, prox_weight=0.0).collect()]
     b = [tuple(r) for r in eng.search_many(BATCH).collect()]
     assert a == b
+
+
+def test_warehouse_relocation_reads_identically(spark, tmp_path_factory):
+    # a warehouse built in a scratch dir then MOVED (the bench.py 10M cache
+    # does exactly this: build in /tmp, copy under the repo) must stay
+    # readable: manifests record absolute dirs from build time, and
+    # Catalog._resolve_dirs remaps them onto the new root
+    import shutil
+
+    src = str(tmp_path_factory.mktemp("reloc-src"))
+    cat_a = Catalog(spark, src)
+    build_index(
+        spark,
+        cat_a,
+        transcripts_to_docs(synth_transcripts(spark, 300)),
+        IndexConfig(),
+    )
+    before = sorted(
+        tuple(r)
+        for r in SearchEngine(spark, cat_a).search_terms(
+            ["spark", "index"], "AND", 5
+        ).collect()
+    )
+    assert before  # the query must actually match something
+
+    dst = str(tmp_path_factory.mktemp("reloc-dst-root")) + "/moved-wh"
+    shutil.move(src, dst)
+    eng_b = SearchEngine(spark, Catalog(spark, dst))
+    after = sorted(
+        tuple(r) for r in eng_b.search_terms(["spark", "index"], "AND", 5).collect()
+    )
+    assert after == before
+    # time-travel reads resolve through the same remap
+    cat_b = Catalog(spark, dst)
+    snaps = cat_b.snapshots("postings")
+    assert cat_b.read_snapshot("postings", snaps[-1]["snapshot_id"]).count() > 0
