@@ -186,8 +186,9 @@ def main() -> None:
         "bm25_multiword_synonym", "bm25_plural", "bm25_dedup_results",
         "uor", "bm25_cjk",
         # round 5: proximity on the WAND + batch scale paths, serving-
-        # integrated did-you-mean
+        # integrated did-you-mean, exact-substring dup screen
         "wand_proximity", "batch_proximity", "spell_fallback",
+        "substring_dup",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -1054,6 +1054,21 @@ def q_repetition_flags(spark, sf_dir):
     )
 
 
+def q_substring_dup(spark, sf_dir):
+    # exact-substring duplication screen (Lee et al. 2022 grain; the set-
+    # overlap dedups miss a short verbatim passage inside two otherwise-
+    # different docs): pairs sharing a contiguous token run >= 16 tokens,
+    # exact longest run via diagonal gaps-and-islands over df-capped
+    # positional 8-grams -- no suffix array, three bounded shuffles
+    return (
+        dedup.substring_pairs(
+            documents(spark, sf_dir), n=8, min_run=16, max_gram_df=20
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+        .limit(200)
+    )
+
+
 def q_pack_export(spark, sf_dir):
     # materialized training shards: concatenated doc texts per shard_id in
     # deterministic doc order (array_sort over structs, never bare
@@ -1229,6 +1244,7 @@ QUERIES = {
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
     "batch_proximity": q_batch_proximity,
+    "substring_dup": q_substring_dup,
     "wand": q_wand,
     "lang_id": q_lang_id,
     # -- rotation (r4 VERDICT task 3): the driver records only the FIRST
@@ -1963,6 +1979,43 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_id_a
 JOIN sizes sb ON sb.doc_id = doc_id_b
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+ORDER BY doc_id_a, doc_id_b LIMIT 200
+""",
+    # the capped computation verbatim (df cap included) -- see
+    # substring_pairs' docstring for why the cap is part of the semantics
+    "substring_dup": f"""
+WITH {_TOKS},
+posi AS (
+  SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS pos
+  FROM toks WHERE len(toks) >= 8
+),
+grams AS (
+  SELECT doc_id, pos, array_to_string(toks[pos+1 : pos+8], ' ') AS gram
+  FROM posi
+),
+keep AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) <= 20
+),
+g AS (SELECT grams.* FROM grams JOIN keep USING (gram)),
+m AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.pos AS pa, a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_id_a, doc_id_b, diag,
+         pa - row_number() OVER (
+           PARTITION BY doc_id_a, doc_id_b, diag ORDER BY pa
+         ) AS island
+  FROM m
+),
+runs AS (
+  SELECT doc_id_a, doc_id_b, count(*) + 7 AS run_tokens
+  FROM isl GROUP BY doc_id_a, doc_id_b, diag, island
+)
+SELECT doc_id_a, doc_id_b, max(run_tokens) AS longest_run
+FROM runs GROUP BY doc_id_a, doc_id_b
+HAVING max(run_tokens) >= 16
 ORDER BY doc_id_a, doc_id_b LIMIT 200
 """,
     "cosine_topk": """

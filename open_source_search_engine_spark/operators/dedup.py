@@ -577,3 +577,98 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def substring_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_run: int = 16,
+    max_gram_df: int | None = 20,
+) -> DataFrame:
+    """Exact-substring duplication detector: doc pairs sharing a contiguous
+    token run of >= ``min_run`` tokens, with the exact longest shared run.
+
+    Completes the dedup suite for training pipelines: Jaccard/MinHash/SimHash
+    measure SET overlap, so a short verbatim passage (a quoted paragraph, a
+    copied license block, an eval prompt embedded in a much larger document)
+    inside two otherwise-different docs scores near zero on all of them.
+    Substring-level dedup is the standard countermeasure (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which dedups
+    on 50-token runs); the reference's own serve-time dedup is similarity-
+    based (`Msg40.cpp:1173-1300`), so this is pipeline-side scope.
+
+    Instead of a distributed suffix array, the plan is join-native Spark:
+
+    1. positional n-grams: (doc_id, pos, gram) via one posexplode of the
+       shingle array -- positions, unlike the Jaccard path, are kept.
+    2. df cap: grams present in > ``max_gram_df`` docs are dropped (the
+       same quadratic-pair-bomb guard as ngram_jaccard_pairs: a df-D join
+       key emits D^2 pair rows; a >cap-df gram is boilerplate phrasing).
+       A run whose EVERY n-gram is boilerplate is invisible; a run
+       containing at least one sub-cap gram is still found (see the
+       exactness note below for how the cap can shorten its REPORTED
+       length).
+    3. equi-join on gram with doc_id_a < doc_id_b -> (a, b, pos_a, diag)
+       where diag = pos_a - pos_b: a shared run lies on ONE diagonal.
+    4. gaps-and-islands per (a, b, diag): island id = pos_a - row_number()
+       (pos_a is unique within a diagonal: pos_b = pos_a - diag), so L
+       consecutive matching grams -> one island -> run of L + n - 1 tokens.
+    5. max island per pair, filtered to >= min_run.
+
+    Exactness: with ``max_gram_df=None`` the result is exactly the longest
+    common token substring for every pair where it is >= max(min_run, n)
+    (gated against a brute-force DP in tests). With a cap, a diagonal that
+    LOSES an interior gram to the cap splits into two islands and the run
+    under-reports -- conservative in the safe direction for a screen whose
+    failure mode should be a missed dup, never a phantom one; the oracle
+    query runs the capped computation verbatim so parity is exact.
+
+    Scale notes (100 TB): one wide shuffle on gram (df-capped keys, no hot
+    key by construction), then shuffles keyed by (pair, diag) and pair --
+    both quadratic-free after the cap. No Python anywhere; the window is a
+    single int comparison per row. Returns (doc_id_a, doc_id_b,
+    longest_run) -- run length in TOKENS.
+    """
+    from pyspark.sql.window import Window
+
+    g = with_tokens(docs, text_col).select(
+        "doc_id",
+        F.posexplode(shingles_expr("toks", n)).alias("pos", "gram"),
+    )
+    if max_gram_df is not None:
+        g = g.persist()
+        hot = (
+            g.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("gdf"))
+            .filter(F.col("gdf") > max_gram_df)
+            .select("gram")
+        )
+        g = g.join(F.broadcast(hot), "gram", "left_anti")
+    a = g.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("pb"), "gram"
+    )
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "pa",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_id_a", "doc_id_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_id_a", "doc_id_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + F.lit(n - 1)).alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("doc_id_a", "doc_id_b")
+        .agg(F.max("run_tokens").alias("longest_run"))
+        .filter(F.col("longest_run") >= min_run)
+    )
