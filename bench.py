@@ -317,7 +317,6 @@ def main() -> None:
     # `sustain_build` leg) so the artifact always carries a sustained-scale
     # serving number; `tenm_turns` in the JSON records which size ran.
     tenm = {}
-    tenm_turns = 10_000_000
     candidates = [
         os.environ.get("OSSE_10M_WH", ""),
         os.path.join(REPO, ".cache", "osse-10m-wh"),
@@ -331,7 +330,17 @@ def main() -> None:
         ),
         None,
     )
-    if tenm_wh is None:
+    if tenm_wh is not None:
+        # the warehouse records its own corpus size (build_10m.py writes
+        # _build_meta.json) -- never ASSUME 10M, or a smaller prebuilt
+        # warehouse would inflate the envelope comparison by its size ratio
+        meta_p = os.path.join(tenm_wh, "_build_meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                tenm_turns = int(json.load(f)["turns"])
+        else:
+            tenm_turns = 10_000_000  # pre-meta warehouses were 10M builds
+    else:
         tenm_turns = int(os.environ.get("OSSE_SUSTAIN_TURNS", "2000000"))
         tenm_wh = f"/tmp/osse-sustain-wh-{tenm_turns}"
         sus_corpus = f"/tmp/osse-bench-corpus-{tenm_turns}"
@@ -348,35 +357,34 @@ def main() -> None:
             IndexConfig(tokenizer_mode="ascii"),
         )
         queries["sustain_build"] = round(time.time() - t0, 4)
-    if True:
-        eng10 = SearchEngine(
-            spark, Catalog(spark, tenm_wh), tokenizer_mode="ascii"
-        )
-        p50_10 = _ref_p50_samples(eng10, n_reps)
-        queries["bm25_10m_p50"] = round(p50_10[len(p50_10) // 2], 4)
-        # 16 queries (not 64): at 10M docs every all-common-term query
-        # routes to a pruned per-query union branch (search_many's adaptive
-        # cutoff), so batch cost scales ~linearly in batch size -- 16 keeps
-        # the leg honest without dominating the whole bench's wall time
-        b10_samples = []
-        for _ in range(n_reps):
-            t0 = time.time()
-            eng10.search_many(batch[:16]).collect()
-            b10_samples.append(time.time() - t0)
-        b10_samples.sort()
-        b10 = b10_samples[len(b10_samples) // 2]
-        queries["batch_16_10m"] = round(b10, 4)
-        tenm = {
-            "tenm_turns": tenm_turns,
-            "tenm_p50_sec": queries["bm25_10m_p50"],
-            "tenm_batch_qps": round(16 / b10, 2),
-            "tenm_batch_samples_sec": [round(s, 4) for s in b10_samples],
-            # the reference's "doubling index size ~ halves qps"
-            # (html/faq.html:316) linearized from the 200k-corpus batch leg
-            "tenm_envelope_qps": round(
-                batch_qps * n_turns / tenm_turns, 3
-            ),
-        }
+    eng10 = SearchEngine(
+        spark, Catalog(spark, tenm_wh), tokenizer_mode="ascii"
+    )
+    p50_10 = _ref_p50_samples(eng10, n_reps)
+    queries["bm25_10m_p50"] = round(p50_10[len(p50_10) // 2], 4)
+    # 16 queries (not 64): at 10M docs every all-common-term query
+    # routes to a pruned per-query union branch (search_many's adaptive
+    # cutoff), so batch cost scales ~linearly in batch size -- 16 keeps
+    # the leg honest without dominating the whole bench's wall time
+    b10_samples = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        eng10.search_many(batch[:16]).collect()
+        b10_samples.append(time.time() - t0)
+    b10_samples.sort()
+    b10 = b10_samples[len(b10_samples) // 2]
+    queries["batch_16_10m"] = round(b10, 4)
+    tenm = {
+        "tenm_turns": tenm_turns,
+        "tenm_p50_sec": queries["bm25_10m_p50"],
+        "tenm_batch_qps": round(16 / b10, 2),
+        "tenm_batch_samples_sec": [round(s, 4) for s in b10_samples],
+        # the reference's "doubling index size ~ halves qps"
+        # (html/faq.html:316) linearized from the 200k-corpus batch leg
+        "tenm_envelope_qps": round(
+            batch_qps * n_turns / tenm_turns, 3
+        ),
+    }
 
     total = sum(queries.values())
     print(

@@ -198,7 +198,11 @@ class Catalog:
             parent = self._read_manifest(name)
             dirs = [data_dir]
             if mode == "append" and parent:
-                dirs = parent["data_dirs"] + dirs
+                # RESOLVE the parent's dirs before inheriting them: an
+                # append after a warehouse move would otherwise copy the
+                # stale old-root paths into a snapshot stamped with the NEW
+                # root, permanently losing the rebase information
+                dirs = self._resolve_dirs(name, parent) + dirs
             self._commit(name, dirs, parent)
 
     def append_table(self, df: DataFrame, name: str) -> None:
@@ -221,7 +225,8 @@ class Catalog:
             parent = self._read_manifest(name)
             dirs = list(data_dirs)
             if mode == "append" and parent:
-                dirs = parent["data_dirs"] + dirs
+                # same rebase-before-inherit as write_table's append
+                dirs = self._resolve_dirs(name, parent) + dirs
             self._commit(name, dirs, parent)
 
     def snapshot_id(self, name: str) -> str | None:

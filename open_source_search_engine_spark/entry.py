@@ -1062,7 +1062,8 @@ def q_substring_dup(spark, sf_dir):
     # positional 8-grams -- no suffix array, three bounded shuffles
     return (
         dedup.substring_pairs(
-            documents(spark, sf_dir), n=8, min_run=16, max_gram_df=20
+            documents(spark, sf_dir), n=8, min_run=16, max_gram_df=20,
+            eager=True,
         )
         .orderBy("doc_id_a", "doc_id_b")
         .limit(200)
@@ -1994,7 +1995,9 @@ grams AS (
   FROM posi
 ),
 keep AS (
-  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) <= 20
+  SELECT gram FROM grams
+  GROUP BY gram
+  HAVING count(DISTINCT doc_id) <= 20 AND count(*) <= 160
 ),
 g AS (SELECT grams.* FROM grams JOIN keep USING (gram)),
 m AS (

@@ -585,6 +585,8 @@ def substring_pairs(
     n: int = 8,
     min_run: int = 16,
     max_gram_df: int | None = 20,
+    max_gram_occ: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact-substring duplication detector: doc pairs sharing a contiguous
     token run of >= ``min_run`` tokens, with the exact longest shared run.
@@ -605,10 +607,16 @@ def substring_pairs(
     2. df cap: grams present in > ``max_gram_df`` docs are dropped (the
        same quadratic-pair-bomb guard as ngram_jaccard_pairs: a df-D join
        key emits D^2 pair rows; a >cap-df gram is boilerplate phrasing).
-       A run whose EVERY n-gram is boilerplate is invisible; a run
-       containing at least one sub-cap gram is still found (see the
-       exactness note below for how the cap can shorten its REPORTED
-       length).
+       Because positions are kept, the join is also quadratic in a gram's
+       OCCURRENCE count, and intra-doc repetition evades a docs-only cap
+       (a token repeated 10k times in 2 docs is df=2 but 10^8 join rows),
+       so ``max_gram_occ`` (default ``8 * max_gram_df``) additionally
+       drops grams whose TOTAL occurrence count exceeds it, bounding join
+       rows per gram at max_gram_occ^2. A run whose EVERY n-gram is
+       capped is invisible -- degenerate repetition is precisely the
+       boilerplate this screen should ignore; a run containing at least
+       one surviving gram is still found (see the exactness note below
+       for how the caps can shorten its REPORTED length).
     3. equi-join on gram with doc_id_a < doc_id_b -> (a, b, pos_a, diag)
        where diag = pos_a - pos_b: a shared run lies on ONE diagonal.
     4. gaps-and-islands per (a, b, diag): island id = pos_a - row_number()
@@ -618,17 +626,23 @@ def substring_pairs(
 
     Exactness: with ``max_gram_df=None`` the result is exactly the longest
     common token substring for every pair where it is >= max(min_run, n)
-    (gated against a brute-force DP in tests). With a cap, a diagonal that
-    LOSES an interior gram to the cap splits into two islands and the run
-    under-reports -- conservative in the safe direction for a screen whose
-    failure mode should be a missed dup, never a phantom one; the oracle
-    query runs the capped computation verbatim so parity is exact.
+    (gated against a brute-force DP in tests; ``max_gram_occ`` is ignored
+    when max_gram_df is None). With caps, a diagonal that LOSES an
+    interior gram splits into two islands and the run under-reports --
+    conservative in the safe direction for a screen whose failure mode
+    should be a missed dup, never a phantom one; the oracle query runs the
+    capped computation verbatim so parity is exact.
 
-    Scale notes (100 TB): one wide shuffle on gram (df-capped keys, no hot
-    key by construction), then shuffles keyed by (pair, diag) and pair --
-    both quadratic-free after the cap. No Python anywhere; the window is a
-    single int comparison per row. Returns (doc_id_a, doc_id_b,
-    longest_run) -- run length in TOKENS.
+    ``eager=True`` materializes the (small) pair set NOW via
+    localCheckpoint and releases the internal positional-gram cache (same
+    contract as ngram_jaccard_pairs); the default lazy mode leaves the
+    cache alive as long as the returned frame's lineage is.
+
+    Scale notes (100 TB): one wide shuffle on gram (df- AND
+    occurrence-capped keys, so no hot key by construction), then shuffles
+    keyed by (pair, diag) and pair -- both quadratic-free after the caps.
+    No Python anywhere; the window is a single int comparison per row.
+    Returns (doc_id_a, doc_id_b, longest_run) -- run length in TOKENS.
     """
     from pyspark.sql.window import Window
 
@@ -636,15 +650,23 @@ def substring_pairs(
         "doc_id",
         F.posexplode(shingles_expr("toks", n)).alias("pos", "gram"),
     )
+    cached = None
     if max_gram_df is not None:
-        g = g.persist()
+        if max_gram_occ is None:
+            max_gram_occ = 8 * max_gram_df
+        cached = g.persist()
         hot = (
-            g.groupBy("gram")
-            .agg(F.countDistinct("doc_id").alias("gdf"))
-            .filter(F.col("gdf") > max_gram_df)
+            cached.groupBy("gram")
+            .agg(
+                F.countDistinct("doc_id").alias("gdf"),
+                F.count(F.lit(1)).alias("gocc"),
+            )
+            .filter(
+                (F.col("gdf") > max_gram_df) | (F.col("gocc") > max_gram_occ)
+            )
             .select("gram")
         )
-        g = g.join(F.broadcast(hot), "gram", "left_anti")
+        g = cached.join(F.broadcast(hot), "gram", "left_anti")
     a = g.select(
         F.col("doc_id").alias("doc_id_a"), F.col("pos").alias("pa"), "gram"
     )
@@ -667,8 +689,12 @@ def substring_pairs(
         .groupBy("doc_id_a", "doc_id_b", "diag", "island")
         .agg((F.count(F.lit(1)) + F.lit(n - 1)).alias("run_tokens"))
     )
-    return (
+    out = (
         runs.groupBy("doc_id_a", "doc_id_b")
         .agg(F.max("run_tokens").alias("longest_run"))
         .filter(F.col("longest_run") >= min_run)
     )
+    if eager and cached is not None:
+        out = out.localCheckpoint()
+        cached.unpersist()
+    return out

@@ -14,8 +14,19 @@ operator is the custom-stateful spelling (applyInPandasWithState, the
 same pattern as streaming/sessionize.py): state per content hash holds a
 seen flag + suppressed-count, the kept row is DETERMINISTIC (first batch
 to arrive wins; within a batch the lowest (conv_id, turn_idx) wins), and
-each emitted row carries ``n_dupes_so_far`` so downstream can monitor
-duplication pressure per source.
+each emitted row carries ``n_dupes_so_far``. Scope of that counter: the
+kept row is emitted exactly once (append mode), so the value it carries
+is the suppressed count AT EMISSION TIME -- i.e. the duplicates within
+the first batch that contained the text. Later-batch suppressions keep
+accumulating in state (and keep suppressing) but are not re-emitted;
+a pipeline that needs cross-batch pressure telemetry should aggregate
+the suppressed inputs upstream instead.
+
+Rows with NULL text (tool-call turns -- the input_hint schema allows
+them, that is what the ``tool`` column is for) are NOT content and pass
+through unscreened: md5(NULL) is NULL, so grouping them would collapse
+every NULL-text turn in the stream into one state group and silently
+drop all but the first.
 
 Scale notes (100 TB): state is one tiny row per DISTINCT content hash --
 bounded by unique content, not traffic; the hash group key shuffles only
@@ -106,8 +117,9 @@ def streaming_dedup_screen(
         if state_ttl_minutes is not None
         else GroupStateTimeout.NoTimeout
     )
-    return (
-        turns.withColumn("content_hash", F.md5(F.col("text")))
+    screened = (
+        turns.filter(F.col("text").isNotNull())
+        .withColumn("content_hash", F.md5(F.col("text")))
         .groupBy("content_hash")
         .applyInPandasWithState(
             _dedup_fn(state_ttl_minutes),
@@ -117,3 +129,8 @@ def streaming_dedup_screen(
             timeoutConf=timeout,
         )
     )
+    # NULL-text rows are not content: pass through (see module docstring)
+    passthrough = turns.filter(F.col("text").isNull()).withColumn(
+        "n_dupes_so_far", F.lit(0).cast("long")
+    )
+    return screened.unionByName(passthrough.select(*_COLS, "n_dupes_so_far"))

@@ -59,6 +59,9 @@ def main() -> None:
         spark, cat, transcripts_to_docs(tr), IndexConfig(tokenizer_mode="ascii")
     )
     dt = time.time() - t0
+    # record the corpus size so bench.py's sustained legs never assume it
+    with open(os.path.join(wh, "_build_meta.json"), "w") as f:
+        json.dump({"turns": args.turns, "build_sec": round(dt, 1)}, f)
     print(
         json.dumps(
             {

@@ -207,3 +207,23 @@ def test_warehouse_relocation_reads_identically(spark, tmp_path_factory):
     cat_b = Catalog(spark, dst)
     snaps = cat_b.snapshots("postings")
     assert cat_b.read_snapshot("postings", snaps[-1]["snapshot_id"]).count() > 0
+
+
+def test_append_after_relocation_preserves_rebase(spark, tmp_path_factory):
+    # append used to copy the parent's STALE absolute dirs into a snapshot
+    # stamped with the new root, destroying the rebase info: a second move
+    # then lost the pre-move data. Gate: write at A, move A->B, append at
+    # B, move B->C -- every row must still be readable at C.
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("reloc-append"))
+    a, b, c = f"{root}/a", f"{root}/b", f"{root}/c"
+    cat_a = Catalog(spark, a)
+    cat_a.write_table(spark.range(0, 3).toDF("v"), "t")
+    cat_a.append_table(spark.range(10, 13).toDF("v"), "t")
+    shutil.move(a, b)
+    cat_b = Catalog(spark, b)
+    cat_b.append_table(spark.range(20, 23).toDF("v"), "t")
+    shutil.move(b, c)
+    got = sorted(r["v"] for r in Catalog(spark, c).read_table("t").collect())
+    assert got == [0, 1, 2, 10, 11, 12, 20, 21, 22]

@@ -98,3 +98,33 @@ def test_grouping_agrees_with_batch_exact_dedup(spark, tmp_path_factory):
     assert n_rows - len(survivors) == sum(
         r["n_dupes_so_far"] for r in survivors
     )
+
+
+def test_null_text_tool_turns_pass_through(spark, tmp_path_factory):
+    # md5(NULL) is NULL: without the passthrough every NULL-text tool turn
+    # after the first would be silently dropped as a "duplicate"
+    src = str(tmp_path_factory.mktemp("sd3-src"))
+    ckpt = str(tmp_path_factory.mktemp("sd3-ckpt"))
+    out = str(tmp_path_factory.mktemp("sd3-out"))
+    rows = spark.createDataFrame(
+        [
+            ("c1", 0, "tool", None, "search", "2026-01-01 10:00:00"),
+            ("c2", 0, "tool", None, "browse", "2026-01-01 10:01:00"),
+            ("c3", 0, "user", "real text", None, "2026-01-01 10:02:00"),
+            ("c4", 0, "user", "real text", None, "2026-01-01 10:03:00"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    _run(spark, src, ckpt, out)
+    got = sorted(
+        (r["conv_id"], r["text"], r["tool"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # both NULL-text tool turns survive; the text dup is still screened
+    assert got == [
+        ("c1", None, "search"),
+        ("c2", None, "browse"),
+        ("c3", "real text", None),
+    ]

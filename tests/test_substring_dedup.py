@@ -131,3 +131,24 @@ def test_plan_no_cartesian_and_broadcast_hot_set(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_occurrence_cap_bounds_intra_doc_repetition(spark):
+    # df-only capping is evaded by INTRA-doc repetition (df=2 but the gram
+    # join is quadratic in occurrences); the occurrence cap drops such
+    # grams entirely -- degenerate repetition is boilerplate, and the join
+    # stays bounded
+    rep = " ".join(["spamtok"] * 2000)
+    docs = spark.createDataFrame(
+        [(0, rep), (1, rep)], ["doc_id", "text"]
+    )
+    out = substring_pairs(docs, n=4, min_run=4, max_gram_df=20).collect()
+    assert out == []  # the only shared gram exceeds max_gram_occ
+    # a normal planted run in the same corpus is still found
+    run = " ".join(f"u{i}" for i in range(30))
+    docs2 = spark.createDataFrame(
+        [(0, rep + " " + run), (1, run + " " + rep)], ["doc_id", "text"]
+    )
+    got = substring_pairs(docs2, n=4, min_run=20, max_gram_df=20).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in got] == [(0, 1)]
+    assert got[0]["longest_run"] >= 30
