@@ -2264,29 +2264,9 @@ SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
     # bm25 + proximity boost: min |pos(merge) - pos(sort)| per doc (1-based
     # ordinals; distances are ordinal differences, identical to the
     # engine's 0-based ones), bonus 1/(d+1), AND over both terms
-    "bm25_proximity": f"""
-WITH {_bm25_ctes(['merge', 'sort'], 'AND')},
-posd AS (
-  SELECT doc_id, unnest(toks) AS term,
-         unnest(range(1, len(toks) + 1)) AS pos
-  FROM toks
-),
-pd AS (
-  SELECT a.doc_id, min(abs(a.pos - b.pos)) AS d
-  FROM posd a JOIN posd b
-    ON a.doc_id = b.doc_id AND a.term = 'merge' AND b.term = 'sort'
-  GROUP BY a.doc_id
-),
-boosted AS (
-  SELECT s.doc_id,
-         s.s + coalesce(1.0 / (pd.d + 1.0), 0.0) AS s,
-         s.matched
-  FROM scored s LEFT JOIN pd ON pd.doc_id = s.doc_id
-)
-SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
-       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
-FROM boosted ORDER BY rank LIMIT 10
-""",
+    # the ONE proximity scoring contract (generator shared with
+    # wand_proximity and the batch_proximity per-query arms)
+    "bm25_proximity": _prox_sql(["merge", "sort"], 10, "AND"),
     # serving-integrated did-you-mean: empty AND result ('mrege' is OOV by
     # construction) -> per-term best dictionary word within 2 edits
     # (dist ASC, df DESC, term ASC; in-vocab terms keep themselves; no
@@ -2346,32 +2326,11 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        (SELECT corrected FROM cq) AS suggested_query
 FROM scored ORDER BY rank LIMIT 10
 """,
-    # WAND-path proximity rescore: same score contract as bm25_proximity
-    # generalized to 3 terms — per unordered term pair the min position
-    # distance d, bonus sum over pairs of 1/(d+1), added to the AND BM25
-    "wand_proximity": f"""
-WITH {_bm25_ctes(['merge', 'sort', 'data'], 'AND')},
-posd AS (
-  SELECT doc_id, unnest(toks) AS term,
-         unnest(range(1, len(toks) + 1)) AS pos
-  FROM toks
-),
-pd AS (
-  SELECT a.doc_id, a.term AS ta, b.term AS tb, min(abs(a.pos - b.pos)) AS d
-  FROM posd a JOIN posd b ON a.doc_id = b.doc_id AND a.term < b.term
-  WHERE a.term IN ('data', 'merge', 'sort')
-    AND b.term IN ('data', 'merge', 'sort')
-  GROUP BY a.doc_id, a.term, b.term
-),
-bon AS (SELECT doc_id, sum(1.0 / (d + 1.0)) AS bonus FROM pd GROUP BY doc_id),
-boosted AS (
-  SELECT s.doc_id, s.s + coalesce(bon.bonus, 0.0) AS s, s.matched
-  FROM scored s LEFT JOIN bon ON bon.doc_id = s.doc_id
-)
-SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
-       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
-FROM boosted ORDER BY rank LIMIT 10
-""",
+    # WAND-path proximity rescore: the ONE proximity scoring contract
+    # (same generator as bm25_proximity's batch variant) at 3 terms —
+    # per unordered term pair the min position distance d, bonus sum over
+    # pairs of 1/(d+1), added to the AND BM25
+    "wand_proximity": _prox_sql(["merge", "sort", "data"], 10, "AND"),
     # synonym expansion: 'speedy'->{'fast'} (0.9 weight), 'merge' alone;
     # matched counts vote GROUPS (J2 union), AND requires both
     "synonyms": f"""

@@ -454,6 +454,7 @@ class SearchEngine:
         k: int = 10,
         prox_weight: float = 1.0,
         mode: str = "AND",
+        exclude_terms: list[str] | None = None,
     ) -> DataFrame:
         """BM25 with an optional term-pair proximity boost.
 
@@ -486,7 +487,9 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, matched int"
             )
-        scored = self.score_terms(query_terms, mode=mode)
+        scored = self.score_terms(
+            query_terms, mode=mode, exclude_terms=exclude_terms
+        )
         terms = sorted(plan["term"])
         if prox_weight == 0.0 or len(terms) < 2:
             return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1476,41 +1479,53 @@ class SearchEngine:
            (the reference's auto-requery-on-empty shape); else return the
            original (thin) results with the suggestion attached.
 
+        '-term' exclusions are honored on BOTH serves: only POSITIVE
+        terms are spell-corrected, the exclusion set rides along verbatim
+        into the requery, and ``suggested_query`` renders it back as
+        '-term' (a misspelled exclusion excludes nothing, which is
+        already its search() behavior — correcting it could newly REMOVE
+        results from a query the user typed, the wrong failure mode for
+        a suggestion feature).
+
         Output: (doc_id, score, matched, suggested_query) — score order,
         suggested_query constant per response (NULL = served as asked).
 
-        Driver-side work is bounded: the trigger check collects at most
-        ``min_results`` rows and the correction collects <= n_terms
-        suggestion rows; both searches are the engine's normal top-k jobs.
+        Driver-side work is bounded: the base page is localCheckpoint-ed
+        (<= k rows), so the trigger check AND the returned frame share ONE
+        search job; the correction collects <= n_terms suggestion rows.
         """
         from . import speller
 
-        terms = self.tokenize_query(query)
+        raw = query.split()
+        terms, exclude = [], []
+        for w in raw:
+            if w.startswith("-") and len(w) > 1:
+                exclude.extend(self.tokenize_query(w[1:]))
+            else:
+                terms.extend(self.tokenize_query(w))
         base = self.search(query, mode=mode, k=k)
         no_sugg = F.lit(None).cast("string")
         if not terms:
             return base.withColumn("suggested_query", no_sugg)
+        # materialize the (<= k row) page once: the thin-result check and
+        # the caller's collect must not each run the search job
+        base = base.localCheckpoint()
         got = base.limit(int(min_results)).collect()
         if len(got) >= int(min_results):
             return base.withColumn("suggested_query", no_sugg)
-        vocab = speller.vocab_from_term_stats(
-            self.catalog.read_table("term_stats")
-        )
+        vocab = speller.vocab_from_term_stats(self._term_stats)
         sugg = speller.suggest(
             self.spark, vocab, terms, max_dist=max_dist, per_term=1
         )
         best = {r["qterm"]: r["suggestion"] for r in sugg.collect()}
         corrected = [best.get(t, t) for t in terms]
+        sugg_str = " ".join(corrected + [f"-{t}" for t in exclude])
         if corrected == terms or not auto_requery:
-            sq = (
-                F.lit(" ".join(corrected))
-                if corrected != terms
-                else no_sugg
-            )
+            sq = F.lit(sugg_str) if corrected != terms else no_sugg
             return base.withColumn("suggested_query", sq)
-        return self.search_terms(corrected, mode=mode, k=k).withColumn(
-            "suggested_query", F.lit(" ".join(corrected))
-        )
+        return self.search_terms(
+            corrected, mode=mode, k=k, exclude_terms=exclude
+        ).withColumn("suggested_query", F.lit(sugg_str))
 
     def search_query(
         self,

@@ -557,8 +557,15 @@ def wand_proximity(
         if kth >= weakest_bm25 + ceiling:
             break
         if m >= max_candidates:
+            # the exact path must honor the same exclusions the WAND
+            # passes applied, or the terminal branch silently returns
+            # docs the caller excluded (the other wand_kwargs are WAND
+            # performance knobs with no meaning on the exact path)
             return engine.search_proximity(
-                query_terms, k=k, prox_weight=prox_weight
+                query_terms,
+                k=k,
+                prox_weight=prox_weight,
+                exclude_terms=wand_kwargs.get("exclude_terms"),
             )
         # Escalation schedule (performance only -- exactness never depends
         # on it): the certificate needs weakest_bm25(m') <= kth - ceiling.
@@ -577,8 +584,12 @@ def wand_proximity(
         else:
             m_needed = max_candidates + 1
         if m_needed > max_candidates:
+            # same exclusion forwarding as the m >= max_candidates branch
             return engine.search_proximity(
-                query_terms, k=k, prox_weight=prox_weight
+                query_terms,
+                k=k,
+                prox_weight=prox_weight,
+                exclude_terms=wand_kwargs.get("exclude_terms"),
             )
         m = min(max(m * 4, int(m_needed * 1.25)), max_candidates)
     return (

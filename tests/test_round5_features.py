@@ -227,3 +227,52 @@ def test_append_after_relocation_preserves_rebase(spark, tmp_path_factory):
     shutil.move(b, c)
     got = sorted(r["v"] for r in Catalog(spark, c).read_table("t").collect())
     assert got == [0, 1, 2, 10, 11, 12, 20, 21, 22]
+
+
+def test_suggestion_requery_preserves_exclusions(eng):
+    # '-term' must stay an exclusion through the auto-requery: the naive
+    # tokenize dropped the sign and REQUIRED the excluded term
+    out = eng.search_with_suggestion("sprak -index", k=5).collect()
+    assert out, "corrected query should still match docs"
+    assert {r["suggested_query"] for r in out} == {"spark -index"}
+    want = eng.search_terms(
+        ["spark"], mode="AND", k=5, exclude_terms=["index"]
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # none of the served docs may contain the excluded term
+    with_excl = {
+        r["doc_id"]
+        for r in eng.search_terms(["index"], mode="OR", k=1000).collect()
+    }
+    assert not ({r["doc_id"] for r in out} & with_excl)
+
+
+def test_wand_proximity_exact_fallback_honors_exclusions(eng):
+    from open_source_search_engine_spark.operators.wand import wand_proximity
+
+    with_excl = {
+        r["doc_id"]
+        for r in eng.search_terms(["spark"], mode="OR", k=10_000).collect()
+    }
+    # overfetch=1 + tiny max_candidates + huge weight forces the exact
+    # fallback branch; the exclusion must survive into it
+    out = wand_proximity(
+        eng,
+        ["the", "to"],
+        k=3,
+        prox_weight=50.0,
+        overfetch=1,
+        max_candidates=4,
+        exclude_terms=["spark"],
+    ).collect()
+    assert out
+    assert not ({r["doc_id"] for r in out} & with_excl)
+    # and the result equals the exact path with the same exclusion
+    want = eng.search_proximity(
+        ["the", "to"], k=3, prox_weight=50.0, exclude_terms=["spark"]
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in out] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
