@@ -188,7 +188,7 @@ def main() -> None:
         # round 5: proximity on the WAND + batch scale paths, serving-
         # integrated did-you-mean, exact-substring dup screen
         "wand_proximity", "batch_proximity", "spell_fallback",
-        "substring_dup",
+        "substring_dup", "bm25_cached",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -149,6 +149,16 @@ def q_bm25_and(spark, sf_dir):
     return _ranked(eng.search_terms(["spark", "join"], "AND", 10), 10)
 
 
+def q_bm25_cached(spark, sf_dir):
+    # serve-time result-page cache (SummaryCache.cpp / Msg40 serp cache):
+    # fill then HIT -- the returned frame is the cached page (LocalTableScan,
+    # no postings scan; plan-gated in tests/test_serp_cache.py), and must
+    # hash-match the uncached oracle exactly
+    eng = engine_for(spark, sf_dir)
+    eng.search_cached(["data", "stream"], "AND", 10)
+    return _ranked(eng.search_cached(["data", "stream"], "AND", 10), 10)
+
+
 def q_bm25_or(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return _ranked(eng.search_terms(["vector", "window", "stream"], "OR", 15), 15)
@@ -1246,6 +1256,7 @@ QUERIES = {
     "spell_fallback": q_spell_fallback,
     "batch_proximity": q_batch_proximity,
     "substring_dup": q_substring_dup,
+    "bm25_cached": q_bm25_cached,
     "wand": q_wand,
     "lang_id": q_lang_id,
     # -- rotation (r4 VERDICT task 3): the driver records only the FIRST
@@ -1899,6 +1910,9 @@ FROM scored ORDER BY rank LIMIT 10
     "uor": _uor_sql(15),
     "bm25_cjk": _cjk_sql(_cjk_char("merge") + _cjk_char("sort"), 10),
     "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),
+    # the cached page must be bit-identical to the uncached serve, so the
+    # oracle is simply the plain BM25 SQL for the same query
+    "bm25_cached": _bm25_sql(["data", "stream"], 10, "AND"),
     "bm25_or": _bm25_sql(["vector", "window", "stream"], 15, "OR"),
     "bm25_not": _bm25_sql(["spark"], 10, "AND", exclude=["vector"]),
     "bm25_stopwords": _bm25_sql(["the", "a"], 10, "AND"),

@@ -187,6 +187,13 @@ class SearchEngine:
         #: _plan_cache.
         self._phrase_hits_cache: dict[str, tuple[DataFrame, int]] = {}
         self._phrase_hits_cache_max = 32
+        #: serve-time result-page LRU (search_cached): (terms, mode, k,
+        #: exclusions) -> (collected rows, schema). Snapshot-bound like
+        #: everything above; each entry is <= k rows.
+        from collections import OrderedDict
+
+        self._serp_cache: OrderedDict = OrderedDict()
+        self._serp_cache_max = 256
         # ranged tombstones from incremental updates (operators/updates.py):
         # ignore a doc's postings from segments with seg_seq <= upto_seq
         if catalog.table_exists("tombstones"):
@@ -407,6 +414,52 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def search_cached(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        exclude_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """Serve-time result-page cache (the reference caches at this layer
+        too: serp/summary caches `SummaryCache.cpp`, `Msg40.cpp`; docid
+        slices `Msg17.cpp`): an identical (terms, mode, k, exclusions)
+        request within one engine's lifetime returns the collected page
+        from a bounded driver-side LRU instead of re-running the top-k job.
+
+        No invalidation logic is needed because a SearchEngine is
+        SNAPSHOT-BOUND: ``_postings``/``_term_stats`` resolve to the
+        catalog snapshot read at construction and updates only become
+        visible through a NEW engine (the pattern every update test uses),
+        so a cached page can never go stale within the instance that
+        cached it — same lifetime contract as ``_plan_cache`` and the
+        phrase-hits cache above.
+
+        Driver memory is bounded: each entry is <= k result rows; the LRU
+        holds at most ``_serp_cache_max`` entries. A hit's DataFrame plans
+        as a LocalTableScan (no postings scan — gated), rows bit-identical
+        to the uncached path.
+        """
+        key = (
+            tuple(query_terms),
+            mode,
+            int(k),
+            tuple(exclude_terms or ()),
+        )
+        hit = self._serp_cache.get(key)
+        if hit is not None:
+            self._serp_cache.move_to_end(key)
+            rows, schema = hit
+            return self.spark.createDataFrame(rows, schema)
+        res = self.search_terms(
+            query_terms, mode=mode, k=k, exclude_terms=exclude_terms
+        )
+        rows = res.collect()
+        self._serp_cache[key] = (rows, res.schema)
+        if len(self._serp_cache) > self._serp_cache_max:
+            self._serp_cache.popitem(last=False)
+        return self.spark.createDataFrame(rows, res.schema)
 
     def _hot_single_term(self, term: str, k: int) -> DataFrame | None:
         """Shortcut-cache path for one term (HighFrequencyTermShortcuts.cpp
