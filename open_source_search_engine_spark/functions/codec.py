@@ -109,6 +109,13 @@ def varbyte_decode_concat(bufs) -> tuple[np.ndarray, np.ndarray]:
     cum_last = np.concatenate(([0], np.cumsum(is_last)))
     bounds = np.concatenate(([0], np.cumsum(blens)))
     counts = cum_last[bounds[1:]] - cum_last[bounds[:-1]]
+    # every non-empty buffer must END on a terminator byte (high bit
+    # clear), exactly like varbyte_decode's truncation check: without it
+    # a corrupted buffer ending mid-value silently merges its dangling
+    # bytes into the NEXT buffer's first value and shifts the counts
+    nonempty_ends = bounds[1:][blens > 0] - 1
+    if nonempty_ends.size and not bool(np.all(is_last[nonempty_ends])):
+        raise ValueError("truncated varbyte stream in buffer batch")
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
     if ends.size:
@@ -130,11 +137,15 @@ def delta_decode_groups(gaps: np.ndarray, group_starts: np.ndarray) -> np.ndarra
     gs = np.asarray(group_starts, dtype=np.int64)
     flat = np.cumsum(g, dtype=_U64)
     base = np.zeros_like(g)
-    nz = gs[gs > 0]
+    # an EMPTY group (start == next start, or the trailing start == size
+    # sentinel varbyte_encode_groups supports) has no elements: its size
+    # below is 0 so it contributes nothing, but its start index must not
+    # be dereferenced (it can equal g.size)
+    nz = gs[(gs > 0) & (gs < g.size)]
     base[nz] = flat[nz - 1]
     # group sizes from starts
     sizes = np.diff(np.append(gs, g.size))
-    return flat - np.repeat(base[gs], sizes)
+    return flat - np.repeat(base[np.minimum(gs, g.size - 1)], sizes)
 
 
 def permute_segments(
@@ -169,7 +180,10 @@ def delta_encode_groups(
     gaps = np.empty_like(v)
     gaps[0] = v[0]
     gaps[1:] = v[1:] - v[:-1]
-    gaps[group_starts] = v[group_starts]
+    # drop empty-group sentinel starts (== v.size): nothing to re-absolute
+    gs = np.asarray(group_starts, dtype=np.int64)
+    gs = gs[gs < v.size]
+    gaps[gs] = v[gs]
     return gaps
 
 
@@ -233,6 +247,12 @@ def encode_positions(tfs: np.ndarray, flat_positions: np.ndarray) -> bytes:
     list; ``tfs`` gives each doc's position count (so no explicit lengths are
     stored -- same trick as posdb packing positions into key bits,
     `Posdb.h:3-27`).
+
+    NOTE: the grouped-delta arithmetic here is the same algorithm as
+    delta_encode_groups/delta_decode_groups (which now also accept empty
+    groups); this copy additionally masks tf=0 docs inline because its
+    starts come from cumsum(tfs). A change to the delta contract must land
+    in BOTH places (gated by the codec property tests either way).
     """
     tfs = tfs.astype(np.int64)
     p = np.ascontiguousarray(flat_positions, dtype=_U64)

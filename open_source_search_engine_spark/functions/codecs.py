@@ -219,11 +219,20 @@ def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
             elif tag == b"strf":
                 _, w, h = struct.unpack_from("<Iii", payload, body)
             elif tag[2:] == b"db":
+                if w is None or h is None:
+                    # frame chunk with no prior strf (hdrl absent or
+                    # ordered after movi): the documented error contract
+                    # is ValueError, not a TypeError from None arithmetic
+                    raise ValueError("AVI frame before stream format")
+                top_down = h < 0
+                ah = abs(h)
                 stride = _bmp_stride(w)
-                rows = np.frombuffer(payload, np.uint8, stride * h, body)
+                rows = np.frombuffer(payload, np.uint8, stride * ah, body)
+                bgr = rows.reshape(ah, stride)[:, : w * 3].reshape(ah, w, 3)
+                # same DIB orientation rule as decode_bmp: negative strf
+                # height = top-down rows
                 frames.append(
-                    rows.reshape(h, stride)[:, : w * 3]
-                    .reshape(h, w, 3)[::-1, :, ::-1]
+                    (bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1])
                     .copy()
                 )
             pos = body + size + (size & 1)

@@ -134,6 +134,11 @@ class _Parser:
 
     def parse_item(self):
         t = self.next()
+        if t is None:
+            # dangling operator at end of input ("foo NOT", "bar +"):
+            # the documented contract is QueryParseError, never a raw
+            # TypeError from subscripting None
+            raise QueryParseError("unexpected end of query")
         if t[0] in ("NEG", "POS"):
             inner = self.parse_item()
             if t[0] == "NEG":
@@ -242,9 +247,15 @@ def uor_groups(ast) -> list[list[str]]:
 
     groups: list[list[str]] = []
 
-    def walk(node):
+    def walk(node, neg: bool = False):
         kind = node[0]
         if kind == "uor":
+            if neg:
+                # a UOR under an odd number of NOTs: its atoms are negated,
+                # so none of them score -- no vote group (descending with
+                # neg=False here used to resurrect excluded terms as a
+                # POSITIVE group)
+                return
             g: list[str] = []
             collect_atoms(node, False, g)
             if g:
@@ -252,9 +263,11 @@ def uor_groups(ast) -> list[list[str]]:
             return
         if kind in ("and", "or"):
             for c in node[1]:
-                walk(c)
-        elif kind in ("not", "force"):
-            walk(node[1])
+                walk(c, neg)
+        elif kind == "not":
+            walk(node[1], not neg)
+        elif kind == "force":
+            walk(node[1], neg)
 
     walk(ast)
     return groups

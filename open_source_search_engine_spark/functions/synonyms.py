@@ -295,11 +295,17 @@ def load_synonyms(source) -> dict[str, list[str]]:
         out: dict[str, list[str]] = {}
         cols = source.columns
         for r in source.collect():
+            if r["term"] is None:
+                continue
             term = str(r["term"]).lower()
             if "alts" in cols:
-                alts = [str(a).lower() for a in (r["alts"] or [])]
+                # skip NULL cells: str(None) would register the literal
+                # word 'none' as a synonym and silently corrupt rankings
+                alts = [
+                    str(a).lower() for a in (r["alts"] or []) if a is not None
+                ]
             else:
-                alts = [str(r["alt"]).lower()]
+                alts = [] if r["alt"] is None else [str(r["alt"]).lower()]
             out.setdefault(term, [])
             for a in alts:
                 if a and a != term and a not in out[term]:

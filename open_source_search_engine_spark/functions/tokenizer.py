@@ -61,6 +61,18 @@ def expand_cjk_token(token: str) -> list[str]:
     return out
 
 
+def _expand_cjk_tokens(tokens) -> list[str]:
+    """Apply the ONE CJK expansion rule to a token list: a token containing
+    a CJK char expands via expand_cjk_token, others pass through. Shared by
+    the scalar tokenize() path and the vectorized build path so the policy
+    cannot diverge (index/query symmetry depends on it)."""
+    return [
+        s
+        for t in tokens
+        for s in (expand_cjk_token(t) if _HAS_CJK_RE.search(t) else (t,))
+    ]
+
+
 def expand_cjk_in_lists(lowered_texts, token_lists):
     """Vectorized-build hook (index_build regex path): apply
     expand_cjk_token to the token lists of the docs whose RAW text contains
@@ -78,13 +90,7 @@ def expand_cjk_in_lists(lowered_texts, token_lists):
     for i, ts in enumerate(token_lists):
         out[i] = ts
     for i in np.flatnonzero(mask):
-        out[i] = [
-            s
-            for t in token_lists[i]
-            for s in (
-                expand_cjk_token(t) if _HAS_CJK_RE.search(t) else (t,)
-            )
-        ]
+        out[i] = _expand_cjk_tokens(token_lists[i])
     return out
 
 
@@ -104,11 +110,7 @@ def tokenize(text: str | None, mode: str = "unicode") -> list[str]:
         return []
     toks = _pattern(mode).findall(text.lower())
     if mode == "unicode" and _HAS_CJK_RE.search(text):
-        toks = [
-            s
-            for t in toks
-            for s in (expand_cjk_token(t) if _HAS_CJK_RE.search(t) else (t,))
-        ]
+        toks = _expand_cjk_tokens(toks)
     return toks
 
 

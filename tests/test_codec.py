@@ -85,3 +85,38 @@ def test_positions_boundary_reset():
 def test_counts_roundtrip():
     tfs = np.array([1, 2, 3, 127, 128, 300], dtype=np.int64)
     assert codec.decode_counts(codec.encode_counts(tfs)).tolist() == tfs.tolist()
+
+
+def test_varbyte_decode_concat_rejects_truncated_buffer():
+    import numpy as np
+    import pytest
+
+    from open_source_search_engine_spark.functions.codec import (
+        varbyte_decode_concat,
+        varbyte_encode,
+    )
+
+    good = varbyte_encode(np.array([300, 7], dtype=np.uint64))
+    vals, counts = varbyte_decode_concat([good, b"", good])
+    assert list(vals) == [300, 7, 300, 7] and list(counts) == [2, 0, 2]
+    # a buffer ending on a continuation byte must raise, exactly like
+    # varbyte_decode -- not silently merge into the next buffer's value
+    with pytest.raises(ValueError):
+        varbyte_decode_concat([b"\x81", b"\x01"])
+
+
+def test_delta_groups_accept_empty_group_sentinels():
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.codec import (
+        delta_decode_groups,
+        delta_encode_groups,
+    )
+
+    v = np.array([5, 7, 9, 20], dtype=np.uint64)
+    # trailing empty group (start == size) and interior empty group
+    for gs in ([0, 2, 4], [0, 2, 2], [0, 4, 4]):
+        starts = np.array(gs, dtype=np.int64)
+        enc = delta_encode_groups(v, starts)
+        dec = delta_decode_groups(enc, starts)
+        assert list(dec) == list(v), (gs, list(dec))

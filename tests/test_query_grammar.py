@@ -427,3 +427,39 @@ def test_sortby_unanswerable_keeps_schema(eng):
     df = eng.search_sorted("zzzmissingterm", "role", k=5)
     assert df.count() == 0
     assert dict(df.dtypes)["role"] == "string"
+
+
+def test_dangling_operator_raises_parse_error():
+    import pytest
+
+    from open_source_search_engine_spark.functions.query_parser import (
+        QueryParseError,
+        parse_query,
+    )
+
+    # a dangling NOT (operator with no operand) must raise the documented
+    # QueryParseError, never a raw TypeError from subscripting None
+    for q in ("foo NOT", "NOT", "a AND NOT"):
+        with pytest.raises(QueryParseError):
+            parse_query(q)
+    # a bare trailing +/- lexes as a word token, not a sign: no crash
+    assert parse_query("bar +") is not None
+    assert parse_query("baz -") is not None
+
+
+def test_uor_under_not_produces_no_vote_group():
+    from open_source_search_engine_spark.functions.query_parser import (
+        parse_query,
+        uor_groups,
+    )
+
+    # a UOR under NOT: its atoms are negated, so no positive vote group
+    assert uor_groups(parse_query("(a b) OR (x NOT (a UOR b))")) == []
+    # double negation restores polarity
+    assert uor_groups(
+        parse_query("x NOT (NOT (a UOR b))")
+    ) == [["a", "b"]]
+    # and an un-negated sibling group still comes through
+    assert uor_groups(
+        parse_query("(c UOR d) OR (x NOT (a UOR b))")
+    ) == [["c", "d"]]

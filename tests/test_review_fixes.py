@@ -630,3 +630,46 @@ class TestCatalogConcurrentAppend:
         assert cat.read_table("t").count() == 1 + 8
         seqs = [s["sequence"] for s in cat.snapshots("t")]
         assert len(seqs) == len(set(seqs))  # no duplicated sequence
+
+
+def test_load_synonyms_skips_null_cells(spark):
+    from open_source_search_engine_spark.functions.synonyms import load_synonyms
+
+    df = spark.createDataFrame(
+        [("fast", None), ("fast", "quick"), (None, "x")],
+        "term string, alt string",
+    )
+    assert load_synonyms(df) == {"fast": ["quick"]}
+    df2 = spark.createDataFrame(
+        [("fast", ["quick", None])],
+        "term string, alts array<string>",
+    )
+    assert load_synonyms(df2) == {"fast": ["quick"]}
+
+
+def test_decode_avi_error_contract_and_topdown():
+    import numpy as np
+    import pytest
+
+    from open_source_search_engine_spark.functions.codecs import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [
+        np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3),
+        np.full((2, 3, 3), 7, dtype=np.uint8),
+    ]
+    payload = encode_avi(frames, fps=5)
+    fps, got = decode_avi(payload)
+    assert fps == 5 and len(got) == 2
+    assert all((a == b).all() for a, b in zip(got, frames))
+    # a frame chunk with no prior strf must raise the documented ValueError
+    import struct
+
+    movi_body = b"00db" + struct.pack("<I", 4) + b"\x00" * 4
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + movi
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_avi(bad)
