@@ -118,7 +118,9 @@ class Catalog:
         os.replace(tmp, self._manifest_path(name))
         return snap
 
-    def _resolve_dirs(self, name: str, snap: dict) -> list[str]:
+    def _resolve_dirs(
+        self, name: str, snap: dict, prefer_current_root: bool = False
+    ) -> list[str]:
         """Remap snapshot data dirs after a warehouse move/copy.
 
         A dir that still exists is used as-is (same-session reads never
@@ -127,10 +129,34 @@ class Catalog:
         segment dirs under ``<warehouse>/segments/...`` -- or (b) for
         pre-relocation manifests without the root, by basename into the
         table dir. If the remap target doesn't exist either, the original
-        path is kept so the reader raises the honest PATH_NOT_FOUND."""
+        path is kept so the reader raises the honest PATH_NOT_FOUND.
+
+        ``prefer_current_root`` (commit-time inheritance only): when the
+        warehouse was COPIED rather than moved, the old dirs still exist, so
+        the exists-as-is rule would inherit old-root paths verbatim into a
+        snapshot stamped with the NEW root -- and once the old copy is
+        deleted those paths can never be rebased (the new snapshot's
+        recorded root no longer matches their prefix). Appends therefore
+        rebase any dir under the parent's recorded root onto the current
+        warehouse whenever the rebased copy exists, making every committed
+        snapshot self-contained under its own root. Data dirs are
+        write-once (LSM contract), so the copy is bit-identical."""
         out = []
         old_root = (snap.get("warehouse") or "").rstrip("/")
+        cur_root = self.warehouse.rstrip("/")
         for d in snap["data_dirs"]:
+            if (
+                prefer_current_root
+                and old_root
+                and old_root != cur_root
+                and d.startswith(old_root + "/")
+            ):
+                cand = os.path.join(
+                    self.warehouse, os.path.relpath(d, old_root)
+                )
+                if os.path.exists(cand):
+                    out.append(cand)
+                    continue
             if os.path.exists(d):
                 out.append(d)
                 continue
@@ -202,7 +228,10 @@ class Catalog:
                 # append after a warehouse move would otherwise copy the
                 # stale old-root paths into a snapshot stamped with the NEW
                 # root, permanently losing the rebase information
-                dirs = self._resolve_dirs(name, parent) + dirs
+                dirs = (
+                    self._resolve_dirs(name, parent, prefer_current_root=True)
+                    + dirs
+                )
             self._commit(name, dirs, parent)
 
     def append_table(self, df: DataFrame, name: str) -> None:
@@ -226,7 +255,10 @@ class Catalog:
             dirs = list(data_dirs)
             if mode == "append" and parent:
                 # same rebase-before-inherit as write_table's append
-                dirs = self._resolve_dirs(name, parent) + dirs
+                dirs = (
+                    self._resolve_dirs(name, parent, prefer_current_root=True)
+                    + dirs
+                )
             self._commit(name, dirs, parent)
 
     def snapshot_id(self, name: str) -> str | None:

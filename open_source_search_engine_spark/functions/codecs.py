@@ -203,9 +203,10 @@ def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
         raise ValueError("not an AVI payload")
 
     fps, w, h, frames = None, None, None, []
+    last_stream = None  # fourcc of the preceding strh in this strl
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps, w, h
+        nonlocal fps, w, h, last_stream
         while pos + 8 <= end:
             tag = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -214,9 +215,13 @@ def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
                 walk(body + 4, body + size)
             elif tag == b"strh":
                 s = _STRH.unpack_from(payload, body)
+                last_stream = s[0]
                 if s[0] == b"vids":
                     fps = s[7] // max(1, s[6])  # rate / scale
-            elif tag == b"strf":
+            elif tag == b"strf" and last_stream == b"vids":
+                # gate on the VIDEO stream's strl: a later audio strl's
+                # strf is a WAVEFORMATEX whose bytes would otherwise be
+                # misread as <Iii> and clobber w/h
                 _, w, h = struct.unpack_from("<Iii", payload, body)
             elif tag[2:] == b"db":
                 if w is None or h is None:

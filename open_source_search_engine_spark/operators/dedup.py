@@ -694,7 +694,11 @@ def substring_pairs(
         .agg(F.max("run_tokens").alias("longest_run"))
         .filter(F.col("longest_run") >= min_run)
     )
-    if eager and cached is not None:
+    if eager:
+        # checkpoint whenever eager was asked for -- uncapped runs have no
+        # internal cache but the caller's contract (materialize NOW, input
+        # may be mutated/unpersisted after) is the same
         out = out.localCheckpoint()
-        cached.unpersist()
+        if cached is not None:
+            cached.unpersist()
     return out

@@ -1490,17 +1490,24 @@ class SearchEngine:
             )
         return out.orderBy("query_id", "rank")
 
-    def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
-        """Parse a query string: bare terms, '-term' exclusions
-        (`Query.h:191-193` sign parsing). For the FULL grammar (quotes,
-        parens, OR, field:value) use search_query."""
-        raw = query.split()
+    def _parse_signs(self, query: str) -> tuple[list[str], list[str]]:
+        """'-term' sign parsing shared by search / search_with_suggestion
+        (`Query.h:191-193`): returns (include_terms, exclude_terms), both
+        tokenized. ONE copy so the simple-grammar split can never diverge
+        between the serve path and the suggestion path."""
         include, exclude = [], []
-        for w in raw:
+        for w in query.split():
             if w.startswith("-") and len(w) > 1:
                 exclude.extend(self.tokenize_query(w[1:]))
             else:
                 include.extend(self.tokenize_query(w))
+        return include, exclude
+
+    def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
+        """Parse a query string: bare terms, '-term' exclusions
+        (`Query.h:191-193` sign parsing). For the FULL grammar (quotes,
+        parens, OR, field:value) use search_query."""
+        include, exclude = self._parse_signs(query)
         return self.search_terms(include, mode=mode, k=k, exclude_terms=exclude)
 
     def search_with_suggestion(
@@ -1549,14 +1556,8 @@ class SearchEngine:
         """
         from . import speller
 
-        raw = query.split()
-        terms, exclude = [], []
-        for w in raw:
-            if w.startswith("-") and len(w) > 1:
-                exclude.extend(self.tokenize_query(w[1:]))
-            else:
-                terms.extend(self.tokenize_query(w))
-        base = self.search(query, mode=mode, k=k)
+        terms, exclude = self._parse_signs(query)
+        base = self.search_terms(terms, mode=mode, k=k, exclude_terms=exclude)
         no_sugg = F.lit(None).cast("string")
         if not terms:
             return base.withColumn("suggested_query", no_sugg)

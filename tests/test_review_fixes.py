@@ -673,3 +673,46 @@ def test_decode_avi_error_contract_and_topdown():
     bad = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError):
         decode_avi(bad)
+
+
+def test_decode_avi_ignores_audio_stream_strf():
+    # an audio strl AFTER the video strl carries a WAVEFORMATEX strf; the
+    # decoder used to parse those bytes as <Iii> and clobber the video
+    # w/h, corrupting (or crashing) every subsequent frame decode
+    import struct
+
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.codecs import (
+        _STRH,
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [
+        np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3),
+        np.full((2, 3, 3), 7, dtype=np.uint8),
+    ]
+    payload = encode_avi(frames, fps=5)
+
+    # audio strl: strh fccType='auds' + strf = 16-byte WAVEFORMATEX
+    strh = b"strh" + struct.pack("<I", 56) + _STRH.pack(
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, 8000, 0, 16000, 0, 0xFFFFFFFF, 2, 0, 0, 0, 0,
+    )
+    wf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    strf = b"strf" + struct.pack("<I", len(wf)) + wf
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl"
+        + strh + strf
+    )
+    # splice the audio strl in right before the movi LIST ("movi" fourcc
+    # sits 8 bytes after its LIST tag), then repair the RIFF size
+    movi_at = payload.index(b"movi") - 8
+    spliced = payload[:movi_at] + strl + payload[movi_at:]
+    spliced = (
+        spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    )
+    fps, got = decode_avi(spliced)
+    assert fps == 5 and len(got) == 2
+    assert all((a == b).all() for a, b in zip(got, frames))

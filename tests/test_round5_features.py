@@ -276,3 +276,27 @@ def test_wand_proximity_exact_fallback_honors_exclusions(eng):
     assert [(r["doc_id"], round(r["score"], 9)) for r in out] == [
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_append_after_copy_rebases_onto_new_root(spark, tmp_path_factory):
+    # COPY variant of the relocation gate: the original warehouse is still
+    # alive when the copy appends, so the exists-as-is rule used to inherit
+    # the OLD root's absolute dirs into a snapshot stamped with the NEW
+    # root — once the original was deleted the data became unreachable
+    # (the new snapshot's recorded root no longer prefixed those dirs).
+    # Commit-time resolution now rebases onto the current root whenever
+    # the copied dir exists.
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("copy-append"))
+    a, b = f"{root}/a", f"{root}/b"
+    cat_a = Catalog(spark, a)
+    cat_a.write_table(spark.range(0, 3).toDF("v"), "t")
+    shutil.copytree(a, b)
+    cat_b = Catalog(spark, b)
+    cat_b.append_table(spark.range(10, 13).toDF("v"), "t")  # a still alive
+    m = cat_b._read_manifest("t")
+    assert all(d.startswith(b + "/") for d in m["data_dirs"]), m["data_dirs"]
+    shutil.rmtree(a)  # original torn down (the bench-cache lifecycle)
+    got = sorted(r["v"] for r in Catalog(spark, b).read_table("t").collect())
+    assert got == [0, 1, 2, 10, 11, 12]

@@ -152,3 +152,17 @@ def test_occurrence_cap_bounds_intra_doc_repetition(spark):
     got = substring_pairs(docs2, n=4, min_run=20, max_gram_df=20).collect()
     assert [(r["doc_id_a"], r["doc_id_b"]) for r in got] == [(0, 1)]
     assert got[0]["longest_run"] >= 30
+
+
+def test_eager_uncapped_is_materialized(spark):
+    # eager=True must checkpoint even with max_gram_df=None (uncapped):
+    # the contract is "materialize NOW, the input may be mutated after",
+    # and the old guard (eager AND cached) silently returned a lazy frame
+    docs = spark.createDataFrame(_mk_corpus(), ["doc_id", "text"])
+    out = substring_pairs(docs, min_run=10, max_gram_df=None, eager=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, "eager uncapped result must not be lazy"
+    lazy = substring_pairs(docs, min_run=10, max_gram_df=None, eager=False)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
