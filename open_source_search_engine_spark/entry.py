@@ -526,6 +526,41 @@ def q_wand_proximity(spark, sf_dir):
     )
 
 
+_LANG_BOOST = ({"en": 1.0}, 0.4)
+_SOURCE_BOOST = ({"src0": 1.4, "src2": 0.7}, 1.0)
+
+
+def q_bm25_lang_boost(spark, sf_dir):
+    # r5: the reference's same/unknown-language boost applied at the same
+    # pipeline point (PosdbTable.cpp:4112-4122 multiplies the FINAL doc
+    # score after term scoring): docs in the query language keep full
+    # weight, everything else is damped to 0.4 — a soft preference, unlike
+    # lang_filter_bm25's hard restriction.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_boosted(
+            ["spark", "data"], "AND", 10,
+            field_weights={"lang": _LANG_BOOST},
+        ),
+        10,
+    )
+
+
+def q_bm25_field_boost(spark, sf_dir):
+    # r5: siterank / hashgroup-weight shape (PosdbTable.cpp:4095-4102
+    # siteRank multiplier; field weights are config parms Parms.cpp:
+    # 3644-3790): trusted sources up-weighted, spammy ones damped,
+    # unlisted neutral.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_boosted(
+            ["merge", "sort"], "AND", 10,
+            field_weights={"source": _SOURCE_BOOST},
+        ),
+        10,
+    )
+
+
 _BATCH_PROX = [
     ("pa", ["merge", "sort"], "AND", 5),
     ("pb", ["merge", "sort", "data"], "AND", 5),
@@ -1252,6 +1287,8 @@ QUERIES = {
     # -- round-5 additions + r5-CHANGED code: lead so CORRECTNESS_r05
     #    covers them (wand gained the literal-map/lazy fast path, lang_id
     #    gained the confidence-margin column this round) -----------------
+    "bm25_lang_boost": q_bm25_lang_boost,
+    "bm25_field_boost": q_bm25_field_boost,
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
     "batch_proximity": q_batch_proximity,
@@ -1409,6 +1446,35 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
 FROM scored
 ORDER BY rank
 LIMIT {k}
+"""
+
+
+def _boost_sql(
+    terms: list[str],
+    k: int,
+    mode: str,
+    col: str,
+    wmap: dict[str, float],
+    default: float,
+) -> str:
+    """Oracle for search_boosted's field-weight path: plain BM25 CTEs,
+    then the per-doc multiplier as a CASE over the documents column —
+    the same doc-level application point as the Spark side (multiply the
+    summed score, THEN rank). NULL column values take the default, like
+    the when-chain's otherwise()."""
+    whens = " ".join(
+        f"WHEN '{v}' THEN {float(wmap[v])!r}" for v in sorted(wmap)
+    )
+    case = f"CASE d.{col} {whens} ELSE {float(default)!r} END"
+    return f"""
+WITH {_bm25_ctes(terms, mode)},
+boosted AS (
+  SELECT s.doc_id, s.s * {case} AS s, s.matched
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM boosted ORDER BY rank LIMIT {k}
 """
 
 
@@ -1909,6 +1975,12 @@ FROM scored ORDER BY rank LIMIT 10
     "bm25_dedup_results": _dedup_results_sql(["hash", "filter"], 20, 40),
     "uor": _uor_sql(15),
     "bm25_cjk": _cjk_sql(_cjk_char("merge") + _cjk_char("sort"), 10),
+    "bm25_lang_boost": _boost_sql(
+        ["spark", "data"], 10, "AND", "lang", *_LANG_BOOST
+    ),
+    "bm25_field_boost": _boost_sql(
+        ["merge", "sort"], 10, "AND", "source", *_SOURCE_BOOST
+    ),
     "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),
     # the cached page must be bit-identical to the uncached serve, so the
     # oracle is simply the plain BM25 SQL for the same query

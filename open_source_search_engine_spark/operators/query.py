@@ -501,6 +501,95 @@ class SearchEngine:
             .limit(k)
         )
 
+    def search_boosted(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        field_weights: dict[str, tuple[dict[str, float], float]] | None = None,
+        recency: tuple[str, float, float] | None = None,
+        exclude_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """Doc-level score multipliers from document attributes — the
+        reference's post-term-scoring boosts applied at the same point in
+        the pipeline: after per-term BM25 contributions are summed per doc,
+        before top-k selection (`PosdbTable.cpp:4095-4122` multiplies the
+        final doc score by siteRank and same/unknown-language boosts;
+        hashgroup/field weights are config parms `Parms.cpp:3644-3790`,
+        `ScoringWeights.cpp:19-53`; page temperature is another doc-level
+        multiplier).
+
+        ``field_weights`` maps a documents-table column to
+        ``({value: weight}, default_weight)`` — e.g.
+        ``{"lang": ({"en": 1.0}, 0.4)}`` is the same-language boost
+        (query language matches → full weight, everything else damped),
+        ``{"source": ({"src0": 1.4}, 1.0)}`` is the siterank/hashgroup
+        shape (trusted sources up-weighted, unlisted sources neutral).
+
+        ``recency`` is ``(ts_col, now_epoch_seconds, halflife_days)`` —
+        the page-temperature analog for transcript corpora: score ×
+        0.5^(age_days/halflife). Age clamps at 0 so future-dated rows are
+        never boosted above 1. ``now`` is an explicit parameter (not the
+        wall clock) so results are deterministic and testable.
+
+        Plan shape: candidate set (score_terms, no top-k yet) hash-joined
+        to the doc store pruned to doc_id + the boost columns only, the
+        multiplier a pure JVM CASE/pow projection (whole-stage codegen,
+        no Python), then orderBy+limit → TakeOrderedAndProject. The join
+        is the search_sorted/facets shape (J4 family): at 100 TB it is a
+        shuffle hash join on doc_id of candidates × pruned doc columns —
+        never the full doc rows, never a global sort.
+
+        Returns (doc_id, score, matched) ordered score desc / doc_id asc,
+        limited to k. With no boosts configured this is exactly
+        search_terms (identity gate in tests/test_boosted_search.py).
+        """
+        field_weights = field_weights or {}
+        if not field_weights and recency is None:
+            return self.search_terms(
+                query_terms, mode=mode, k=k, exclude_terms=exclude_terms
+            )
+        docs = self.catalog.read_table("documents")
+        need = sorted(field_weights)
+        if recency is not None:
+            need.append(recency[0])
+        for col in need:
+            if col not in docs.columns:
+                raise ValueError(
+                    f"unknown boost column '{col}' -- boostable columns "
+                    f"are the documents columns {sorted(docs.columns)}"
+                )
+        scored = self.score_terms(query_terms, mode, exclude_terms)
+        joined = scored.join(docs.select("doc_id", *need), "doc_id")
+        mult = F.lit(1.0)
+        for col in sorted(field_weights):
+            wmap, default = field_weights[col]
+            case = F.lit(float(default))
+            # reversed when-chain so the FIRST sorted key is the OUTERMOST
+            # condition: evaluation order is deterministic regardless of
+            # dict insertion order
+            for val in sorted(wmap, reverse=True):
+                case = F.when(
+                    F.col(col) == F.lit(val), F.lit(float(wmap[val]))
+                ).otherwise(case)
+            mult = mult * case
+        if recency is not None:
+            ts_col, now_epoch, halflife_days = recency
+            age_days = F.greatest(
+                (F.lit(float(now_epoch)) - F.unix_timestamp(F.col(ts_col)))
+                / F.lit(86400.0),
+                F.lit(0.0),
+            )
+            mult = mult * F.pow(
+                F.lit(0.5), age_days / F.lit(float(halflife_days))
+            )
+        return (
+            joined.withColumn("score", F.col("score") * mult)
+            .select("doc_id", "score", "matched")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_proximity(
         self,
         query_terms: list[str],
