@@ -24,7 +24,7 @@ from .functions.bm25 import B_DEFAULT, K1_DEFAULT
 from .operators import curation, dedup, similarity, speller, text_analysis
 from .operators.index_build import IndexConfig, build_index
 from .operators.query import SearchEngine
-from .operators.wand import wand_proximity, wand_search
+from .operators.wand import wand_boosted, wand_proximity, wand_search
 
 # --------------------------------------------------------------------------
 # engine cache: build the index once per (process, sf_dir)
@@ -555,6 +555,21 @@ def q_bm25_field_boost(spark, sf_dir):
     return _ranked(
         eng.search_boosted(
             ["merge", "sort"], "AND", 10,
+            field_weights={"source": _SOURCE_BOOST},
+        ),
+        10,
+    )
+
+
+def q_wand_field_boost(spark, sf_dir):
+    # r5: the SAME source boost as bm25_field_boost but on the WAND scale
+    # path (over-fetch by pure BM25, rescore only the candidates against
+    # the pruned doc columns, max-multiplier exactness certificate) — the
+    # shared oracle proves the two paths identical.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        wand_boosted(
+            eng, ["merge", "sort"], "AND", 10,
             field_weights={"source": _SOURCE_BOOST},
         ),
         10,
@@ -1289,6 +1304,7 @@ QUERIES = {
     #    gained the confidence-margin column this round) -----------------
     "bm25_lang_boost": q_bm25_lang_boost,
     "bm25_field_boost": q_bm25_field_boost,
+    "wand_field_boost": q_wand_field_boost,
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
     "batch_proximity": q_batch_proximity,
@@ -1979,6 +1995,11 @@ FROM scored ORDER BY rank LIMIT 10
         ["spark", "data"], 10, "AND", "lang", *_LANG_BOOST
     ),
     "bm25_field_boost": _boost_sql(
+        ["merge", "sort"], 10, "AND", "source", *_SOURCE_BOOST
+    ),
+    # the WAND-path boost must be bit-identical to the exact path, so its
+    # oracle is the same doc-level CASE-multiplier SQL
+    "wand_field_boost": _boost_sql(
         ["merge", "sort"], 10, "AND", "source", *_SOURCE_BOOST
     ),
     "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),

@@ -150,6 +150,48 @@ def _pair_min_dist_bonus_slots_udf():
     return bonus
 
 
+def boost_multiplier(
+    field_weights: dict[str, tuple[dict[str, float], float]],
+    recency: tuple[str, float, float] | None,
+):
+    """Build the doc-level score multiplier shared by search_boosted (exact
+    path) and wand_boosted (scale path): a pure JVM CASE/pow projection.
+
+    Returns ``(mult_column, needed_doc_columns, max_multiplier)``.
+    ``max_multiplier`` is the provable upper bound on the multiplier any doc
+    can receive — per field column the max over the weight map plus the
+    default, multiplied across columns; the recency factor is
+    0.5^(max(age,0)/halflife) <= 1.0 (age clamps at 0), so it never raises
+    the bound. wand_boosted's exactness certificate rests on this bound."""
+    mult = F.lit(1.0)
+    max_mult = 1.0
+    need = sorted(field_weights)
+    for col in need:
+        wmap, default = field_weights[col]
+        case = F.lit(float(default))
+        # reversed when-chain so the FIRST sorted key is the OUTERMOST
+        # condition: evaluation order is deterministic regardless of
+        # dict insertion order
+        for val in sorted(wmap, reverse=True):
+            case = F.when(
+                F.col(col) == F.lit(val), F.lit(float(wmap[val]))
+            ).otherwise(case)
+        mult = mult * case
+        max_mult *= max([float(default)] + [float(w) for w in wmap.values()])
+    if recency is not None:
+        ts_col, now_epoch, halflife_days = recency
+        need = need + [ts_col]
+        age_days = F.greatest(
+            (F.lit(float(now_epoch)) - F.unix_timestamp(F.col(ts_col)))
+            / F.lit(86400.0),
+            F.lit(0.0),
+        )
+        mult = mult * F.pow(
+            F.lit(0.5), age_days / F.lit(float(halflife_days))
+        )
+    return mult, need, max_mult
+
+
 class SearchEngine:
     """Serves BM25 queries against a built index (catalog tables)."""
 
@@ -550,9 +592,7 @@ class SearchEngine:
                 query_terms, mode=mode, k=k, exclude_terms=exclude_terms
             )
         docs = self.catalog.read_table("documents")
-        need = sorted(field_weights)
-        if recency is not None:
-            need.append(recency[0])
+        mult, need, _ = boost_multiplier(field_weights, recency)
         for col in need:
             if col not in docs.columns:
                 raise ValueError(
@@ -561,28 +601,6 @@ class SearchEngine:
                 )
         scored = self.score_terms(query_terms, mode, exclude_terms)
         joined = scored.join(docs.select("doc_id", *need), "doc_id")
-        mult = F.lit(1.0)
-        for col in sorted(field_weights):
-            wmap, default = field_weights[col]
-            case = F.lit(float(default))
-            # reversed when-chain so the FIRST sorted key is the OUTERMOST
-            # condition: evaluation order is deterministic regardless of
-            # dict insertion order
-            for val in sorted(wmap, reverse=True):
-                case = F.when(
-                    F.col(col) == F.lit(val), F.lit(float(wmap[val]))
-                ).otherwise(case)
-            mult = mult * case
-        if recency is not None:
-            ts_col, now_epoch, halflife_days = recency
-            age_days = F.greatest(
-                (F.lit(float(now_epoch)) - F.unix_timestamp(F.col(ts_col)))
-                / F.lit(86400.0),
-                F.lit(0.0),
-            )
-            mult = mult * F.pow(
-                F.lit(0.5), age_days / F.lit(float(halflife_days))
-            )
         return (
             joined.withColumn("score", F.col("score") * mult)
             .select("doc_id", "score", "matched")

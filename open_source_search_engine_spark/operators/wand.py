@@ -73,6 +73,7 @@ from pyspark.sql import types as T
 
 from ..functions import codec
 from ..functions.hashing import py_block_ids
+from .query import boost_multiplier
 
 SCORED_SCHEMA = T.StructType(
     [
@@ -591,6 +592,134 @@ def wand_proximity(
                 prox_weight=prox_weight,
                 exclude_terms=wand_kwargs.get("exclude_terms"),
             )
+        m = min(max(m * 4, int(m_needed * 1.25)), max_candidates)
+    return (
+        spark.createDataFrame(rows, top.schema) if rows else empty
+    )
+
+
+def wand_boosted(
+    engine,
+    query_terms: list[str],
+    mode: str = "AND",
+    k: int = 10,
+    field_weights: dict[str, tuple[dict[str, float], float]] | None = None,
+    recency: tuple[str, float, float] | None = None,
+    overfetch: int = 4,
+    max_candidates: int = 10_000,
+    **wand_kwargs,
+) -> DataFrame:
+    """Doc-level score boosts on the WAND scale path (r5; companion to
+    wand_proximity, same over-fetch/certificate shape).
+
+    The exact path (SearchEngine.search_boosted) joins the FULL candidate
+    set to the doc store before top-k — at 10^12-turn scale a stopword-
+    anchored query hash-joins billions of rows just to multiply most of
+    them by 1.0 and throw them away. The scale shape:
+
+      1. over-fetch m = overfetch*k candidates by pure BM25 via block-max
+         WAND (bounded, pruned work);
+      2. join ONLY those m docs to the doc store pruned to the boost
+         columns (broadcast of m rows) and apply the shared multiplier
+         (query.boost_multiplier — identical expression to the exact path);
+      3. re-rank, return top k.
+
+    EXACT, not approximate: boost_multiplier also returns the provable max
+    multiplier M (per-column max over weight map + default, recency <= 1
+    because age clamps at 0). WAND returns the true BM25 top-m, so any doc
+    OUTSIDE the candidate set has BM25 <= the weakest candidate's, hence
+    boosted score <= weakest_bm25 * M. When the kth boosted score STRICTLY
+    clears that ceiling, the top k is provably final (strict: an outside
+    doc tied on BM25 with the weakest candidate and granted exactly M must
+    not leapfrog on the doc_id tie-break). Otherwise m escalates on the
+    observed BM25 tail slope (certificate needs weakest_bm25(m') < kth/M),
+    falling back to the exact path at max_candidates — same terminal
+    behavior as wand_proximity. BM25 scores are nonnegative (Lucene-style
+    idf, ln(x+1) > 0 — functions/bm25.py), so multiplying the certificate
+    through by M is sound.
+
+    Under AND the match set is bounded by the rarest term's df (already in
+    the plan): when affordable, fetch the whole match set once and the
+    single rescore is trivially exact (exhaustive fast path). No boosts
+    configured -> wand_search verbatim. Non-positive M (every weight and
+    the default <= 0) collapses all boosted scores; the certificate cannot
+    discriminate, so the exact path takes over immediately."""
+    field_weights = field_weights or {}
+    if not field_weights and recency is None:
+        return wand_search(engine, query_terms, mode, k, **wand_kwargs)
+    spark = engine.spark
+    empty = spark.createDataFrame([], "doc_id long, score double, matched int")
+    plan = engine.plan_terms(query_terms)
+    n_q = len(set(query_terms))
+    if plan.empty or (mode == "AND" and len(plan) < n_q):
+        return empty
+    docs = engine.catalog.read_table("documents")
+    mult, need, max_mult = boost_multiplier(field_weights, recency)
+    for col in need:
+        if col not in docs.columns:
+            raise ValueError(
+                f"unknown boost column '{col}' -- boostable columns "
+                f"are the documents columns {sorted(docs.columns)}"
+            )
+
+    def exact():
+        return engine.search_boosted(
+            query_terms,
+            mode=mode,
+            k=k,
+            field_weights=field_weights,
+            recency=recency,
+            exclude_terms=wand_kwargs.get("exclude_terms"),
+        )
+
+    if max_mult <= 0.0:
+        return exact()
+    m = max(k * overfetch, k + 1)
+    if mode == "AND":
+        rarest_df = int(plan["df"].min())
+        if rarest_df < max_candidates:
+            m = max(m, rarest_df + 1)
+    pruned_docs = docs.select("doc_id", *need)
+    while True:
+        cands = wand_search(engine, query_terms, mode, m, **wand_kwargs)
+        cand_rows = cands.collect()  # <= m rows (wand's own contract)
+        if not cand_rows:
+            return empty
+        exhausted = len(cand_rows) < m
+        cand_df = spark.createDataFrame(cand_rows, cands.schema)
+        rescored = (
+            F.broadcast(cand_df)
+            .join(pruned_docs, "doc_id")
+            .select(
+                "doc_id",
+                (F.col("score") * mult).alias("score"),
+                "matched",
+            )
+        )
+        top = rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        rows = top.collect()
+        if exhausted:
+            break
+        kth = rows[k - 1]["score"] if len(rows) >= k else float("-inf")
+        weakest_bm25 = min(r["score"] for r in cand_rows)
+        if kth > weakest_bm25 * max_mult:
+            break
+        if m >= max_candidates:
+            return exact()
+        # escalation schedule (performance only, like wand_proximity):
+        # extrapolate the observed BM25 tail slope to the rank where
+        # weakest_bm25 * max_mult drops below the kth boosted score; a
+        # flat tail (ties) cannot get there by definition
+        s_star = kth / max_mult
+        scores = [r["score"] for r in cand_rows]  # BM25 desc (wand order)
+        tail = scores[len(scores) // 2 :]
+        slope = (tail[0] - tail[-1]) / max(1, len(tail) - 1)
+        if slope > 0:
+            m_needed = m + int((scores[-1] - s_star) / slope) + 1
+        else:
+            m_needed = max_candidates + 1
+        if m_needed > max_candidates:
+            return exact()
         m = min(max(m * 4, int(m_needed * 1.25)), max_candidates)
     return (
         spark.createDataFrame(rows, top.schema) if rows else empty
