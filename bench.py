@@ -189,6 +189,9 @@ def main() -> None:
         # integrated did-you-mean, exact-substring dup screen
         "wand_proximity", "batch_proximity", "spell_fallback",
         "substring_dup", "bm25_cached",
+        # round 5 (late): doc-level score boosts on the exact and WAND
+        # serving paths (language damp / source weights)
+        "bm25_lang_boost", "bm25_field_boost", "wand_field_boost",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
