@@ -192,6 +192,7 @@ def main() -> None:
         # round 5 (late): doc-level score boosts on the exact and WAND
         # serving paths (language damp / source weights)
         "bm25_lang_boost", "bm25_field_boost", "wand_field_boost",
+        "batch_boosted",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

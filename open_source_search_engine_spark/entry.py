@@ -583,6 +583,36 @@ _BATCH_PROX = [
     ("pd", ["vector", "window"], "OR", 5),
 ]
 
+_BATCH_BOOST = [
+    ("ba", ["merge", "sort"], "AND", 5),
+    ("bb", ["spark", "data"], "AND", 5),
+    ("bc", ["merge"], "AND", 5),  # single-term: boost still reorders
+    ("bd", ["vector", "window"], "OR", 5),
+]
+
+
+def q_batch_boosted(spark, sf_dir):
+    # r5: doc-level boosts on the BATCH serving path — ONE over-fetch job +
+    # ONE broadcast join of the candidate set to the pruned boost columns,
+    # per-query max-multiplier exactness certificate with exact fallback
+    # branches. Per query rank-identical to search_boosted — the oracle is
+    # the per-query boost SQL tagged and UNION ALL'd.
+    eng = engine_for(spark, sf_dir)
+    out = eng.search_many_boosted(
+        [
+            {"query_id": qid, "terms": terms, "mode": mode, "k": k}
+            for qid, terms, mode, k in _BATCH_BOOST
+        ],
+        field_weights={"source": _SOURCE_BOOST},
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("matched").cast("long").alias("matched"),
+    ).orderBy("query_id", "rank")
+
 
 def q_batch_proximity(spark, sf_dir):
     # r5: proximity on the BATCH serving path (the reference rescores every
@@ -1305,6 +1335,7 @@ QUERIES = {
     "bm25_lang_boost": q_bm25_lang_boost,
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
+    "batch_boosted": q_batch_boosted,
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
     "batch_proximity": q_batch_proximity,
@@ -1549,6 +1580,23 @@ def _batch_proximity_sql(
     per-query exact-path results regardless of certificate routing)."""
     parts = [
         f"SELECT '{qid}' AS query_id, t.* FROM ({_prox_sql(terms, k, mode)}) t"
+        for qid, terms, mode, k in batch
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY query_id, rank"
+
+
+def _batch_boost_sql(
+    batch: list[tuple[str, list[str], str, int]],
+    col: str,
+    wmap: dict[str, float],
+    default: float,
+) -> str:
+    """Oracle for search_many_boosted: per-query boost oracle tagged with
+    its query_id, UNION ALL'd (the batch path must reproduce the per-query
+    exact-path results regardless of certificate routing)."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, t.* FROM "
+        f"({_boost_sql(terms, k, mode, col, wmap, default)}) t"
         for qid, terms, mode, k in batch
     ]
     return "\nUNION ALL\n".join(parts) + "\nORDER BY query_id, rank"
@@ -2002,6 +2050,7 @@ FROM scored ORDER BY rank LIMIT 10
     "wand_field_boost": _boost_sql(
         ["merge", "sort"], 10, "AND", "source", *_SOURCE_BOOST
     ),
+    "batch_boosted": _batch_boost_sql(_BATCH_BOOST, "source", *_SOURCE_BOOST),
     "bm25_and": _bm25_sql(["spark", "join"], 10, "AND"),
     # the cached page must be bit-identical to the uncached serve, so the
     # oracle is simply the plain BM25 SQL for the same query

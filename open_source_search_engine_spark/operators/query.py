@@ -1597,6 +1597,177 @@ class SearchEngine:
             )
         return out.orderBy("query_id", "rank")
 
+    def search_many_boosted(
+        self,
+        queries: list[dict],
+        field_weights: dict[str, tuple[dict[str, float], float]] | None = None,
+        recency: tuple[str, float, float] | None = None,
+        default_k: int = 10,
+        overfetch: int = 4,
+        shared_scan_max_rows: int = 3_000_000,
+        exhaustive_df_cutoff: int | None = None,
+    ) -> DataFrame:
+        """Batch serving WITH doc-level score boosts (r5) — completes the
+        boost story across all three serving paths (exact:
+        search_boosted; WAND scale: wand.wand_boosted; batch: here). Per
+        query the result contract is search_boosted(terms, mode, k, ...)
+        tagged with (query_id, rank); the boost config is shared across
+        the batch (one serving deployment = one scoring config, like
+        prox_weight in search_many_proximity — the reference's boosts are
+        likewise global parms, `Parms.cpp:3644-3790`).
+
+          1. ONE search_many job over-fetches m = overfetch*k BM25
+             candidates per query (unlike proximity, single-term queries
+             over-fetch too: a doc-attribute multiplier can reorder ANY
+             candidate list);
+          2. ONE job joins the broadcast candidate set to the doc store
+             pruned to the boost columns and applies the shared multiplier
+             (query.boost_multiplier — the exact path's expression);
+          3. per query, the wand_boosted exactness certificate: any doc
+             outside the candidate set has boosted score <= its query's
+             weakest candidate BM25 × the provable max multiplier, so a
+             kth rescored score STRICTLY above that — or an exhausted
+             candidate set — is provably final. Queries failing the
+             certificate fall back to their exact search_boosted plan as
+             union branches, so the result is EXACT for every query
+             regardless of routing.
+
+        Driver materialization is bounded by sum_q(m_q) rows (the same
+        class of bound as the batch's own output; exhaustive_df_cutoff
+        defaults to a fixed 200k-row collect budget split across the
+        batch). No boosts configured -> search_many verbatim; a
+        non-positive max multiplier collapses every boosted score, so the
+        certificate cannot discriminate and every query takes its exact
+        branch."""
+        field_weights = field_weights or {}
+        if not field_weights and recency is None:
+            return self.search_many(
+                queries,
+                default_k=default_k,
+                shared_scan_max_rows=shared_scan_max_rows,
+            )
+        from pyspark.sql import Window
+
+        out_schema = (
+            "query_id string, rank long, doc_id long, score double, "
+            "matched int"
+        )
+        docs = self.catalog.read_table("documents")
+        mult, need, max_mult = boost_multiplier(field_weights, recency)
+        for col in need:
+            if col not in docs.columns:
+                raise ValueError(
+                    f"unknown boost column '{col}' -- boostable columns "
+                    f"are the documents columns {sorted(docs.columns)}"
+                )
+        all_terms = sorted({t for q in queries for t in q["terms"]})
+        plan = self.plan_terms(all_terms)
+        df_of = dict(zip(plan["term"], plan["df"]))
+        if exhaustive_df_cutoff is None:
+            exhaustive_df_cutoff = max(2_000, 200_000 // max(1, len(queries)))
+        meta: dict[str, tuple[list[str], str, int, int]] = {}
+        over_batch = []
+        for q in queries:
+            qid = str(q["query_id"])
+            mode = q.get("mode", "AND")
+            k = int(q.get("k", default_k))
+            terms = sorted(set(q["terms"]))
+            present = [t for t in terms if t in df_of]
+            if not present or (mode == "AND" and len(present) < len(terms)):
+                continue  # unanswerable -> no rows (search_terms contract)
+            m = max(k * overfetch, k + 1)
+            bound = (
+                min(int(df_of[t]) for t in present)
+                if mode == "AND"
+                else sum(int(df_of[t]) for t in present)
+            )
+            if bound < exhaustive_df_cutoff:
+                m = max(m, bound + 1)
+            meta[qid] = (present, mode, k, m)
+            over_batch.append(
+                {"query_id": qid, "terms": present, "mode": mode, "k": m}
+            )
+        empty = self.spark.createDataFrame([], out_schema)
+        if not over_batch:
+            return empty
+        final_rows: list[tuple] = []
+        fallback_qids: list[str] = []
+        if max_mult <= 0.0:
+            fallback_qids = sorted(meta)
+        else:
+            cand_rows = self.search_many(
+                over_batch,
+                default_k=default_k,
+                shared_scan_max_rows=shared_scan_max_rows,
+            ).collect()  # bounded: sum_q m_q
+            if not cand_rows:
+                return empty
+            cand_df = self.spark.createDataFrame(
+                [
+                    (r["query_id"], r["doc_id"], r["score"], r["matched"])
+                    for r in cand_rows
+                ],
+                "query_id string, doc_id long, bm25 double, matched int",
+            )
+            rescored = (
+                F.broadcast(cand_df)
+                .join(docs.select("doc_id", *need), "doc_id")
+                .select(
+                    "query_id",
+                    "doc_id",
+                    "bm25",
+                    (F.col("bm25") * mult).alias("score"),
+                    "matched",
+                )
+                .collect()  # bounded: <= len(cand_rows) rows
+            )
+            by_q: dict[str, list] = {}
+            for r in rescored:
+                by_q.setdefault(r["query_id"], []).append(r)
+            for qid, rows in sorted(by_q.items()):
+                present, mode, k, m = meta[qid]
+                rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+                exhausted = len(rows) < m
+                kth = rows[k - 1]["score"] if len(rows) >= k else float("-inf")
+                weakest_bm25 = min(r["bm25"] for r in rows)
+                # strict: an outside doc tied on BM25 with the weakest
+                # candidate and granted exactly max_mult must not leapfrog
+                # on the doc_id tie-break (same as wand_boosted)
+                if exhausted or kth > weakest_bm25 * max_mult:
+                    final_rows.extend(
+                        (qid, i + 1, r["doc_id"], r["score"], r["matched"])
+                        for i, r in enumerate(rows[:k])
+                    )
+                else:
+                    fallback_qids.append(qid)
+        out = (
+            self.spark.createDataFrame(final_rows, out_schema)
+            if final_rows
+            else empty
+        )
+        for qid in fallback_qids:
+            present, mode, k, m = meta[qid]
+            branch = self.search_boosted(
+                present,
+                mode=mode,
+                k=k,
+                field_weights=field_weights,
+                recency=recency,
+            )
+            # the branch is already ordered and limited to k rows, so this
+            # unpartitioned window ranks k rows, not the candidate set
+            wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            out = out.unionByName(
+                branch.select(
+                    F.lit(qid).alias("query_id"),
+                    F.row_number().over(wb).cast("long").alias("rank"),
+                    "doc_id",
+                    "score",
+                    "matched",
+                )
+            )
+        return out.orderBy("query_id", "rank")
+
     def _parse_signs(self, query: str) -> tuple[list[str], list[str]]:
         """'-term' sign parsing shared by search / search_with_suggestion
         (`Query.h:191-193`): returns (include_terms, exclude_terms), both

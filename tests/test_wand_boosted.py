@@ -143,3 +143,86 @@ def test_unknown_column_raises(eng):
         wand_boosted(
             eng, ["spark"], "AND", 5, field_weights={"nope": ({}, 1.0)}
         )
+
+
+# ---- batch path (search_many_boosted) --------------------------------------
+
+BATCH = [
+    {"query_id": "qa", "terms": ["spark", "index"], "mode": "AND", "k": 5},
+    {"query_id": "qb", "terms": ["the", "to"], "mode": "AND", "k": 5},
+    {"query_id": "qc", "terms": ["spark"], "mode": "AND", "k": 5},  # 1-term
+    {"query_id": "qd", "terms": ["index", "query"], "mode": "OR", "k": 5},
+    {"query_id": "qe", "terms": ["zz_not_in_corpus", "spark"], "mode": "AND",
+     "k": 5},  # unanswerable -> no rows
+]
+
+
+def _batch_rows(df):
+    return [
+        (r["query_id"], int(r["rank"]), int(r["doc_id"]), float(r["score"]),
+         int(r["matched"]))
+        for r in df.collect()
+    ]
+
+
+def _expected_batch(eng, fw=None, rec=None):
+    exp = []
+    for q in BATCH:
+        rows = eng.search_boosted(
+            q["terms"], q["mode"], q["k"], field_weights=fw, recency=rec
+        ).collect()
+        exp.extend(
+            (q["query_id"], i + 1, int(r["doc_id"]), float(r["score"]),
+             int(r["matched"]))
+            for i, r in enumerate(rows)
+        )
+    return sorted(exp, key=lambda t: (t[0], t[1]))
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},  # default routing (exhaustive bound usually applies)
+        # certificate / per-query fallback path: tiny over-fetch, exhaustive
+        # bound disabled — at least the stopword query must fail the
+        # certificate and take its exact branch
+        {"overfetch": 1, "exhaustive_df_cutoff": 1},
+    ],
+)
+def test_batch_boosted_matches_exact_per_query(eng, kwargs):
+    got = _batch_rows(
+        eng.search_many_boosted(BATCH, field_weights=ROLE_W, **kwargs)
+    )
+    exp = _expected_batch(eng, fw=ROLE_W)
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], rel=1e-12, abs=1e-12), (g, e)
+        assert g[4] == e[4]
+
+
+def test_batch_boosted_recency_matches_exact(eng):
+    got = _batch_rows(
+        eng.search_many_boosted(BATCH, field_weights=ROLE_W, recency=RECENCY)
+    )
+    exp = _expected_batch(eng, fw=ROLE_W, rec=RECENCY)
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], rel=1e-12, abs=1e-12), (g, e)
+
+
+def test_batch_no_boost_is_search_many(eng):
+    base = _batch_rows(eng.search_many(BATCH))
+    noop = _batch_rows(eng.search_many_boosted(BATCH))
+    assert noop == base
+
+
+def test_batch_nonpositive_max_mult_all_fallback(eng):
+    fw = {"role": ({"user": 0.0, "assistant": 0.0}, 0.0)}
+    got = _batch_rows(eng.search_many_boosted(BATCH, field_weights=fw))
+    exp = _expected_batch(eng, fw=fw)
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+
+
+def test_batch_unknown_column_raises(eng):
+    with pytest.raises(ValueError, match="unknown boost column"):
+        eng.search_many_boosted(BATCH, field_weights={"nope": ({}, 1.0)})
