@@ -24,7 +24,12 @@ from .functions.bm25 import B_DEFAULT, K1_DEFAULT
 from .operators import curation, dedup, similarity, speller, text_analysis
 from .operators.index_build import IndexConfig, build_index
 from .operators.query import SearchEngine
-from .operators.wand import wand_boosted, wand_proximity, wand_search
+from .operators.wand import (
+    wand_boosted,
+    wand_phrase,
+    wand_proximity,
+    wand_search,
+)
 
 # --------------------------------------------------------------------------
 # engine cache: build the index once per (process, sf_dir)
@@ -510,6 +515,16 @@ def q_spell_fallback(spark, sf_dir):
         .select("rank", "doc_id", "score", "matched", "suggested_query")
         .orderBy("rank")
     )
+
+
+def q_wand_phrase(spark, sf_dir):
+    # quoted-phrase top-k on the WAND scale path (O5 at scale): over-fetch
+    # the true BM25 top-m of the phrase's terms via block-max WAND,
+    # position-verify ONLY those candidates (broadcast restrict into the
+    # adjacency check), certificate-gated re-rank. Same scoring contract
+    # as search_phrase (= phrase_rank's), different phrase.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(wand_phrase(eng, ["table", "hash"], k=10), 10)
 
 
 def q_wand_proximity(spark, sf_dir):
@@ -1336,6 +1351,7 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "wand_phrase": q_wand_phrase,
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
     "batch_proximity": q_batch_proximity,
@@ -2290,6 +2306,15 @@ FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
         restrict=(
             r"SELECT doc_id FROM documents "
             r"WHERE regexp_matches(lower(text), '\bmerge[^a-z0-9_]+sort\b')"
+        ),
+    ),
+    # same scoring contract as phrase_rank (BM25 over the phrase's distinct
+    # terms, restricted to adjacency matches), served by the WAND scale path
+    "wand_phrase": _bm25_sql(
+        ["hash", "table"], 10, "AND",
+        restrict=(
+            r"SELECT doc_id FROM documents "
+            r"WHERE regexp_matches(lower(text), '\btable[^a-z0-9_]+hash\b')"
         ),
     ),
     # eligibility = DNF of the boolean expression; scoring = OR-mode BM25

@@ -2160,16 +2160,23 @@ class SearchEngine:
             frame = frame.join(f, "doc_id", "left_anti")
         return frame
 
-    def _phrase_hits(self, words: list[str], use_bigrams: bool = True) -> DataFrame:
+    def _phrase_hits(
+        self,
+        words: list[str],
+        use_bigrams: bool = True,
+        restrict: DataFrame | None = None,
+    ) -> DataFrame:
         """Docs containing the exact phrase; verified over the much-shorter
         bigram termlists when the index carries them (SURVEY.md X3),
-        positional unigram intersection otherwise. Results identical."""
+        positional unigram intersection otherwise. Results identical.
+        ``restrict`` narrows verification to a candidate doc set (see
+        phrase_docs)."""
         if use_bigrams and len(words) >= 2:
             bi = [f"{a} {b}" for a, b in zip(words, words[1:])]
             bplan = self.plan_terms(bi)
             if len(bplan) == len(set(bi)):
-                return self.phrase_docs(bi)
-        return self.phrase_docs(words)
+                return self.phrase_docs(bi, restrict=restrict)
+        return self.phrase_docs(words, restrict=restrict)
 
     # ------------------------------------------------------------------
     def _contributions(self, plan: pd.DataFrame) -> DataFrame:
@@ -2193,7 +2200,9 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
-    def phrase_docs(self, phrase_terms: list[str]) -> DataFrame:
+    def phrase_docs(
+        self, phrase_terms: list[str], restrict: DataFrame | None = None
+    ) -> DataFrame:
         """Docs containing the exact phrase (positional adjacency).
 
         Reference: quoted phrases are verified by positional containment
@@ -2204,6 +2213,12 @@ class SearchEngine:
         ``groupBy(doc_id, adj_pos) having count(distinct slot) = n``.
         Handles repeated terms in the phrase naturally (slots are distinct).
         Returns a (doc_id) DataFrame.
+
+        ``restrict`` (a small (doc_id, ...) DataFrame, e.g. a WAND
+        candidate page) narrows verification to those docs via a broadcast
+        semi-join BEFORE position explode + adjacency grouping — at scale
+        the termlist of a common word is huge, but the candidate page is
+        O(k), so the verify shuffles candidate positions only.
         """
         n = len(phrase_terms)
         if n == 0:
@@ -2214,7 +2229,14 @@ class SearchEngine:
         tid_of = dict(zip(plan["term"], plan["term_id"]))
         decoded = self.decoded_postings(
             [int(t) for t in plan["term_id"]], include_positions=True
-        ).select("term_id", "doc_id", F.explode("positions").alias("pos"))
+        )
+        if restrict is not None:
+            decoded = decoded.join(
+                F.broadcast(restrict.select("doc_id")), "doc_id", "left_semi"
+            )
+        decoded = decoded.select(
+            "term_id", "doc_id", F.explode("positions").alias("pos")
+        )
         slot_map = F.array(
             *[
                 F.struct(

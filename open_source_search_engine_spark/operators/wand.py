@@ -598,6 +598,110 @@ def wand_proximity(
     )
 
 
+def wand_phrase(
+    engine,
+    phrase_terms: list[str],
+    k: int = 10,
+    overfetch: int = 4,
+    max_candidates: int = 10_000,
+    use_bigrams: bool = True,
+    **wand_kwargs,
+) -> DataFrame:
+    """Quoted-phrase top-k on the WAND scale path (O5 at scale).
+
+    The exact path (SearchEngine.search_phrase) verifies adjacency over the
+    FULL termlists of the phrase's words/bigrams — at 10^12-turn scale a
+    common bigram's termlist is itself huge. The reference serves quoted
+    phrases through the same top-k candidate machinery as plain queries and
+    position-verifies candidates (`Query.h:219-226`, `Matches.cpp:252`,
+    `PosdbTable.cpp` candidate loop); this is that shape on Spark:
+
+      1. over-fetch the true BM25 top-m (m = overfetch*k) of the phrase's
+         DISTINCT terms in AND mode via block-max WAND — phrase docs are a
+         subset of the AND match set, and search_phrase's scoring IS the
+         plain BM25 sum over those distinct terms;
+      2. position-verify ONLY those m candidates (phrase_docs with a
+         broadcast ``restrict`` — candidate positions shuffle, not the
+         corpus), served from indexed bigram termlists when present;
+      3. the survivors, re-ranked, are the answer iff provably final.
+
+    EXACT, not approximate: WAND returns the true BM25 top-m under the
+    total order (score DESC, doc_id ASC), so every phrase doc OUTSIDE the
+    candidate set orders strictly after the m-th candidate. If the k-th
+    surviving score >= the weakest candidate score the page is final
+    (survivors are candidates, so at equality the survivor still precedes
+    every outside doc); otherwise m escalates by the same tail-slope
+    schedule wand_proximity uses, and at ``max_candidates`` the exact path
+    takes over. When WAND returns fewer than m rows the candidate set IS
+    the whole AND match set and one verify pass is trivially exact.
+
+    Single-word "phrases" are plain top-k: wand_search verbatim.
+    Rank/score-identity vs search_phrase is gated in
+    tests/test_wand_phrase.py."""
+    spark = engine.spark
+    empty = spark.createDataFrame([], "doc_id long, score double, matched int")
+    n = len(phrase_terms)
+    if n == 0:
+        return empty
+    if n == 1:
+        return wand_search(engine, phrase_terms, "AND", k, **wand_kwargs)
+    uniq = sorted(set(phrase_terms))
+    plan = engine.plan_terms(uniq)
+    if plan.empty or len(plan) < len(uniq):
+        return empty
+    engine._require_positions("the phrase path")
+    m = max(k * overfetch, k + 1)
+    # Exhaustive-candidate fast path: the AND match set is bounded by the
+    # rarest term's df (already in the plan — no extra job); when that is
+    # affordable, fetch the WHOLE match set once and a single verify pass
+    # is trivially exact, skipping every certificate iteration.
+    rarest_df = int(plan["df"].min())
+    if rarest_df < max_candidates:
+        m = max(m, rarest_df + 1)
+    while True:
+        cands = wand_search(engine, uniq, "AND", m, **wand_kwargs)
+        cand_rows = cands.collect()  # <= m rows (wand's own contract)
+        if not cand_rows:
+            return empty
+        exhausted = len(cand_rows) < m
+        cand_df = spark.createDataFrame(cand_rows, cands.schema)
+        hits = engine._phrase_hits(phrase_terms, use_bigrams, restrict=cand_df)
+        top = (
+            cand_df.join(hits, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        rows = top.collect()
+        if exhausted:
+            break
+        kth = rows[k - 1]["score"] if len(rows) >= k else float("-inf")
+        weakest_bm25 = min(r["score"] for r in cand_rows)
+        if kth >= weakest_bm25:
+            break
+        if m >= max_candidates:
+            return engine.search_phrase(
+                phrase_terms, k=k, use_bigrams=use_bigrams
+            )
+        # Escalation schedule (performance only — exactness never depends
+        # on it): the certificate needs weakest_bm25(m') <= kth; BM25
+        # decays monotonically with rank, so extrapolate the observed tail
+        # slope to the rank reaching kth (same schedule as wand_proximity
+        # with a zero bonus ceiling). A flat tail is hopeless by definition.
+        scores = [r["score"] for r in cand_rows]  # BM25 desc (wand order)
+        tail = scores[len(scores) // 2 :]
+        slope = (tail[0] - tail[-1]) / max(1, len(tail) - 1)
+        if slope > 0 and kth > float("-inf"):
+            m_needed = m + int((scores[-1] - kth) / slope) + 1
+        else:
+            m_needed = max_candidates + 1
+        if m_needed > max_candidates:
+            return engine.search_phrase(
+                phrase_terms, k=k, use_bigrams=use_bigrams
+            )
+        m = min(max(m * 4, int(m_needed * 1.25)), max_candidates)
+    return spark.createDataFrame(rows, top.schema) if rows else empty
+
+
 def wand_boosted(
     engine,
     query_terms: list[str],
