@@ -517,6 +517,24 @@ def q_spell_fallback(spark, sf_dir):
     )
 
 
+def q_serp(spark, sf_dir):
+    # full SERP assembly in ONE call (Msg40.cpp:841 launchMsg20s): BM25
+    # ranking + per-source cap over the full match set (A6) + best-window
+    # snippets rendered for the page only (J4/X12, O(k) not O(corpus)) +
+    # the did-you-mean slot (NULL here: the page is full)
+    eng = engine_for(spark, sf_dir)
+    page = eng.serve("merge vector", k=10, source_cap=2, snippet_width=7)
+    return page.select(
+        "rank",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("matched").cast("long").alias("matched"),
+        "snippet",
+        "highlighted",
+        "suggested_query",
+    ).orderBy("rank")
+
+
 def q_wand_phrase(spark, sf_dir):
     # quoted-phrase top-k on the WAND scale path (O5 at scale): over-fetch
     # the true BM25 top-m of the phrase's terms via block-max WAND,
@@ -1351,6 +1369,7 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "serp": q_serp,
     "wand_phrase": q_wand_phrase,
     "wand_proximity": q_wand_proximity,
     "spell_fallback": q_spell_fallback,
@@ -2308,6 +2327,52 @@ FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
             r"WHERE regexp_matches(lower(text), '\bmerge[^a-z0-9_]+sort\b')"
         ),
     ),
+    # full SERP assembly: BM25 + per-source cap (the bm25_source_cap
+    # contract) + best-window snippets (the snippet contract, width 7)
+    # rendered only for page docs + a NULL did-you-mean slot (page is full)
+    "serp": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+src AS (
+  SELECT s.doc_id, s.s, s.matched, d.source
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id ASC) AS rn
+  FROM src
+),
+page AS (
+  SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+  FROM capped WHERE rn <= 2
+  ORDER BY rank LIMIT 10
+),
+m AS (
+  SELECT t.doc_id, t.toks,
+         list_transform(t.toks, x -> CASE WHEN list_contains(['merge', 'vector'], x)
+                                          THEN 1 ELSE 0 END) AS flags
+  FROM toks t JOIN page p ON p.doc_id = t.doc_id
+),
+w2 AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks) - 6, 1) + 1),
+                        s -> list_sum(flags[s : s + 6])) AS counts
+  FROM m
+),
+b AS (
+  SELECT doc_id, toks, list_max(counts) AS n_matched,
+         list_position(counts, list_max(counts)) AS best_start
+  FROM w2
+)
+SELECT p.rank, p.doc_id, p.score, p.matched,
+       array_to_string(b.toks[b.best_start : b.best_start + 6], ' ') AS snippet,
+       array_to_string(list_transform(
+         b.toks[b.best_start : b.best_start + 6],
+         x -> CASE WHEN list_contains(['merge', 'vector'], x)
+                   THEN '[' || x || ']' ELSE x END), ' ') AS highlighted,
+       CAST(NULL AS VARCHAR) AS suggested_query
+FROM page p LEFT JOIN b ON b.doc_id = p.doc_id
+ORDER BY p.rank
+""",
     # same scoring contract as phrase_rank (BM25 over the phrase's distinct
     # terms, restricted to adjacency matches), served by the WAND scale path
     "wand_phrase": _bm25_sql(

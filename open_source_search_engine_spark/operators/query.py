@@ -1859,6 +1859,112 @@ class SearchEngine:
             corrected, mode=mode, k=k, exclude_terms=exclude
         ).withColumn("suggested_query", F.lit(sugg_str))
 
+    def serve(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "AND",
+        source_cap: int | None = None,
+        source_col: str = "source",
+        snippet_width: int = 11,
+        min_results: int = 1,
+        max_dist: int = 2,
+    ) -> DataFrame:
+        """Full SERP assembly — the reference's Msg40 result-page flow in
+        one call (`Msg40.cpp:841` launchMsg20s fans per-result summary
+        requests off the ranked docid list; `Speller.cpp:69` supplies the
+        did-you-mean alongside; site clustering caps per-site rows).
+
+        1. rank: BM25 top-k with '-term' exclusions; with ``source_cap``,
+           the cap windows the FULL match set per source (score_terms —
+           no global sort) before the top-k, exactly the A6 contract;
+        2. did-you-mean: a page thinner than ``min_results`` rows
+           spell-corrects the positive terms against the index's own
+           vocabulary and re-serves once, annotating ``suggested_query``
+           (NULL = served as asked);
+        3. snippets: best-window summaries rendered for the PAGE ONLY —
+           the doc store is broadcast-semi-joined down to <= k docs before
+           tokenization (the Msg20 shape: per-result work is O(k),
+           never O(corpus)).
+
+        Output: (rank, doc_id, score, matched, snippet, highlighted,
+        suggested_query), rank 1..n by (score DESC, doc_id ASC).
+        """
+        from . import speller
+        from .snippets import best_window_snippets
+
+        out_schema = (
+            "rank long, doc_id long, score double, matched int, "
+            "snippet string, highlighted string, suggested_query string"
+        )
+        terms, exclude = self._parse_signs(query)
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+
+        def page(pos_terms: list[str]) -> DataFrame:
+            if source_cap is None:
+                return self.search_terms(
+                    pos_terms, mode=mode, k=k, exclude_terms=exclude
+                )
+            from pyspark.sql import Window
+
+            scored = self.score_terms(pos_terms, mode, exclude_terms=exclude)
+            src = self.catalog.read_table("documents").select(
+                "doc_id", source_col
+            )
+            w_src = Window.partitionBy(source_col).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                scored.join(src, "doc_id")
+                .withColumn("_rn", F.row_number().over(w_src))
+                .filter(F.col("_rn") <= int(source_cap))
+                .select("doc_id", "score", "matched")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+
+        # materialize the (<= k row) page once: the thinness check, the
+        # snippet restrict and the final join must not re-run the search
+        base = page(terms).localCheckpoint()
+        served_terms, sugg_str = terms, None
+        if base.limit(int(min_results)).count() < int(min_results):
+            vocab = speller.vocab_from_term_stats(self._term_stats)
+            sugg = speller.suggest(
+                self.spark, vocab, terms, max_dist=max_dist, per_term=1
+            )
+            best = {r["qterm"]: r["suggestion"] for r in sugg.collect()}
+            corrected = [best.get(t, t) for t in terms]
+            if corrected != terms:
+                sugg_str = " ".join(
+                    corrected + [f"-{t}" for t in exclude]
+                )
+                served_terms = corrected
+                base = page(corrected).localCheckpoint()
+        docs_page = self.catalog.read_table("documents").join(
+            F.broadcast(base.select("doc_id")), "doc_id", "left_semi"
+        )
+        snip = best_window_snippets(
+            docs_page, served_terms, width=snippet_width
+        ).select("doc_id", "snippet", "highlighted")
+        from pyspark.sql import Window
+
+        # unpartitioned window is safe here: base is already LIMIT k
+        w_all = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            base.join(snip, "doc_id", "left_outer")
+            .withColumn("rank", F.row_number().over(w_all).cast("long"))
+            .withColumn(
+                "suggested_query",
+                F.lit(sugg_str).cast("string"),
+            )
+            .select(
+                "rank", "doc_id", "score", "matched",
+                "snippet", "highlighted", "suggested_query",
+            )
+            .orderBy("rank")
+        )
+
     def search_query(
         self,
         query: str,
