@@ -194,8 +194,9 @@ def main() -> None:
         "bm25_lang_boost", "bm25_field_boost", "wand_field_boost",
         "batch_boosted",
         # round 5 (final): quoted phrases on the WAND scale path; one-call
-        # SERP assembly (rank + source cap + page-restricted snippets)
-        "wand_phrase", "serp",
+        # SERP assembly (rank + source cap + page-restricted snippets);
+        # dictionary-driven exact-vs-WAND routing
+        "wand_phrase", "serp", "bm25_auto",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -517,6 +517,16 @@ def q_spell_fallback(spark, sf_dir):
     )
 
 
+def q_bm25_auto(spark, sf_dir):
+    # adaptive strategy choice: exact scan vs block-max WAND picked from
+    # the term dictionary's sum(df) before any termlist is touched (the
+    # single-query analog of search_many's routing; PosdbTable.cpp sizes
+    # its intersection strategy the same way). Both routes rank-identical;
+    # at this sf the planned volume is small so the exact route serves.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.search_auto(["stream", "order"], "AND", 10), 10)
+
+
 def q_serp(spark, sf_dir):
     # full SERP assembly in ONE call (Msg40.cpp:841 launchMsg20s): BM25
     # ranking + per-source cap over the full match set (A6) + best-window
@@ -1369,6 +1379,7 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "bm25_auto": q_bm25_auto,
     "serp": q_serp,
     "wand_phrase": q_wand_phrase,
     "wand_proximity": q_wand_proximity,
@@ -2327,6 +2338,9 @@ FROM capped WHERE rn <= 2 ORDER BY rank LIMIT 10
             r"WHERE regexp_matches(lower(text), '\bmerge[^a-z0-9_]+sort\b')"
         ),
     ),
+    # routing is an implementation choice: search_auto's contract is plain
+    # BM25 top-k whichever route serves it
+    "bm25_auto": _bm25_sql(["order", "stream"], 10, "AND"),
     # full SERP assembly: BM25 + per-source cap (the bm25_source_cap
     # contract) + best-window snippets (the snippet contract, width 7)
     # rendered only for page docs + a NULL did-you-mean slot (page is full)

@@ -503,6 +503,52 @@ class SearchEngine:
             self._serp_cache.popitem(last=False)
         return self.spark.createDataFrame(rows, res.schema)
 
+    def search_auto(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        exclude_terms: list[str] | None = None,
+        wand_df_cutoff: int = 1_000_000,
+        **wand_kwargs,
+    ) -> DataFrame:
+        """Adaptive single-query strategy choice: exact scan vs block-max
+        WAND, decided from the term dictionary BEFORE any termlist is
+        touched — the reference sizes its intersection strategy the same
+        way (rarest-first seeding and docid-range splits chosen off
+        per-term list sizes, `PosdbTable.cpp`; `Posdb.h` key layout).
+
+        Routing is deterministic: the planned decode volume is sum(df)
+        over the query's terms (the plan dictionary is driver-cached — no
+        Spark job). At or below ``wand_df_cutoff`` the exact path wins
+        (TakeOrderedAndProject; unrestricted single hot terms answer from
+        the shortcut cache inside search_terms); above it, decode volume
+        dominates and the two-phase pruned WAND path wins. Both paths are
+        rank-identical to search_terms (the WAND side is gated bit-equal),
+        so results do NOT depend on the cutoff — only the plan shape does.
+        This is the single-query analog of search_many's
+        ``shared_scan_max_rows`` routing, with the same contract.
+        """
+        plan = self.plan_terms(query_terms)
+        if plan.empty:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, matched int"
+            )
+        if int(plan["df"].sum()) <= int(wand_df_cutoff):
+            return self.search_terms(
+                query_terms, mode=mode, k=k, exclude_terms=exclude_terms
+            )
+        from .wand import wand_search
+
+        return wand_search(
+            self,
+            query_terms,
+            mode,
+            k,
+            exclude_terms=exclude_terms,
+            **wand_kwargs,
+        )
+
     def _hot_single_term(self, term: str, k: int) -> DataFrame | None:
         """Shortcut-cache path for one term (HighFrequencyTermShortcuts.cpp
         analog): serve top-k from hot_topk, recomputing the score with the
