@@ -1915,14 +1915,17 @@ class SearchEngine:
         snippet_width: int = 11,
         min_results: int = 1,
         max_dist: int = 2,
+        wand_df_cutoff: int = 1_000_000,
     ) -> DataFrame:
         """Full SERP assembly — the reference's Msg40 result-page flow in
         one call (`Msg40.cpp:841` launchMsg20s fans per-result summary
         requests off the ranked docid list; `Speller.cpp:69` supplies the
         did-you-mean alongside; site clustering caps per-site rows).
 
-        1. rank: BM25 top-k with '-term' exclusions; with ``source_cap``,
-           the cap windows the FULL match set per source (score_terms —
+        1. rank: BM25 top-k with '-term' exclusions, routed through
+           search_auto (exact scan vs block-max WAND by planned decode
+           volume — rank-identical either way); with ``source_cap``, the
+           cap windows the FULL match set per source (score_terms —
            no global sort) before the top-k, exactly the A6 contract;
         2. did-you-mean: a page thinner than ``min_results`` rows
            spell-corrects the positive terms against the index's own
@@ -1949,8 +1952,12 @@ class SearchEngine:
 
         def page(pos_terms: list[str]) -> DataFrame:
             if source_cap is None:
-                return self.search_terms(
-                    pos_terms, mode=mode, k=k, exclude_terms=exclude
+                return self.search_auto(
+                    pos_terms,
+                    mode=mode,
+                    k=k,
+                    exclude_terms=exclude,
+                    wand_df_cutoff=wand_df_cutoff,
                 )
             from pyspark.sql import Window
 

@@ -119,3 +119,9 @@ def test_serve_empty_query_is_empty_frame(eng):
         "snippet", "highlighted", "suggested_query",
     ]
     assert out.count() == 0
+
+
+def test_serve_wand_route_is_identical(eng):
+    asked = eng.serve("spark index", k=5).collect()
+    routed = eng.serve("spark index", k=5, wand_df_cutoff=0).collect()
+    assert [tuple(r) for r in routed] == [tuple(r) for r in asked]
