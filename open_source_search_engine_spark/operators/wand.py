@@ -638,6 +638,14 @@ def wand_phrase(
     Single-word "phrases" are plain top-k: wand_search verbatim.
     Rank/score-identity vs search_phrase is gated in
     tests/test_wand_phrase.py."""
+    if wand_kwargs.get("exclude_terms"):
+        # the terminal exact path (search_phrase) has no exclusion
+        # support, so accepting exclusions here would silently drop them
+        # whenever the fallback fires — fail loudly instead
+        raise ValueError(
+            "wand_phrase does not support exclude_terms; filter the "
+            "result or use search_query's grammar"
+        )
     spark = engine.spark
     empty = spark.createDataFrame([], "doc_id long, score double, matched int")
     n = len(phrase_terms)
