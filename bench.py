@@ -195,8 +195,9 @@ def main() -> None:
         "batch_boosted",
         # round 5 (final): quoted phrases on the WAND scale path; one-call
         # SERP assembly (rank + source cap + page-restricted snippets);
-        # dictionary-driven exact-vs-WAND routing
-        "wand_phrase", "serp", "bm25_auto",
+        # dictionary-driven exact-vs-WAND routing; quality-aware duplicate
+        # survivors; fixed-token-window chunking
+        "wand_phrase", "serp", "bm25_auto", "dedup_survivors", "chunk_docs",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

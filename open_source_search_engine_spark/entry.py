@@ -517,6 +517,41 @@ def q_spell_fallback(spark, sf_dir):
     )
 
 
+def q_dedup_survivors(spark, sf_dir):
+    # quality-aware survivor selection: the clusters say WHICH docs are
+    # duplicates; this picks WHICH copy survives (longest text wins,
+    # doc_id breaks ties) — the corpus-level completion of A5's
+    # keep-one-representative rule. Pair graph REUSED from pairs_for.
+    docs = documents(spark, sf_dir)
+    pairs = pairs_for(spark, sf_dir)
+    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    surv = dedup.cluster_representatives(
+        docs.select("doc_id", "n_chars"), labels, prefer_col="n_chars"
+    )
+    return (
+        surv.filter(F.col("cluster_size") > 1)
+        .select(
+            "doc_id", "cluster_id", "cluster_size",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("cluster_id")
+        .limit(300)
+    )
+
+
+def q_chunk_docs(spark, sf_dir):
+    # fixed-token-window chunking with overlap (the unit-of-work split a
+    # training/embedding pipeline applies before tokenizer-bound models);
+    # pure JVM projection + explode, shuffle-free
+    return (
+        curation.chunk_docs(
+            documents(spark, sf_dir), max_tokens=32, overlap=8
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .limit(400)
+    )
+
+
 def q_bm25_auto(spark, sf_dir):
     # adaptive strategy choice: exact scan vs block-max WAND picked from
     # the term dictionary's sum(df) before any termlist is touched (the
@@ -1379,6 +1414,8 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "dedup_survivors": q_dedup_survivors,
+    "chunk_docs": q_chunk_docs,
     "bm25_auto": q_bm25_auto,
     "serp": q_serp,
     "wand_phrase": q_wand_phrase,
@@ -1652,6 +1689,40 @@ _SHINGLES3 = (
     "sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2,0)+1), "
     "i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM toks)"
 )
+
+# shared by the dedup_clusters and dedup_survivors oracles: transitive
+# near-dup clusters (Jaccard >= 0.25 pair graph -> recursive reachability),
+# cluster_id = min doc_id, cs = per-cluster sizes. Requires WITH RECURSIVE.
+_CLUSTER_CTES = f"""{_TOKS}, {_SHINGLES3},
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+cs AS (SELECT cluster_id AS cid, count(*) AS n FROM lab GROUP BY cluster_id)"""
 
 
 def _lang_id_sql(k: int = 200) -> str:
@@ -2628,39 +2699,47 @@ FROM scored ORDER BY rank LIMIT 10
     # transitive duplicate clusters via recursive reachability; cluster_id =
     # min reachable doc_id; non-singleton components only
     "dedup_clusters": f"""
-WITH RECURSIVE {_TOKS}, {_SHINGLES3},
-ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_id_a, doc_id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_id_a
-  JOIN sizes sb ON sb.doc_id = doc_id_b
-  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
-),
-edges AS (
-  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-  UNION SELECT doc_id_b, doc_id_a FROM pairs
-),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-lab AS (
-  SELECT d.doc_id,
-         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-  GROUP BY d.doc_id
-),
-cs AS (SELECT cluster_id AS cid, count(*) AS n FROM lab GROUP BY cluster_id)
+WITH RECURSIVE {_CLUSTER_CTES}
 SELECT l.doc_id, l.cluster_id, CAST(cs.n AS BIGINT) AS cluster_size
 FROM lab l JOIN cs ON cs.cid = l.cluster_id
 WHERE cs.n > 1 ORDER BY l.doc_id LIMIT 300
+""",
+    # quality-aware survivor per duplicate cluster: same clusters as
+    # dedup_clusters, keep the longest doc (n_chars DESC, doc_id ASC)
+    "dedup_survivors": f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+joined AS (
+  SELECT l.doc_id, l.cluster_id, cs.n AS cluster_size, d.n_chars
+  FROM lab l JOIN cs ON cs.cid = l.cluster_id
+  JOIN documents d ON d.doc_id = l.doc_id
+  WHERE cs.n > 1
+),
+surv AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM joined
+)
+SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM surv WHERE rn = 1 ORDER BY cluster_id LIMIT 300
+""",
+    # fixed-token-window chunking with overlap (max_tokens=32, stride=24):
+    # chunk i covers 1-based tokens [i*24+1, i*24+32]; n <= 32 -> 1 chunk,
+    # else 1 + ceil((n-32)/24); the tail chunk is short, never dropped
+    "chunk_docs": f"""
+WITH {_TOKS},
+meta AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN n <= 32 THEN 1
+                              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INTEGER)
+                         END)) AS i
+  FROM meta
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+       CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+FROM idx ORDER BY doc_id, chunk_idx LIMIT 400
 """,
     "doc_keywords": f"""
 WITH {_TOKS}, {_TOK},

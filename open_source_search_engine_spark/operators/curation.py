@@ -417,6 +417,60 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def chunk_docs(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the standard unit-of-work
+    split a training / embedding pipeline applies before tokenizer-bound
+    models (context packing, embedding indexes, passage retrieval).
+
+    Chunks live in NORMALIZED token space (the same ascii tokens every
+    dedup/fingerprint/snippet operator uses), so chunk boundaries are
+    deterministic and rebuild-stable. With stride = max_tokens - overlap,
+    chunk i covers tokens [i*stride + 1, i*stride + max_tokens] (1-based);
+    a doc with n tokens yields 1 chunk when n <= max_tokens, else
+    1 + ceil((n - max_tokens) / stride) — the final chunk is short rather
+    than dropped, and consecutive chunks share ``overlap`` tokens. Empty /
+    NULL-text docs yield no rows.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens). Pure JVM projection
+    + explode — shuffle-free, no Python in the plan, linear in corpus size.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    t = with_tokens(docs, text_col)
+    n = F.size("toks")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= max_tokens, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("int")
+        )
+    )
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        (F.col("chunk_idx") * stride + 1).cast("int"),
+        max_tokens,
+    )
+    return (
+        t.withColumn("chunk_idx", F.explode(idx))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII detection + redaction over the document table.
 

@@ -499,6 +499,47 @@ def connected_components(
     return labels
 
 
+def cluster_representatives(
+    docs: DataFrame,
+    labels: DataFrame,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """One surviving document per duplicate cluster.
+
+    Clustering (connected_components) says WHICH docs are duplicates; a
+    training pipeline must then pick WHICH copy survives. ``labels`` is
+    the (doc_id, cluster_id) frame; the survivor per cluster is the row
+    with the highest ``prefer_col`` (quality score, length, recency —
+    NULLs lose), ties and prefer_col=None broken by lowest doc_id, so
+    selection is deterministic and rebuild-stable. Returns the surviving
+    docs' full rows plus (cluster_id, cluster_size). Docs absent from
+    ``labels`` are dropped (pass connected_components' all-nodes labeling
+    to keep singletons — their only row wins trivially).
+
+    Scale shape: ONE shuffle on cluster_id; the size count and the
+    survivor window share that partitioning, and nothing reaches the
+    driver. The reference applies the same min-docid winner rule
+    per-result-page (`Msg40.cpp:1173-1300`, A5); prefer_col generalizes
+    it to quality-aware corpus dedup.
+    """
+    from pyspark.sql import Window
+
+    joined = docs.join(labels.select("doc_id", "cluster_id"), "doc_id")
+    order = [F.asc("doc_id")]
+    if prefer_col is not None:
+        order.insert(0, F.desc_nulls_last(prefer_col))
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    ws = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(ws).cast("long")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc, token hash = first 16 hex chars of md5(token)
     (bit i = bit i%4 of hex nibble 15 - i//4), weighted by tf.

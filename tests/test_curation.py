@@ -382,3 +382,51 @@ def test_repetition_flags_goldens(spark):
     assert out[4]["flag_dup_paras"] == 1 and out[4]["flag_dup_lines"] == 1
     assert out[5]["repetition_pass"] == 1 and out[5]["top_bigram_frac"] > 0
     assert out[6]["n_lines"] == 0 and out[6]["repetition_pass"] == 1
+
+
+def test_chunk_docs_windows_and_tail(spark):
+    from open_source_search_engine_spark.operators.curation import chunk_docs
+
+    toks = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_docs(docs, max_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 -> starts 1,4,7,10 (1 + ceil((10-4)/3) = 3)... check:
+    # n=10 > 4 -> 1 + ceil(6/3) = 3 chunks at token starts 1, 4, 7
+    assert out[(1, 0)] == ("t1 t2 t3 t4", 4)
+    assert out[(1, 1)] == ("t4 t5 t6 t7", 4)
+    assert out[(1, 2)] == ("t7 t8 t9 t10", 4)
+    # consecutive chunks share exactly `overlap` tokens; union covers all
+    assert out[(2, 0)] == ("a b c", 3)  # n <= max_tokens -> one chunk
+    assert (2, 1) not in out
+    assert not any(d in (3, 4) for d, _ in out)  # empty/NULL -> no rows
+
+
+def test_chunk_docs_tail_is_short_not_dropped(spark):
+    from open_source_search_engine_spark.operators.curation import chunk_docs
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 6)))],  # 5 tokens
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_docs(docs, max_tokens=4, overlap=2).collect()
+    )
+    # stride 2: chunks at 1 and 3; the tail chunk has 3 tokens (short)
+    assert rows == [(0, "t1 t2 t3 t4"), (1, "t3 t4 t5")]
+
+
+def test_chunk_docs_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from open_source_search_engine_spark.operators.curation import chunk_docs
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_docs(docs, max_tokens=4, overlap=4)

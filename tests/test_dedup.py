@@ -272,3 +272,31 @@ def test_minhash_lsh_screen_incremental(spark):
     cross = {(b, a) for r in full
              for a, b in [(r["doc_id_a"], r["doc_id_b"])] if a < 100 <= b}
     assert pairs == cross
+
+
+def test_cluster_representatives_quality_aware(spark):
+    from open_source_search_engine_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10, "a"), (2, 30, "b"), (3, 30, "c"), (4, 5, "d"), (9, 7, "e")],
+        "doc_id long, quality long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (9, 9)], "doc_id long, cluster_id long"
+    )
+    surv = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in cluster_representatives(
+            docs, labels, prefer_col="quality"
+        ).collect()
+    }
+    # cluster 1: quality tie 30/30 between docs 2 and 3 -> lowest doc_id
+    assert surv == {2: (1, 3), 4: (4, 1), 9: (9, 1)}
+    # prefer_col=None falls back to the min-doc_id winner (A5's rule)
+    surv2 = {
+        r["doc_id"]
+        for r in cluster_representatives(docs, labels).collect()
+    }
+    assert surv2 == {1, 4, 9}
