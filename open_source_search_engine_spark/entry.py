@@ -517,6 +517,18 @@ def q_spell_fallback(spark, sf_dir):
     )
 
 
+def q_related(spark, sf_dir):
+    # "gigabits" — related-topic terms mined from the result page
+    # (Msg40.cpp:1545 topic clustering over result summaries): page-only
+    # tokenization (broadcast semi-join, O(k*dl)), tf_page x BM25-idf
+    # scoring, query terms excluded
+    eng = engine_for(spark, sf_dir)
+    out = eng.related_terms(["merge", "vector"], k_docs=20, top_terms=10)
+    return out.select(
+        "term", F.round("score", 4).alias("score"), "tf_page", "df"
+    )
+
+
 def q_dedup_survivors(spark, sf_dir):
     # quality-aware survivor selection: the clusters say WHICH docs are
     # duplicates; this picks WHICH copy survives (longest text wins,
@@ -1414,6 +1426,7 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "related": q_related,
     "dedup_survivors": q_dedup_survivors,
     "chunk_docs": q_chunk_docs,
     "bm25_auto": q_bm25_auto,
@@ -2703,6 +2716,32 @@ WITH RECURSIVE {_CLUSTER_CTES}
 SELECT l.doc_id, l.cluster_id, CAST(cs.n AS BIGINT) AS cluster_size
 FROM lab l JOIN cs ON cs.cid = l.cluster_id
 WHERE cs.n > 1 ORDER BY l.doc_id LIMIT 300
+""",
+    # gigabits: page-restricted token counts x BM25 idf over global dfs;
+    # the tok CTE is unfiltered so gdf sees the whole corpus
+    "related": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+page AS (SELECT doc_id FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20),
+ptoks AS (
+  SELECT t.doc_id, unnest(t.toks) AS term
+  FROM toks t JOIN page p ON p.doc_id = t.doc_id
+),
+cand AS (
+  SELECT term, count(*) AS tf_page FROM ptoks
+  WHERE term NOT IN ('merge', 'vector') GROUP BY term
+),
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+rel AS (
+  SELECT c.term,
+         c.tf_page * ln((nd.n - g.df + 0.5) / (g.df + 0.5) + 1.0) AS score,
+         c.tf_page, g.df
+  FROM cand c JOIN gdf g USING (term) CROSS JOIN nd
+  WHERE g.df >= 2
+)
+SELECT term, round(score, 4) AS score, CAST(tf_page AS BIGINT) AS tf_page,
+       CAST(df AS BIGINT) AS df
+FROM rel ORDER BY score DESC, term ASC LIMIT 10
 """,
     # quality-aware survivor per duplicate cluster: same clusters as
     # dedup_clusters, keep the longest doc (n_chars DESC, doc_id ASC)

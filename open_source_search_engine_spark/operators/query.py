@@ -2018,6 +2018,67 @@ class SearchEngine:
             .orderBy("rank")
         )
 
+    def related_terms(
+        self,
+        query_terms: list[str],
+        k_docs: int = 50,
+        top_terms: int = 10,
+        mode: str = "AND",
+        min_df: int = 2,
+    ) -> DataFrame:
+        """Related-topic terms mined from the result page — the
+        reference's "gigabits" (`Msg40.cpp:1545` uses the gigabit vector
+        for topic clustering over the result summaries; `Msg40.cpp:1817`
+        prepares query-term info for them; PageResults renders the list
+        as related topics beside the results).
+
+        score(term) = occurrences within the top ``k_docs`` result docs
+        × the engine's own BM25 idf, ln((N − df + 0.5)/(df + 0.5) + 1) —
+        frequent-in-page but rare-in-corpus terms surface, stopwords
+        self-damp through the idf. Query terms are excluded; ``min_df``
+        drops hapax noise. Output: (term, score, tf_page, df) ordered
+        score DESC, term ASC, limited to ``top_terms``.
+
+        Scale shape: the page is <= k_docs rows (broadcast semi-join into
+        the doc store), so only page docs tokenize — O(k·dl), never
+        O(corpus); the page-term aggregate (<= k·dl distinct terms) then
+        broadcast-joins into the term dictionary for global dfs.
+        """
+        page = self.search_terms(query_terms, mode, k_docs)
+        docs_page = self.catalog.read_table("documents").join(
+            F.broadcast(page.select("doc_id")), "doc_id", "left_semi"
+        )
+        from .dedup import tokens_col
+
+        toks = docs_page.select(
+            F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        q = sorted(set(query_terms))
+        cand = (
+            toks.filter(~F.col("term").isin(q))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf_page"))
+        )
+        ts = self._term_stats.select("term", "df")
+        n = float(self.n_docs)
+        idf = F.log(
+            (F.lit(n) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        return (
+            cand.join(ts, "term")
+            .filter(F.col("df") >= int(min_df))
+            .select(
+                "term",
+                (F.col("tf_page") * idf).alias("score"),
+                F.col("tf_page").cast("long").alias("tf_page"),
+                F.col("df").cast("long").alias("df"),
+            )
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(int(top_terms))
+        )
+
     def search_query(
         self,
         query: str,

@@ -348,3 +348,37 @@ def test_search_auto_exclusions_and_or_mode(eng):
 
 def test_search_auto_missing_term_is_empty(eng):
     assert eng.search_auto(["zz_nope_xx"], "AND", 5).count() == 0
+
+
+def test_related_terms_gigabits(eng):
+    # gigabits: related-topic terms from the result page (Msg40.cpp:1545)
+    out = eng.related_terms(["spark", "index"], k_docs=10, top_terms=5)
+    rows = out.collect()
+    assert rows and len(rows) <= 5
+    terms = [r["term"] for r in rows]
+    # query terms are excluded; scores strictly ordered (desc, term asc)
+    assert "spark" not in terms and "index" not in terms
+    keys = [(-r["score"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+    # score really is tf_page x idf over the page docs: recompute one term
+    import math
+
+    page = {
+        r["doc_id"]
+        for r in eng.search_terms(["spark", "index"], "AND", 10).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in eng.catalog.read_table("documents").collect()
+        if r["doc_id"] in page
+    }
+    import re
+
+    t0 = rows[0]
+    tf = sum(
+        len([w for w in re.split(r"[^a-z0-9_]+", (docs[d] or "").lower()) if w == t0["term"]])
+        for d in docs
+    )
+    assert tf == t0["tf_page"]
+    idf = math.log((eng.n_docs - t0["df"] + 0.5) / (t0["df"] + 0.5) + 1.0)
+    assert t0["score"] == pytest.approx(tf * idf, rel=1e-12)
