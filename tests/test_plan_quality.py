@@ -266,3 +266,26 @@ def test_search_many_pre_topk_below_window(eng):
     # executedPlan prints root-first: the Window node appears above the
     # pre-top-k MapInPandas it consumes
     assert p.index("Window") < p.index("MapInPandas")
+
+
+def test_chunk_docs_is_pure_projection(spark):
+    # the chunking unit-of-work split must stay a shuffle-free JVM
+    # projection + explode: zero Exchanges, zero Python workers
+    from open_source_search_engine_spark.operators.curation import chunk_docs
+    from open_source_search_engine_spark.sources.transcripts import (
+        synth_transcripts,
+    )
+
+    docs = synth_transcripts(spark, 50).withColumnRenamed("conv_id", "cid")
+    docs = docs.selectExpr("monotonically_increasing_id() AS doc_id", "text")
+    p = _physical(chunk_docs(docs, 32, 8))
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_related_terms_page_restrict_is_broadcast(eng):
+    # gigabits: the doc-store restriction to the <= k_docs page must be a
+    # broadcast semi-join (page side tiny), and global dfs come from the
+    # dictionary — no corpus-wide tokenization
+    p = _physical(eng.related_terms(["spark", "index"], k_docs=5, top_terms=5))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
