@@ -198,8 +198,9 @@ def main() -> None:
         # dictionary-driven exact-vs-WAND routing; quality-aware duplicate
         # survivors; fixed-token-window chunking
         "wand_phrase", "serp", "bm25_auto", "dedup_survivors", "chunk_docs",
-        # round 5 (final): gigabits — related-topic terms from the page
-        "related",
+        # round 5 (final): gigabits — related-topic terms from the page;
+        # one-pass per-source corpus report card
+        "related", "corpus_profile",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

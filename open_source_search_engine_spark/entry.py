@@ -517,6 +517,23 @@ def q_spell_fallback(spark, sf_dir):
     )
 
 
+def q_corpus_profile(spark, sf_dir):
+    # per-source corpus report card in ONE map-side-combined aggregation:
+    # doc count, token sum/avg, exact interpolated p50/p95, chars avg,
+    # empty fraction — the telemetry mixes/filters/budgets read
+    out = text_analysis.corpus_profile(documents(spark, sf_dir))
+    return out.select(
+        "source",
+        "n_docs",
+        "tokens_sum",
+        F.round("tokens_avg", 4).alias("tokens_avg"),
+        F.round("tokens_p50", 4).alias("tokens_p50"),
+        F.round("tokens_p95", 4).alias("tokens_p95"),
+        F.round("chars_avg", 4).alias("chars_avg"),
+        F.round("empty_frac", 4).alias("empty_frac"),
+    ).orderBy("source")
+
+
 def q_related(spark, sf_dir):
     # "gigabits" — related-topic terms mined from the result page
     # (Msg40.cpp:1545 topic clustering over result summaries): page-only
@@ -1426,6 +1443,7 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "corpus_profile": q_corpus_profile,
     "related": q_related,
     "dedup_survivors": q_dedup_survivors,
     "chunk_docs": q_chunk_docs,
@@ -2716,6 +2734,26 @@ WITH RECURSIVE {_CLUSTER_CTES}
 SELECT l.doc_id, l.cluster_id, CAST(cs.n AS BIGINT) AS cluster_size
 FROM lab l JOIN cs ON cs.cid = l.cluster_id
 WHERE cs.n > 1 ORDER BY l.doc_id LIMIT 300
+""",
+    # per-source report card; quantile_cont == Spark's exact interpolated
+    # `percentile`, so the distribution columns hash-match at 4dp
+    "corpus_profile": r"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+             '[^a-z0-9_]+'), x -> x <> '')) AS n_tokens,
+         length(coalesce(text, '')) AS n_chars
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_sum,
+       round(avg(n_tokens), 4) AS tokens_avg,
+       round(quantile_cont(n_tokens, 0.5), 4) AS tokens_p50,
+       round(quantile_cont(n_tokens, 0.95), 4) AS tokens_p95,
+       round(avg(n_chars), 4) AS chars_avg,
+       round(avg(CASE WHEN n_tokens = 0 THEN 1.0 ELSE 0.0 END), 4) AS empty_frac
+FROM t GROUP BY source ORDER BY source
 """,
     # gigabits: page-restricted token counts x BM25 idf over global dfs;
     # the tok CTE is unfiltered so gdf sees the whole corpus

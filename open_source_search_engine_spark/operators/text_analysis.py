@@ -614,3 +614,50 @@ def repetition_flags(
             & (F.col("flag_top_bigram") == 0)
         ).cast("int"),
     )
+
+
+def corpus_profile(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group corpus report card in ONE aggregation pass — the
+    operational telemetry a curation pipeline reads before deciding
+    mixes, filters and budgets (the same numbers source_mix_weights and
+    pack_shards consume, plus distribution shape).
+
+    Per ``group_col`` value: doc count, total/mean token counts, exact
+    interpolated p50/p95 token counts (Spark's `percentile`, the
+    quantile_cont contract — NOT the approximate sketch, so the oracle
+    matches bit-for-bit at 4dp), mean chars, and the empty-text fraction
+    (NULL or zero tokens).
+
+    Scale shape: token counts are a JVM projection; the profile is one
+    map-side-combined groupBy(group_col) — a single shuffle whose key
+    cardinality is the number of sources, with rows combined per
+    partition first. Exact percentiles collect each group's count-array
+    onto its reducer, which is safe while any single source's doc count
+    fits a reducer (true by construction when pack_shards runs at all);
+    swap percentile -> percentile_approx for pathological single-source
+    corpora.
+    """
+    t = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(tokens_col(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "n_tokens"
+        ),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+    )
+    return (
+        t.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_sum"),
+            F.avg("n_tokens").alias("tokens_avg"),
+            F.expr("percentile(n_tokens, 0.5)").alias("tokens_p50"),
+            F.expr("percentile(n_tokens, 0.95)").alias("tokens_p95"),
+            F.avg("n_chars").alias("chars_avg"),
+            F.avg((F.col("n_tokens") == 0).cast("double")).alias(
+                "empty_frac"
+            ),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -430,3 +430,28 @@ def test_chunk_docs_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_docs(docs, max_tokens=4, overlap=4)
+
+
+def test_corpus_profile_exact_stats(spark):
+    from open_source_search_engine_spark.operators.text_analysis import (
+        corpus_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "a b c d e", "s1"),
+            (3, "", "s1"),
+            (4, None, "s2"),
+            (5, "x y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in corpus_profile(docs).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["tokens_sum"] == 8
+    assert s1["tokens_p50"] == 3.0  # exact interpolated median of [0,3,5]
+    assert s1["empty_frac"] == 1 / 3
+    s2 = out["s2"]
+    assert s2["n_docs"] == 2 and s2["tokens_sum"] == 2
+    assert s2["empty_frac"] == 0.5  # NULL text counts as empty
