@@ -201,6 +201,8 @@ def main() -> None:
         # round 5 (final): gigabits — related-topic terms from the page;
         # one-pass per-source corpus report card
         "related", "corpus_profile",
+        # round 5 (final): conversation/group-level ranking
+        "grouped_topk",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -517,6 +517,22 @@ def q_spell_fallback(spark, sf_dir):
     )
 
 
+def q_grouped_topk(spark, sf_dir):
+    # group-level ranking: rank SOURCES (conversations in the transcript
+    # domain) by total BM25 mass of their matching docs, with each
+    # group's best member — J5 top-k -> cluster recs read in the group
+    # direction; one map-side-combined groupBy, best member via max_by
+    eng = engine_for(spark, sf_dir)
+    out = eng.search_grouped(["merge", "vector"], "source", k=10, agg="sum")
+    return out.select(
+        "group",
+        F.round("group_score", 4).alias("group_score"),
+        "n_matching",
+        "best_doc_id",
+        F.round("best_score", 4).alias("best_score"),
+    )
+
+
 def q_corpus_profile(spark, sf_dir):
     # per-source corpus report card in ONE map-side-combined aggregation:
     # doc count, token sum/avg, exact interpolated p50/p95, chars avg,
@@ -1443,6 +1459,7 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "grouped_topk": q_grouped_topk,
     "corpus_profile": q_corpus_profile,
     "related": q_related,
     "dedup_survivors": q_dedup_survivors,
@@ -2734,6 +2751,28 @@ WITH RECURSIVE {_CLUSTER_CTES}
 SELECT l.doc_id, l.cluster_id, CAST(cs.n AS BIGINT) AS cluster_size
 FROM lab l JOIN cs ON cs.cid = l.cluster_id
 WHERE cs.n > 1 ORDER BY l.doc_id LIMIT 300
+""",
+    # group-level ranking: sum of member BM25 per source + best member
+    # ((score DESC, doc_id ASC) argmax via window)
+    "grouped_topk": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+g AS (
+  SELECT d.source AS grp, s.s, s.doc_id
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+aggd AS (
+  SELECT grp, sum(s) AS group_score, count(*) AS n_matching FROM g GROUP BY grp
+),
+best AS (
+  SELECT grp, doc_id AS best_doc_id, s AS best_score,
+         row_number() OVER (PARTITION BY grp ORDER BY s DESC, doc_id ASC) AS rn
+  FROM g
+)
+SELECT a.grp AS "group", round(a.group_score, 4) AS group_score,
+       CAST(a.n_matching AS BIGINT) AS n_matching,
+       b.best_doc_id, round(b.best_score, 4) AS best_score
+FROM aggd a JOIN best b ON b.grp = a.grp AND b.rn = 1
+ORDER BY a.group_score DESC, a.grp ASC LIMIT 10
 """,
     # per-source report card; quantile_cont == Spark's exact interpolated
     # `percentile`, so the distribution columns hash-match at 4dp

@@ -2018,6 +2018,74 @@ class SearchEngine:
             .orderBy("rank")
         )
 
+    def search_grouped(
+        self,
+        query_terms: list[str],
+        group_col: str,
+        k: int = 10,
+        mode: str = "AND",
+        agg: str = "sum",
+        exclude_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """Group-level ranking: score GROUPS (conversations, sources,
+        sites) by their matching member docs and return the top-k groups
+        with each group's best member. For the transcript domain this is
+        "find the best CONVERSATION, not just the best turn" — the
+        inverse of the per-source cap (A6 caps members inside the doc
+        ranking; this ranks the groups themselves, the Clusterdb
+        site-cluster aggregation read in the other direction,
+        `Clusterdb.h`; J5's top-k → cluster recs).
+
+        ``agg``: 'sum' (total relevance mass — long matching groups win)
+        or 'max' (best single member — spike quality wins). Output:
+        (group, group_score, n_matching, best_doc_id, best_score),
+        ordered group_score DESC, group ASC.
+
+        Scale shape: score_terms' full match set (never globally sorted)
+        joins the doc store's (doc_id, group) — column-pruned — then ONE
+        map-side-combined groupBy(group_col); the best-member pair rides
+        the same aggregation as a max_by struct, so there is no second
+        window/shuffle. Top-k via TakeOrderedAndProject.
+        """
+        if agg not in ("sum", "max"):
+            raise ValueError("agg must be 'sum' or 'max'")
+        scored = self.score_terms(
+            query_terms, mode, exclude_terms=exclude_terms
+        )
+        grp = self.catalog.read_table("documents").select(
+            "doc_id", F.col(group_col).alias("group")
+        )
+        joined = scored.join(grp, "doc_id")
+        gscore = (
+            F.sum("score") if agg == "sum" else F.max("score")
+        ).alias("group_score")
+        # best member = (score DESC, doc_id ASC) argmax; doc_id is
+        # negated inside the comparator struct so one max_by gives the
+        # deterministic tie-break without a window
+        best = F.max(
+            F.struct(
+                F.col("score").alias("s"),
+                (-F.col("doc_id")).alias("nd"),
+            )
+        ).alias("_best")
+        return (
+            joined.groupBy("group")
+            .agg(
+                gscore,
+                F.count(F.lit(1)).cast("long").alias("n_matching"),
+                best,
+            )
+            .select(
+                "group",
+                "group_score",
+                "n_matching",
+                (-F.col("_best.nd")).cast("long").alias("best_doc_id"),
+                F.col("_best.s").alias("best_score"),
+            )
+            .orderBy(F.desc("group_score"), F.asc("group"))
+            .limit(k)
+        )
+
     def related_terms(
         self,
         query_terms: list[str],

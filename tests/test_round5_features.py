@@ -382,3 +382,54 @@ def test_related_terms_gigabits(eng):
     assert tf == t0["tf_page"]
     idf = math.log((eng.n_docs - t0["df"] + 0.5) / (t0["df"] + 0.5) + 1.0)
     assert t0["score"] == pytest.approx(tf * idf, rel=1e-12)
+
+
+def test_search_grouped_conversation_ranking(eng):
+    # group-level ranking over the transcript doc store: groups scored by
+    # total/max member BM25; best member is the (score DESC, doc_id ASC)
+    # argmax; identity vs a manual score_terms + groupBy composition
+    from pyspark.sql import functions as F
+
+    out = eng.search_grouped(["spark", "index"], "role", k=5, agg="sum")
+    rows = out.collect()
+    assert rows
+    scored = eng.score_terms(["spark", "index"], "AND")
+    docs = eng.catalog.read_table("documents").select("doc_id", "role")
+    manual = (
+        scored.join(docs, "doc_id")
+        .groupBy("role")
+        .agg(F.sum("score").alias("gs"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("gs"), F.asc("role"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r["group"], round(r["group_score"], 9), r["n_matching"]) for r in rows] == [
+        (m["role"], round(m["gs"], 9), m["n"]) for m in manual
+    ]
+    # best member really is the group's top-(score, doc_id) doc
+    per_doc = {
+        r["doc_id"]: r["score"]
+        for r in scored.join(docs, "doc_id").collect()
+    }
+    role_of = {
+        r["doc_id"]: r["role"]
+        for r in docs.collect()
+        if r["doc_id"] in per_doc
+    }
+    for r in rows:
+        members = [
+            (s, -d) for d, s in per_doc.items() if role_of[d] == r["group"]
+        ]
+        bs, nd = max(members)
+        assert (r["best_doc_id"], round(r["best_score"], 9)) == (
+            -nd,
+            round(bs, 9),
+        )
+    # max mode: group_score equals best_score everywhere
+    mx = eng.search_grouped(["spark", "index"], "role", k=5, agg="max")
+    for r in mx.collect():
+        assert r["group_score"] == r["best_score"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.search_grouped(["spark"], "role", agg="median")
