@@ -201,8 +201,9 @@ def main() -> None:
         # round 5 (final): gigabits — related-topic terms from the page;
         # one-pass per-source corpus report card
         "related", "corpus_profile",
-        # round 5 (final): conversation/group-level ranking
-        "grouped_topk",
+        # round 5 (final): conversation/group-level ranking; hit-turn
+        # context expansion
+        "grouped_topk", "context",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

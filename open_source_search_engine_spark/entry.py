@@ -517,6 +517,24 @@ def q_spell_fallback(spark, sf_dir):
     )
 
 
+def q_context(spark, sf_dir):
+    # context expansion: the +-1 neighborhood of each hit within its
+    # group (on transcripts: surrounding turns of the conversation; here
+    # the documents table's sequence is doc_id within source) — hit side
+    # broadcast, doc-store scan never shuffles
+    from .operators.snippets import expand_context
+
+    eng = engine_for(spark, sf_dir)
+    hits = eng.search_terms(["merge", "vector"], "AND", 5).select("doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    docs = documents(spark, sf_dir).withColumn(
+        "seq", F.row_number().over(w).cast("long")
+    )
+    return expand_context(
+        docs, hits, group_col="source", seq_col="seq", before=1, after=1
+    ).orderBy("hit_doc_id", "offset", "doc_id")
+
+
 def q_grouped_topk(spark, sf_dir):
     # group-level ranking: rank SOURCES (conversations in the transcript
     # domain) by total BM25 mass of their matching docs, with each
@@ -1459,6 +1477,7 @@ QUERIES = {
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
     "batch_boosted": q_batch_boosted,
+    "context": q_context,
     "grouped_topk": q_grouped_topk,
     "corpus_profile": q_corpus_profile,
     "related": q_related,
@@ -2751,6 +2770,26 @@ WITH RECURSIVE {_CLUSTER_CTES}
 SELECT l.doc_id, l.cluster_id, CAST(cs.n AS BIGINT) AS cluster_size
 FROM lab l JOIN cs ON cs.cid = l.cluster_id
 WHERE cs.n > 1 ORDER BY l.doc_id LIMIT 300
+""",
+    # context expansion: +-1 neighborhood within the hit's source, seq =
+    # rank of doc_id within source (the transcript turn_idx analog)
+    "context": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+page AS (SELECT doc_id FROM scored ORDER BY s DESC, doc_id ASC LIMIT 5),
+seqd AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
+  FROM documents
+),
+h AS (
+  SELECT d.doc_id AS hit_doc_id, d.source AS hg, d.seq AS hs
+  FROM seqd d JOIN page p ON p.doc_id = d.doc_id
+)
+SELECT h.hit_doc_id, n.doc_id, CAST(n.seq - h.hs AS BIGINT) AS "offset",
+       n.source, CAST(n.seq AS BIGINT) AS seq, n.text
+FROM seqd n JOIN h ON n.source = h.hg
+WHERE n.seq BETWEEN h.hs - 1 AND h.hs + 1
+ORDER BY h.hit_doc_id, "offset", n.doc_id
 """,
     # group-level ranking: sum of member BM25 per source + best member
     # ((score DESC, doc_id ASC) argmax via window)

@@ -161,3 +161,62 @@ def snippets_for_topk(
             "snippet", "highlighted",
         )
     )
+
+
+def expand_context(
+    docs: DataFrame,
+    hits: DataFrame,
+    group_col: str = "conv_id",
+    seq_col: str = "turn_idx",
+    before: int = 1,
+    after: int = 1,
+) -> DataFrame:
+    """Context expansion for a result page: every doc within ``before``/
+    ``after`` sequence positions of a hit, in the hit's group — for
+    transcripts, the surrounding turns of the same conversation that a
+    result UI shows around the matching turn (the reference's result
+    rendering pulls the neighborhood of the match from the doc store the
+    same way its summary path does, `Msg20` per-result fetch; this is
+    that fetch widened to the (conv_id, turn_idx) neighborhood).
+
+    ``hits`` is a small frame with at least (doc_id); rows are joined
+    back to the doc store for their (group, seq) coordinates, then the
+    neighborhood is an equi-join on ``group_col`` with a range filter on
+    ``seq_col`` — the hit side is broadcast, so the doc-store scan never
+    shuffles and group-partition pruning applies when the store is
+    partitioned by group. A doc neighboring two hits appears once per
+    hit (callers see per-hit context blocks); offset = neighbor_seq −
+    hit_seq, 0 for the hit itself.
+
+    Output: (hit_doc_id, doc_id, offset, <group_col>, <seq_col>, text),
+    ordered by (hit_doc_id, offset).
+    """
+    if before < 0 or after < 0:
+        raise ValueError("before/after must be >= 0")
+    h = (
+        docs.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("hit_doc_id"),
+            F.col(group_col).alias("_hg"),
+            F.col(seq_col).alias("_hs"),
+        )
+    )
+    n = docs.select(
+        "doc_id", F.col(group_col).alias("_hg"), F.col(seq_col), "text"
+    )
+    return (
+        n.join(F.broadcast(h), "_hg")
+        .filter(
+            (F.col(seq_col) >= F.col("_hs") - F.lit(int(before)))
+            & (F.col(seq_col) <= F.col("_hs") + F.lit(int(after)))
+        )
+        .select(
+            "hit_doc_id",
+            "doc_id",
+            (F.col(seq_col) - F.col("_hs")).cast("long").alias("offset"),
+            F.col("_hg").alias(group_col),
+            F.col(seq_col).cast("long").alias(seq_col),
+            "text",
+        )
+        .orderBy("hit_doc_id", "offset")
+    )

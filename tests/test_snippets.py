@@ -59,3 +59,47 @@ def test_anchored_equals_enumeration_random(spark):
         if b is not None:
             expect[i] = b
     assert got == expect
+
+
+def test_expand_context_turn_neighborhood(spark):
+    # context expansion on the transcript doc unit: hit turn +-1 within
+    # the same conversation; edges clamp (turn 0 has no -1 row); a hit
+    # neighboring another hit appears once per hit
+    from open_source_search_engine_spark.operators.index_build import (
+        transcripts_to_docs,
+    )
+    from open_source_search_engine_spark.operators.snippets import (
+        expand_context,
+    )
+    from open_source_search_engine_spark.sources.transcripts import (
+        synth_transcripts,
+    )
+
+    docs = transcripts_to_docs(synth_transcripts(spark, 300))
+    meta = {
+        r["doc_id"]: (r["conv_id"], r["turn_idx"], r["text"])
+        for r in docs.collect()
+    }
+    # pick a mid-conversation turn and a turn-0 edge case
+    mid = next(d for d, (c, t, _) in meta.items() if t == 2)
+    edge = next(d for d, (c, t, _) in meta.items() if t == 0)
+    hits = spark.createDataFrame([(mid,), (edge,)], "doc_id long")
+    out = expand_context(docs, hits, "conv_id", "turn_idx", 1, 1).collect()
+    by_hit = {}
+    for r in out:
+        by_hit.setdefault(r["hit_doc_id"], []).append(r)
+    mid_rows = sorted(by_hit[mid], key=lambda r: r["offset"])
+    assert [r["offset"] for r in mid_rows] == [-1, 0, 1]
+    for r in mid_rows:
+        assert meta[r["doc_id"]][0] == meta[mid][0]  # same conversation
+        assert meta[r["doc_id"]][1] == meta[mid][1] + r["offset"]
+        assert r["text"] == meta[r["doc_id"]][2]
+    edge_offsets = sorted(r["offset"] for r in by_hit[edge])
+    assert edge_offsets[0] == 0  # no turn before 0
+    # before=after=0 degenerates to the hits themselves
+    only = expand_context(docs, hits, "conv_id", "turn_idx", 0, 0).collect()
+    assert sorted(r["doc_id"] for r in only) == sorted([mid, edge])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expand_context(docs, hits, "conv_id", "turn_idx", -1, 1)
