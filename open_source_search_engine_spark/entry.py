@@ -602,6 +602,49 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_more_like_this(spark, sf_dir):
+    # related-docs serving (the reference's related-pages flow: mine the
+    # seed result's topic terms, re-enter the query path with them,
+    # Msg40.cpp:1545 gigabit vector): seed doc 7's top-5 tf x idf
+    # keywords -> BM25 OR query, seed excluded from the page
+    eng = engine_for(spark, sf_dir)
+    return _ranked(eng.more_like_this(7, top_terms=5, k=10), 10)
+
+
+def q_count_only(spark, sf_dir):
+    # total-hits counting (Msg40 getNumTotalHits; the SERP's "about N
+    # results"): docs matching ALL vs ANY of the terms, one aggregation,
+    # exact (the reference serves a list-size ESTIMATE here)
+    eng = engine_for(spark, sf_dir)
+    return eng.count_matches(["merge", "sort", "vector"])
+
+
+def q_df_histogram(spark, sf_dir):
+    # index telemetry (PageStats.cpp termlist distribution): the term
+    # dictionary's df distribution in log2 buckets — integer bucket
+    # arithmetic (length(bin(df)) - 1), no float log
+    eng = engine_for(spark, sf_dir)
+    return eng.df_histogram()
+
+
+def q_collocations(spark, sf_dir):
+    # document-level PMI collocations over a bounded mid-frequency vocab
+    # (corpus generalization of Msg40's gigabit pairing): band is
+    # integer-relative to corpus size — df in [ceil(n/100), floor(9n/10)]
+    docs = documents(spark, sf_dir)
+    n = docs.count()
+    return text_analysis.collocations(
+        docs,
+        df_min=(n + 99) // 100,
+        df_max=(9 * n) // 10,
+        vocab_k=30,
+        top_k=20,
+    ).select(
+        "term_a", "term_b", "df_ab", "df_a", "df_b",
+        F.round("pmi", 4).alias("pmi"),
+    )
+
+
 def q_chunk_docs(spark, sf_dir):
     # fixed-token-window chunking with overlap (the unit-of-work split a
     # training/embedding pipeline applies before tokenizer-bound models);
@@ -1473,6 +1516,10 @@ QUERIES = {
     # -- round-5 additions + r5-CHANGED code: lead so CORRECTNESS_r05
     #    covers them (wand gained the literal-map/lazy fast path, lang_id
     #    gained the confidence-margin column this round) -----------------
+    "more_like_this": q_more_like_this,
+    "count_only": q_count_only,
+    "df_histogram": q_df_histogram,
+    "collocations": q_collocations,
     "bm25_lang_boost": q_bm25_lang_boost,
     "bm25_field_boost": q_bm25_field_boost,
     "wand_field_boost": q_wand_field_boost,
@@ -2213,6 +2260,94 @@ ORDER BY id_a, id_b LIMIT {k}
 
 
 ORACLES: dict[str, str] = {
+    # more-like-this: seed doc 7's top-5 tf x BM25-idf keywords (kscore
+    # DESC, term ASC), then plain BM25 OR over those keywords with the
+    # seed excluded from the RESULT SET only (global stats keep it)
+    "more_like_this": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+seedtf AS (
+  SELECT term, count(*) AS tf FROM tok WHERE doc_id = 7 GROUP BY term
+),
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+kw AS (
+  SELECT s.term, g.df
+  FROM seedtf s JOIN gdf g USING (term) CROSS JOIN corpus c
+  ORDER BY s.tf * ln((c.n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) DESC,
+           s.term ASC
+  LIMIT 5
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM tok t JOIN kw USING (term)
+  WHERE t.doc_id <> 7
+  GROUP BY t.doc_id, t.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((c.n_docs - kw.df + 0.5) / (kw.df + 0.5) + 1.0)
+              * (tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT}
+                    * (1.0 - {B_DEFAULT}
+                       + {B_DEFAULT} * dl.dl / c.avgdl))) ) AS s,
+         count(*) AS matched
+  FROM tf
+  JOIN kw USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
+""",
+    # total-hits: AND and OR match counts in one aggregate over the same
+    # scored frame the SERP uses
+    "count_only": f"""
+WITH {_bm25_ctes(["merge", "sort", "vector"], "OR")}
+SELECT CAST(3 AS BIGINT) AS n_terms,
+       CAST(count(*) FILTER (WHERE matched = 3) AS BIGINT) AS n_and,
+       CAST(count(*) AS BIGINT) AS n_or
+FROM scored
+""",
+    # df histogram: log2 buckets via integer arithmetic (length of the
+    # binary representation minus 1 == floor(log2) with no float rounding)
+    "df_histogram": f"""
+WITH {_TOKS}, {_TOK},
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+       CAST(1 << (length(bin(df)) - 1) AS BIGINT) AS lo,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM gdf GROUP BY 1, 2 ORDER BY bucket
+""",
+    # collocations: doc-level PMI over the top-30 mid-band vocabulary;
+    # band bounds are integer-relative to corpus size on BOTH sides
+    "collocations": f"""
+WITH {_TOKS},
+dts AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+nd AS (SELECT count(*) AS n FROM documents),
+gdf AS (SELECT term, count(*) AS df FROM dts GROUP BY term),
+vocab AS (
+  SELECT g.term, g.df FROM gdf g CROSS JOIN nd
+  WHERE g.df >= (nd.n + 99) // 100 AND g.df <= (9 * nd.n) // 10
+  ORDER BY g.df DESC, g.term ASC LIMIT 30
+),
+hits AS (SELECT d.doc_id, d.term FROM dts d JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS df_ab
+  FROM hits a JOIN hits b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, CAST(p.df_ab AS BIGINT) AS df_ab,
+       CAST(va.df AS BIGINT) AS df_a, CAST(vb.df AS BIGINT) AS df_b,
+       round(ln(nd.n * p.df_ab / (va.df * CAST(vb.df AS DOUBLE))), 4) AS pmi
+FROM pairs p
+JOIN vocab va ON va.term = p.term_a
+JOIN vocab vb ON vb.term = p.term_b
+CROSS JOIN nd
+ORDER BY df_ab DESC, term_a ASC, term_b ASC LIMIT 20
+""",
     "bm25_multiword_synonym": _multiword_synonym_sql("merge", "sort", 10, 0.9),
     "bm25_plural": f"""
 WITH {_bm25_ctes(["table", "join"], "AND", weight=0.9)}

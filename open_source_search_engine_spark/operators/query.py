@@ -2147,6 +2147,124 @@ class SearchEngine:
             .limit(int(top_terms))
         )
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        top_terms: int = 5,
+        k: int = 10,
+    ) -> DataFrame:
+        """Related-docs serving ("more like this") — the reference's
+        related-pages flow re-queries with terms mined from a seed result
+        (`Msg40.cpp:1545` gigabit vector; PageResults' related-pages link
+        re-enters the query path with them). Two steps, both on existing
+        engine machinery:
+
+        1. **Seed keywords**: tokenize the STORED seed doc (one row from
+           the doc store — the reference refetches the title rec the same
+           way, `Msg20` by docid), weight each distinct term by
+           tf(seed) × the engine's BM25 idf from term_stats, keep the top
+           ``top_terms`` (score DESC, term ASC — deterministic).
+        2. **Re-query**: a normal BM25 OR query over those keywords with
+           the seed itself excluded from the result set.
+
+        Scale shape: step 1 touches ONE doc-store row (driver-side
+        tokenize of a single text, like the speller's query handling) and
+        ``top_terms`` term_stats lookups through the memoized plan cache;
+        step 2 is the ordinary partition-pruned top-k. Nothing scans the
+        corpus outside the final scoring job.
+        """
+        rows = (
+            self.catalog.read_table("documents")
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .collect()
+        )
+        schema = "doc_id long, score double, matched int"
+        if not rows or not rows[0]["text"]:
+            return self.spark.createDataFrame([], schema)
+        toks = self.tokenize_query(rows[0]["text"])
+        if not toks:
+            return self.spark.createDataFrame([], schema)
+        from collections import Counter
+
+        tf = Counter(toks)
+        plan = self.plan_terms(list(tf))  # (term, df, idf, ...) pandas
+        if plan.empty:
+            return self.spark.createDataFrame([], schema)
+        plan = plan.assign(
+            kscore=[
+                tf[t] * i for t, i in zip(plan["term"], plan["idf"])
+            ]
+        ).sort_values(
+            ["kscore", "term"], ascending=[False, True], kind="mergesort"
+        )
+        sel = list(plan["term"].head(int(top_terms)))
+        return (
+            self.score_terms(sel, "OR")
+            .filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
+    def count_matches(self, query_terms: list[str]) -> DataFrame:
+        """Total-hits counting — the reference's "results 1-10 of about N"
+        figure (`Msg40.cpp` getNumTotalHits; PageResults renders it on
+        every SERP). One row: (n_terms, n_and, n_or) — how many docs match
+        ALL the query terms and how many match ANY, in ONE aggregation
+        over the same scoring frame the SERP uses (tombstones, segment
+        read-repair and salting all inherited for free).
+
+        Scale shape: partition-pruned postings scan + a map-side-combined
+        count — no top-k, no sort, no data rows to the driver. The full
+        agg is exact, unlike the reference's page-map ESTIMATE
+        (`Posdb.cpp` getTermFreq reads list sizes) — Spark makes the exact
+        count as cheap as the estimate, so there is no reason to guess.
+        """
+        uniq = sorted(set(query_terms))
+        n = len(uniq)
+        scored = self.score_terms(uniq, "OR")
+        return scored.agg(
+            F.lit(n).cast("long").alias("n_terms"),
+            F.count(F.when(F.col("matched") == n, 1)).alias("n_and"),
+            F.count(F.lit(1)).alias("n_or"),
+        )
+
+    def df_histogram(self) -> DataFrame:
+        """Index telemetry: the term-dictionary's document-frequency
+        distribution in log2 buckets — the reference's stats page renders
+        exactly this shape of termlist telemetry (`PageStats.cpp` prints
+        Posdb record/list distribution; `Rdb` exposes per-base list
+        counts). Pipeline use: choosing stopword/salting cutoffs and
+        spotting dictionary bloat (a fat tail of df=1 terms is OCR noise
+        or PII leakage).
+
+        Output per bucket b (df in [2^b, 2^(b+1))): lo = 2^b, n_terms,
+        sum_df (total postings those terms contribute). The bucket index
+        is integer arithmetic — length(bin(df)) - 1 — NOT floor(log2(df)),
+        whose float rounding at exact powers of two differs by backend.
+
+        Scale shape: one map-side-combined agg over term_stats (already
+        tiny next to postings); no joins, no window.
+        """
+        ts = self._term_stats.select("term", "df")
+        bucket = (F.length(F.bin(F.col("df"))) - 1).cast("long")
+        return (
+            ts.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("df").alias("sum_df"),
+            )
+            .select(
+                "bucket",
+                F.expr("shiftleft(1L, cast(bucket AS int))")
+                .cast("long")
+                .alias("lo"),
+                F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("sum_df").cast("long").alias("sum_df"),
+            )
+            .orderBy("bucket")
+        )
+
     def search_query(
         self,
         query: str,

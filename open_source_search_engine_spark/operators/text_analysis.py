@@ -661,3 +661,117 @@ def corpus_profile(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    df_min: int = 5,
+    df_max: int = 200,
+    vocab_k: int = 50,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus collocation mining: which mid-frequency term PAIRS co-occur
+    in the same doc far more than chance. The corpus-level generalization
+    of the reference's gigabit pairing (`Msg40.cpp:1545` builds related
+    TOPIC terms per result page; `Query.cpp` pairs adjacent query words
+    into phrase terms) — here the association is measured globally with
+    document-level PMI, the standard collocation statistic:
+
+        pmi(a, b) = ln(n_docs * df_ab / (df_a * df_b))
+
+    Pipeline use: vocabulary health checks (boilerplate phrases surface as
+    extreme-PMI pairs), tokenizer-merge candidates, topic seeds.
+
+    **Bounded by construction** (the 100 TB contract): pairs are generated
+    only within a ``vocab_k``-term mid-frequency vocabulary (df in
+    [df_min, df_max], top df then term asc — deterministic), so a doc
+    contributes at most C(min(dl, vocab_k), 2) pairs and the pair keyspace
+    is <= C(vocab_k, 2) ~ 1.2k groups. The vocabulary is selected with
+    TakeOrderedAndProject (never a global sort) and BROADCAST back into
+    the corpus scan; pair generation is a per-doc array projection
+    (sorted distinct vocab hits -> upper-triangle pairs via nested
+    transform), NOT a self-join, so the only shuffles are the df
+    aggregation and the tiny pair-count aggregation.
+
+    Output: (term_a, term_b, df_ab, df_a, df_b, pmi) ordered
+    df_ab DESC, term_a ASC, term_b ASC, limited to ``top_k``.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("ts"),
+    )
+    n_docs = docs.count()
+    gdf = toks.select(
+        F.explode("ts").alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        gdf.filter(
+            (F.col("df") >= int(df_min)) & (F.col("df") <= int(df_max))
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(vocab_k))
+    )
+    vset = F.broadcast(vocab)
+    # per-doc sorted vocab hits -> upper-triangle pairs, JVM-side
+    hits = (
+        toks.select("doc_id", F.explode("ts").alias("term"))
+        .join(vset.select("term"), "term", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("term")).alias("vs"))
+        .filter(F.size("vs") >= 2)
+    )
+    pairs = hits.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("vs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("vs"),
+                            i + F.lit(2),
+                            F.greatest(
+                                F.size(F.col("vs")) - i - F.lit(1), F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("term_a"), y.alias("term_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.term_a", "p.term_b")
+    cnt = pairs.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("df_ab")
+    )
+    da = vset.select(
+        F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    db = vset.select(
+        F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    out = (
+        cnt.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            F.col("df_ab").cast("long").alias("df_ab"),
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.log(
+                F.lit(float(n_docs))
+                * F.col("df_ab").cast("double")
+                / (
+                    F.col("df_a").cast("double")
+                    * F.col("df_b").cast("double")
+                )
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(
+        F.desc("df_ab"), F.asc("term_a"), F.asc("term_b")
+    ).limit(int(top_k))
