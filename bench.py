@@ -207,6 +207,9 @@ def main() -> None:
         # round 5 (session 3): related-docs serving, exact total-hits
         # counting, dictionary df telemetry, PMI collocation mining
         "more_like_this", "count_only", "df_histogram", "collocations",
+        # round 5 (session 3): dictionary-driven wildcard expansion,
+        # in-order sloppy phrase (NEAR)
+        "prefix_search", "near_phrase",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -602,6 +602,34 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_prefix_search(spark, sf_dir):
+    # wildcard term: 's*' expands IN THE DICTIONARY to the top-4 terms by
+    # df (desc, term asc) and scores as one vote group (J2 machinery,
+    # synonym-group semantics); AND with the literal 'merge' group. The
+    # tight max_expansions proves the bound binds (the corpus has more
+    # than four s-terms).
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_prefix(["s*", "merge"], "AND", 10, max_expansions=4), 10
+    )
+
+
+def q_near_phrase(spark, sf_dir):
+    # in-order sloppy phrase: 'vector' within 3 tokens AFTER 'merge'
+    # (slop=1 would be the exact phrase); BM25 AND score with the observed
+    # min gap attached
+    eng = engine_for(spark, sf_dir)
+    out = eng.search_near("merge", "vector", slop=3, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("matched").cast("long").alias("matched"),
+        F.col("min_gap").cast("long").alias("min_gap"),
+    ).orderBy("rank")
+
+
 def q_more_like_this(spark, sf_dir):
     # related-docs serving (the reference's related-pages flow: mine the
     # seed result's topic terms, re-enter the query path with them,
@@ -1516,6 +1544,8 @@ QUERIES = {
     # -- round-5 additions + r5-CHANGED code: lead so CORRECTNESS_r05
     #    covers them (wand gained the literal-map/lazy fast path, lang_id
     #    gained the confidence-margin column this round) -----------------
+    "prefix_search": q_prefix_search,
+    "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
     "count_only": q_count_only,
     "df_histogram": q_df_histogram,
@@ -2260,6 +2290,67 @@ ORDER BY id_a, id_b LIMIT {k}
 
 
 ORACLES: dict[str, str] = {
+    # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
+    # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
+    # the literal 'merge' group; matched counts GROUPS
+    "prefix_search": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+exp AS (
+  SELECT term, df FROM gdf WHERE term LIKE 's%'
+  ORDER BY df DESC, term ASC LIMIT 4
+),
+mem AS (
+  SELECT term, df, 's*' AS grp FROM exp
+  UNION ALL
+  SELECT term, df, 'merge' AS grp FROM gdf WHERE term = 'merge'
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM tok t JOIN mem USING (term) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tf.doc_id, m.grp,
+         ln((c.n_docs - m.df + 0.5) / (m.df + 0.5) + 1.0)
+         * (tf.tf * ({K1_DEFAULT} + 1.0)
+            / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+               + {B_DEFAULT} * dl.dl / c.avgdl))) AS c
+  FROM tf JOIN mem m USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id, sum(c) AS s, count(DISTINCT grp) AS matched
+  FROM contrib GROUP BY doc_id
+  HAVING count(DISTINCT grp) = 2
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
+""",
+    # in-order sloppy phrase: 'vector' 1..3 token positions after 'merge';
+    # ranked by the plain two-term BM25 AND score, min in-order gap
+    # attached (token ordinals are 1-based here, 0-based in the engine —
+    # the DIFFERENCE is base-independent)
+    "near_phrase": f"""
+WITH {_bm25_ctes(["merge", "vector"], "AND")},
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS p
+  FROM toks
+),
+near AS (
+  SELECT a.doc_id, min(b.p - a.p) AS min_gap
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND a.term = 'merge' AND b.term = 'vector'
+   AND b.p - a.p BETWEEN 1 AND 3
+  GROUP BY a.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, s.doc_id ASC) AS BIGINT) AS rank,
+       s.doc_id, round(s.s, 4) AS score, CAST(s.matched AS BIGINT) AS matched,
+       CAST(n.min_gap AS BIGINT) AS min_gap
+FROM scored s JOIN near n ON n.doc_id = s.doc_id
+ORDER BY rank LIMIT 10
+""",
     # more-like-this: seed doc 7's top-5 tf x BM25-idf keywords (kscore
     # DESC, term ASC), then plain BM25 OR over those keywords with the
     # seed excluded from the RESULT SET only (global stats keep it)

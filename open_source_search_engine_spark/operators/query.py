@@ -2265,6 +2265,123 @@ class SearchEngine:
             .orderBy("bucket")
         )
 
+    def search_prefix(
+        self,
+        patterns: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        max_expansions: int = 16,
+    ) -> DataFrame:
+        """Prefix/wildcard query terms: ``"pre*"`` expands to the top
+        ``max_expansions`` dictionary terms sharing the prefix (df DESC,
+        term ASC — most selective-by-volume first, deterministic) and the
+        expansion scores as ONE vote group through the J2 machinery
+        (`_vote_group_scores`), exactly like a synonym group: OR within
+        the group, the query's AND/OR across groups, matched counts
+        groups. A pattern without ``*`` is its own single-member group.
+
+        Beyond the reference's query grammar (Gigablast expands synonyms
+        and word forms, `Synonyms.cpp:59`, but has no wildcard); the
+        expansion reuses that exact vote-group scoring so a prefix behaves
+        like a dictionary-derived synonym set.
+
+        Scale shape: expansion happens in the term DICTIONARY only —
+        a pushed-down StartsWith filter on term_stats (tiny next to
+        postings) + TakeOrderedAndProject, collecting <= max_expansions
+        rows per pattern to the driver (plan metadata, same order as
+        plan_terms). The postings scan stays partition-pruned to the
+        expanded terms; an unmatched prefix under AND yields an empty
+        page (same contract as an absent term).
+        """
+        groups: dict[str, list[tuple[str, float]]] = {}
+        for pat in sorted(set(patterns)):
+            if pat.endswith("*") and len(pat) > 1:
+                pre = pat[:-1]
+                rows = (
+                    self._term_stats.filter(
+                        F.col("term").startswith(pre)
+                        & ~F.col("term").contains(" ")
+                    )
+                    .select("term", "df")
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expansions))
+                    .collect()
+                )
+                groups[pat] = [(r["term"], 1.0) for r in rows]
+            else:
+                groups[pat] = [(pat, 1.0)]
+        return (
+            self._vote_group_scores(groups, mode)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
+    def search_near(
+        self, w1: str, w2: str, slop: int = 3, k: int = 10
+    ) -> DataFrame:
+        """In-order sloppy phrase (NEAR): docs where ``w2`` occurs 1..slop
+        token positions AFTER ``w1``, ranked by the ordinary two-term BM25
+        AND score, with the observed minimum gap attached (slop=1 is the
+        exact adjacent phrase). The sliding-window generalization the
+        reference scores with (`PosdbTable.cpp:3404` works in exactly this
+        in-order pair-distance space) surfaced as a MATCHING predicate
+        instead of a rank bonus — the complement of search_proximity.
+
+        Scale shape: same as phrase_docs — partition-pruned positional
+        postings for the two terms only, ONE groupBy(doc_id) pivot, the
+        gap scan as a JVM array lambda over the per-doc position arrays
+        (O(tf1·tf2) per doc on in-memory ints; per-doc tfs are tiny), then
+        the standard restricted scoring job. No corpus scan, no Python.
+        """
+        self._require_positions("search_near")
+        if slop < 1:
+            raise ValueError("slop must be >= 1")
+        out_schema = "doc_id long, score double, matched int, min_gap int"
+        plan = self.plan_terms([w1, w2])
+        if len(plan) < len({w1, w2}):
+            return self.spark.createDataFrame([], out_schema)
+        tid = dict(zip(plan["term"], plan["term_id"]))
+        decoded = self.decoded_postings(
+            [int(t) for t in plan["term_id"]], include_positions=True
+        )
+        pivot = (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("term_id") == int(tid[w1]), F.col("positions")
+                    )
+                ).alias("p1"),
+                F.max(
+                    F.when(
+                        F.col("term_id") == int(tid[w2]), F.col("positions")
+                    )
+                ).alias("p2"),
+            )
+            .filter(F.col("p1").isNotNull() & F.col("p2").isNotNull())
+        )
+        gaps = F.flatten(
+            F.transform(
+                F.col("p1"),
+                lambda a: F.filter(
+                    F.transform(F.col("p2"), lambda b: b - a),
+                    lambda g: (g >= F.lit(1)) & (g <= F.lit(int(slop))),
+                ),
+            )
+        )
+        near = pivot.select(
+            "doc_id", F.array_min(gaps).alias("min_gap")
+        ).filter(F.col("min_gap").isNotNull())
+        scored = self.score_terms(
+            [w1, w2], "AND", filter_docs=near.select("doc_id")
+        )
+        return (
+            scored.join(near, "doc_id")
+            .select("doc_id", "score", "matched", "min_gap")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def search_query(
         self,
         query: str,

@@ -155,3 +155,69 @@ def test_collocations_band_excludes_out_of_range(spark):
     for r in out:
         assert "ubiq" not in (r["term_a"], r["term_b"])
         assert 2 <= r["df_a"] <= 10 and 2 <= r["df_b"] <= 10
+
+
+# ------------------------------------------------------------- prefix ----
+def test_prefix_expansion_matches_manual_groups(eng):
+    # manual expansion: top-3 dictionary terms by (df desc, term asc)
+    stats = sorted(
+        (
+            (r["term"], r["df"])
+            for r in eng._term_stats.select("term", "df").collect()
+            if r["term"].startswith("s") and " " not in r["term"]
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert len(stats) > 3, "need the bound to bind"
+    members = [(t, 1.0) for t, _ in stats[:3]]
+    manual = (
+        eng._vote_group_scores({"s*": members, "index": [("index", 1.0)]}, "AND")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    )
+    got = eng.search_prefix(["s*", "index"], "AND", 10, max_expansions=3).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+        (r["doc_id"], round(r["score"], 6)) for r in manual
+    ]
+    assert all(r["matched"] == 2 for r in got)
+
+
+def test_prefix_unmatched_under_and_is_empty(eng):
+    assert eng.search_prefix(["zzzz*", "index"], "AND", 10).collect() == []
+    # under OR the dead group drops out and the live one still serves
+    assert eng.search_prefix(["zzzz*", "index"], "OR", 10).collect() != []
+
+
+# --------------------------------------------------------------- near ----
+def test_near_matches_bruteforce_in_order_gap(eng):
+    slop = 3
+    out = {
+        r["doc_id"]: r["min_gap"]
+        for r in eng.search_near("spark", "index", slop=slop, k=10**6).collect()
+    }
+    docs = eng.catalog.read_table("documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        toks = _toks(r["text"])
+        p1 = [i for i, t in enumerate(toks) if t == "spark"]
+        p2 = [i for i, t in enumerate(toks) if t == "index"]
+        gaps = [b - a for a in p1 for b in p2 if 1 <= b - a <= slop]
+        if gaps:
+            expect[r["doc_id"]] = min(gaps)
+    assert out == expect
+
+
+def test_near_slop1_is_exact_phrase(eng):
+    near = {
+        r["doc_id"]
+        for r in eng.search_near("spark", "index", slop=1, k=10**6).collect()
+    }
+    phrase = {r["doc_id"] for r in eng.phrase_docs(["spark", "index"]).collect()}
+    assert near == phrase
+
+
+def test_near_guards(eng):
+    with pytest.raises(ValueError):
+        eng.search_near("spark", "index", slop=0)
+    assert eng.search_near("spark", "zzzznotaterm", slop=3).collect() == []
