@@ -289,3 +289,70 @@ def test_related_terms_page_restrict_is_broadcast(eng):
     # dictionary — no corpus-wide tokenization
     p = _physical(eng.related_terms(["spark", "index"], k_docs=5, top_terms=5))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_count_matches_is_single_partial_agg_no_sort(eng):
+    # the "about N results" figure: one map-side-combined aggregate over
+    # the pruned postings scan -- no top-k, no sort, no window
+    p = _physical(eng.count_matches(["spark", "index"]))
+    assert "HashAggregate" in p
+    assert "TakeOrderedAndProject" not in p and "Sort " not in p
+    assert "Window" not in p
+
+
+def test_df_histogram_no_joins(eng):
+    # dictionary telemetry never touches postings: a single aggregation
+    # over the term_stats scan, no joins of any kind
+    p = _physical(eng.df_histogram())
+    assert "Join" not in p
+    assert "term_stats" in p and "postings" not in p
+
+
+def test_prefix_expansion_pushes_startswith_to_dictionary(eng):
+    # the wildcard never scans postings for expansion: the StartsWith
+    # filter reaches the term_stats parquet scan
+    exp = (
+        eng._term_stats.filter(
+            eng._term_stats.term.startswith("s")
+        ).select("term", "df")
+    )
+    p = _physical(exp)
+    assert "PushedFilters" in p and "StringStartsWith" in p
+    # and the final page is still the partial-top-k shape
+    p2 = _physical(eng.search_prefix(["s*", "index"], "AND", 10, 3))
+    assert "TakeOrderedAndProject" in p2
+
+
+def test_near_scan_is_pruned_and_positions_read_once(eng):
+    # NEAR reads ONLY the two terms' blocks (term_id pushdown) and the
+    # positions payload appears in the postings ReadSchema (it needs it),
+    # while the scoring rescan does not re-read positions
+    df = eng.search_near("spark", "index", slop=3, k=10)
+    p = _physical(df)
+    assert "PushedFilters: [In(term_id" in p
+    scans = [
+        ln for ln in p.splitlines() if "postings" in ln and "ReadSchema" in ln
+    ]
+    assert scans
+    with_pos = [ln for ln in scans if "positions" in ln.split("ReadSchema")[1]]
+    without = [ln for ln in scans if "positions" not in ln.split("ReadSchema")[1]]
+    assert with_pos and without, "one positional scan + one score scan"
+
+
+def test_collocations_no_cartesian_or_sortmergejoin(spark):
+    # pair generation is a per-doc array projection, never a self-join:
+    # no cartesian product and no shuffle join keyed on doc_id pairs; the
+    # vocab joins back via broadcast
+    from open_source_search_engine_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 5} fill") for i in range(60)],
+        "doc_id long, text string",
+    )
+    p = _physical(collocations(docs, df_min=2, df_max=50, vocab_k=10, top_k=5))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # vocab + final top-k selections
