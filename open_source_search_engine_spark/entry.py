@@ -602,6 +602,59 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_hybrid_rerank(spark, sf_dir):
+    # two-stage hybrid serving: BM25 top-50 recall stage re-ranked by
+    # 0.5*bm25/max(page) + 0.5*cosine against vec_id 0's embedding (the
+    # wand_proximity over-fetch + re-rank skeleton with a dense signal);
+    # the <=m page broadcasts into the embedding table
+    eng = engine_for(spark, sf_dir)
+    emb = embeddings(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    out = similarity.hybrid_rerank(
+        eng, emb, ["merge", "vector"], qv, mode="AND", m=50, k=10, alpha=0.5
+    )
+    w = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
+    return out.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("hybrid", 4).alias("hybrid"),
+        F.round("bm25", 4).alias("bm25"),
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("rank")
+
+
+def q_rrf_fusion(spark, sf_dir):
+    # reciprocal-rank fusion (Cormack et al. 2009) of the lexical BM25
+    # top-20 and the dense cosine top-20: score = sum 1/(60 + rank);
+    # rank-based, so the two scales never need calibrating
+    eng = engine_for(spark, sf_dir)
+    emb = embeddings(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    lex = _ranked(eng.search_terms(["merge", "vector"], "AND", 20), 20).select(
+        "doc_id", "rank"
+    )
+    wd = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    dense = (
+        similarity.cosine_topk(emb, qv, k=20)
+        .withColumn("rank", F.row_number().over(wd).cast("long"))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    out = similarity.rrf_fuse([lex, dense], k=10, c=60)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return out.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("rrf", 6).alias("rrf"),
+        "n_lists",
+    ).orderBy("rank")
+
+
 def q_prefix_search(spark, sf_dir):
     # wildcard term: 's*' expands IN THE DICTIONARY to the top-4 terms by
     # df (desc, term asc) and scores as one vote group (J2 machinery,
@@ -1544,6 +1597,8 @@ QUERIES = {
     # -- round-5 additions + r5-CHANGED code: lead so CORRECTNESS_r05
     #    covers them (wand gained the literal-map/lazy fast path, lang_id
     #    gained the confidence-margin column this round) -----------------
+    "hybrid_rerank": q_hybrid_rerank,
+    "rrf_fusion": q_rrf_fusion,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -2290,6 +2345,53 @@ ORDER BY id_a, id_b LIMIT {k}
 
 
 ORACLES: dict[str, str] = {
+    # hybrid lexical->dense: BM25 top-50 page, re-ranked by
+    # alpha*bm25/max(page) + (1-alpha)*cosine vs vec_id 0's embedding
+    "hybrid_rerank": f"""
+WITH {_bm25_ctes(["merge", "vector"], "AND")},
+page AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id ASC LIMIT 50),
+mx AS (SELECT max(s) AS mx FROM page),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+h AS (
+  SELECT p.doc_id, p.s AS bm25,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+  FROM page p JOIN embeddings e ON e.vec_id = p.doc_id CROSS JOIN q
+),
+f AS (
+  SELECT doc_id, 0.5 * bm25 / mx.mx + 0.5 * cosine AS hybrid, bm25, cosine
+  FROM h CROSS JOIN mx
+)
+SELECT CAST(row_number() OVER (ORDER BY hybrid DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(hybrid, 4) AS hybrid, round(bm25, 4) AS bm25,
+       round(cosine, 4) AS cosine
+FROM f ORDER BY rank LIMIT 10
+""",
+    # reciprocal-rank fusion of the lexical top-20 and dense top-20:
+    # rrf = sum over lists of 1/(60 + rank)
+    "rrf_fusion": f"""
+WITH {_bm25_ctes(["merge", "vector"], "AND")},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC,
+                    vec_id ASC) AS r
+  FROM embeddings CROSS JOIN q
+  ORDER BY r LIMIT 20
+),
+u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM cs),
+f AS (
+  SELECT doc_id, sum(1.0 / (60 + r)) AS rrf, count(*) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(rrf, 6) AS rrf, CAST(n_lists AS BIGINT) AS n_lists
+FROM f ORDER BY rank LIMIT 10
+""",
     # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
     # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
     # the literal 'merge' group; matched counts GROUPS

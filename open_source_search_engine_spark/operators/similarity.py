@@ -505,3 +505,102 @@ def ann_recall(
         .withColumn("recall", F.round(F.col("hits") / F.lit(float(k)), 4))
         .orderBy("query_vec_id")
     )
+
+
+def hybrid_rerank(
+    engine,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    mode: str = "AND",
+    m: int = 50,
+    k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical→dense serving: BM25 top-``m`` candidates re-ranked by
+    ``alpha · bm25/max_bm25(page) + (1−alpha) · cosine(query_vec)``. The
+    modern retrieval stack's two-stage shape (cheap recall stage, dense
+    precision stage) on this engine's own primitives — the same over-fetch
+    + re-rank skeleton as `wand_proximity`/`search_deduped`, with the
+    rescoring signal coming from the embedding table instead of positions.
+
+    Scale shape: the lexical page (≤ m rows) is BROADCAST into the
+    embedding table — the corpus-sized side never shuffles and only page
+    rows pay the O(dim) cosine lambda; bm25 normalization is a 1-row agg
+    broadcast back (the curation-module totals pattern). No Python, no
+    corpus scan beyond the pruned postings job.
+
+    Returns (doc_id, hybrid, bm25, cosine) ordered hybrid DESC, doc_id
+    ASC, limited to k. Candidates without an embedding row drop out
+    (inner join) — at scale the embedding table is the doc store's dense
+    column and the join hits every candidate.
+    """
+    page = engine.search_terms(query_terms, mode, int(m)).select(
+        "doc_id", F.col("score").alias("bm25")
+    )
+    mx = page.agg(F.max("bm25").alias("mx"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    vnorm = (
+        F.col("vec_norm")
+        if "vec_norm" in emb.columns
+        else _norm(F.col(vec_col))
+    )
+    joined = emb.join(
+        F.broadcast(page), emb[id_col] == page["doc_id"], "inner"
+    ).select(
+        "doc_id",
+        "bm25",
+        (_dot(F.col(vec_col), q) / (vnorm * F.lit(qn))).alias("cosine"),
+    )
+    out = joined.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        (
+            F.lit(float(alpha)) * F.col("bm25") / F.col("mx")
+            + F.lit(1.0 - float(alpha)) * F.col("cosine")
+        ).alias("hybrid"),
+        "bm25",
+        "cosine",
+    )
+    return out.orderBy(F.desc("hybrid"), F.asc("doc_id")).limit(int(k))
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
+    number of ranked lists by score(d) = Σ_lists 1/(c + rank_list(d)).
+    Rank-based, so BM25 and cosine scales never need calibrating — the
+    standard fusion for lexical+dense ensembles.
+
+    Each input frame carries (id_col, rank) with rank 1-based within its
+    list (callers rank with the bounded-window `_ranked` pattern: top-k
+    FIRST, window over ≤ m rows). The fusion itself is ONE
+    map-side-combined aggregation over the unioned lists (≤ Σ m rows —
+    tiny), then a TakeOrderedAndProject.
+
+    Returns (doc_id, rrf, n_lists) ordered rrf DESC, id ASC, limited to k.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    u = None
+    for r in ranked:
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(int(c)) + F.col("rank"))).alias("contrib"),
+        )
+        u = part if u is None else u.unionByName(part)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("contrib").alias("rrf"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(int(k))
+    )
