@@ -210,6 +210,12 @@ def main() -> None:
         # round 5 (session 3): dictionary-driven wildcard expansion,
         # in-order sloppy phrase (NEAR)
         "prefix_search", "near_phrase",
+        # round 5 (session 4): hybrid lexical->dense serving -- BM25 page
+        # re-ranked by cosine, and reciprocal-rank fusion of ranked lists
+        "hybrid_rerank", "rrf_fusion",
+        # round 5 (session 5): CCNet-style self-trained bigram-LM
+        # surprisal quality score
+        "doc_perplexity",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -726,6 +726,17 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_doc_perplexity(spark, sf_dir):
+    # CCNet-style self-trained bigram-LM surprisal (Wenzek et al. 2020):
+    # the 20 most corpus-improbable docs — the LM leg of the quality
+    # suite next to gopher_quality_flags / repetition_flags
+    return (
+        text_analysis.doc_perplexity(documents(spark, sf_dir))
+        .orderBy(F.desc("nll"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_chunk_docs(spark, sf_dir):
     # fixed-token-window chunking with overlap (the unit-of-work split a
     # training/embedding pipeline applies before tokenizer-bound models);
@@ -1599,6 +1610,7 @@ QUERIES = {
     #    gained the confidence-margin column this round) -----------------
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
+    "doc_perplexity": q_doc_perplexity,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -2540,6 +2552,31 @@ JOIN vocab va ON va.term = p.term_a
 JOIN vocab vb ON vb.term = p.term_b
 CROSS JOIN nd
 ORDER BY df_ab DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+    # doc_perplexity: self-trained add-one bigram LM; zipped-unnest slice
+    # pairs adjacent tokens, counts are global, score is the per-doc mean
+    # negative log-prob (weighted form in Spark == plain avg here)
+    "doc_perplexity": f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+v AS (SELECT count(*) AS vn FROM uni),
+bg AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toks WHERE len(toks) >= 2
+),
+bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+lp AS (
+  SELECT bg.doc_id,
+         ln((bgc.cbg + 1.0) / (uni.cw + v.vn)) AS l
+  FROM bg JOIN bgc USING (w1, w2)
+  JOIN uni ON uni.w = bg.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(l), 4) AS nll, round(exp(-avg(l)), 4) AS ppl
+FROM lp GROUP BY doc_id ORDER BY nll DESC, doc_id ASC LIMIT 20
 """,
     "bm25_multiword_synonym": _multiword_synonym_sql("merge", "sort", 10, 0.9),
     "bm25_plural": f"""

@@ -775,3 +775,83 @@ def collocations(
     return out.orderBy(
         F.desc("df_ab"), F.asc("term_a"), F.asc("term_b")
     ).limit(int(top_k))
+
+
+def doc_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram language-model surprisal per document — the CCNet-style LM
+    quality filter (Wenzek et al. 2020), self-trained: add-one-smoothed
+    bigram statistics are estimated on the corpus itself, then every doc
+    is scored by the mean negative log-probability of its adjacent-token
+    bigrams
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+        nll(doc)   = -mean(ln p) over the doc's bigrams,  ppl = e^nll
+
+    with c(.) global occurrence counts and V the corpus vocabulary size.
+    Docs whose wording deviates most from the corpus distribution
+    (gibberish, encoding damage, keyword stuffing, shuffled text) surface
+    with the highest nll/ppl; fluent in-domain text scores low. The
+    corpus-statistics analog of the reference's per-doc word-spam vector
+    (`XmlDoc.cpp:19206` computeWordSpam scores repetition locally; here
+    the model is the WHOLE corpus, which also catches text that is
+    locally clean but globally improbable).
+
+    Scale notes (100 TB): everything is O(total tokens) corpus-scan
+    class, the same cost tier as the index build. Both count
+    aggregations are map-side combined; the scoring join runs over
+    DISTINCT (doc, bigram) keys (doc-local pre-aggregation first), so
+    repeated bigrams inside a doc cost one join row, and hot bigram keys
+    ("of the") are handled by AQE skew splitting. The only driver-side
+    value is the vocabulary size V — one scalar. No UDFs anywhere: the
+    bigram array is a JVM sequence/transform projection.
+
+    Output: (doc_id, n_bigrams, nll, ppl) for every doc with >= 2
+    tokens; nll/ppl rounded to 4 decimals. Callers order/limit.
+    """
+    toks = docs.select(
+        "doc_id",
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    vocab_n = uni.count()  # ONE scalar to the driver (bounded metadata)
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    # doc-local pre-aggregation: the scoring join carries one row per
+    # DISTINCT (doc, bigram), weighted by its in-doc multiplicity k
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    lp = (
+        dbg.join(bgc, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            "k",
+            F.log(
+                (F.col("cbg") + F.lit(1.0))
+                / (F.col("cw") + F.lit(float(vocab_n)))
+            ).alias("l"),
+        )
+    )
+    mean_l = F.sum(F.col("k") * F.col("l")) / F.sum("k")
+    return lp.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(-mean_l, 4).alias("nll"),
+        F.round(F.exp(-mean_l), 4).alias("ppl"),
+    )
