@@ -214,8 +214,8 @@ def main() -> None:
         # re-ranked by cosine, and reciprocal-rank fusion of ranked lists
         "hybrid_rerank", "rrf_fusion",
         # round 5 (session 5): CCNet-style self-trained bigram-LM
-        # surprisal quality score
-        "doc_perplexity",
+        # surprisal quality score; context-aware type-ahead completion
+        "doc_perplexity", "complete_query",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -737,6 +737,14 @@ def q_doc_perplexity(spark, sf_dir):
     )
 
 
+def q_complete_query(spark, sf_dir):
+    # context-aware type-ahead: complete the partial last word 's' under
+    # the typed context 'merge' — six dictionary candidates (scan/slow/
+    # small/sort/spark/stream) ranked by co-occurrence with the context
+    eng = engine_for(spark, sf_dir)
+    return eng.complete_query("merge s", k=10, max_candidates=8)
+
+
 def q_chunk_docs(spark, sf_dir):
     # fixed-token-window chunking with overlap (the unit-of-work split a
     # training/embedding pipeline applies before tokenizer-bound models);
@@ -1611,6 +1619,7 @@ QUERIES = {
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
     "doc_perplexity": q_doc_perplexity,
+    "complete_query": q_complete_query,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -2552,6 +2561,33 @@ JOIN vocab va ON va.term = p.term_a
 JOIN vocab vb ON vb.term = p.term_b
 CROSS JOIN nd
 ORDER BY df_ab DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+    # complete_query: type-ahead — dictionary prefix candidates (top-8 by
+    # df, minus already-typed words, mirroring the engine's post-limit
+    # exclusion) ranked by co-occurrence with the full typed context
+    "complete_query": f"""
+WITH {_TOKS},
+dts AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+gdf AS (SELECT term, count(*) AS df FROM dts GROUP BY term),
+cand AS (
+  SELECT term, df FROM (
+    SELECT term, df FROM gdf WHERE term LIKE 's%'
+    ORDER BY df DESC, term ASC LIMIT 8
+  ) WHERE term NOT IN ('merge')
+),
+ctx AS (
+  SELECT doc_id FROM dts WHERE term IN ('merge')
+  GROUP BY doc_id HAVING count(*) = 1
+),
+hits AS (
+  SELECT d.term, count(*) AS n_docs
+  FROM dts d JOIN cand USING (term) JOIN ctx USING (doc_id)
+  GROUP BY d.term
+)
+SELECT h.term AS completion, CAST(h.n_docs AS BIGINT) AS n_docs,
+       CAST(c.df AS BIGINT) AS df
+FROM hits h JOIN cand c USING (term)
+ORDER BY n_docs DESC, df DESC, completion ASC LIMIT 10
 """,
     # doc_perplexity: self-trained add-one bigram LM; zipped-unnest slice
     # pairs adjacent tokens, counts are global, score is the per-doc mean

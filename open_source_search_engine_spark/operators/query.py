@@ -2316,6 +2316,100 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def complete_query(
+        self, partial: str, k: int = 10, max_candidates: int = 32
+    ) -> DataFrame:
+        """Search-box query completion, context-aware: the LAST token of
+        ``partial`` is the word being typed; it expands to dictionary
+        words sharing that prefix and the completions are ranked by how
+        many docs contain the completion TOGETHER with every already-typed
+        context word — i.e. completions that keep the query answerable
+        rank first, not merely globally-frequent words. With no context
+        (single-token input) the rank is plain dictionary df.
+
+        Companion to search_prefix (same dictionary expansion) and to the
+        serving-integrated speller (`Speller.cpp:69` consults the unified
+        dict in the result flow) — completion is the type-ahead half of
+        that assist surface; the reference has no autocomplete endpoint,
+        so this is beyond-reference like the wildcard operator.
+
+        Scale shape: candidate expansion is a pushed-down StartsWith on
+        the term DICTIONARY (tiny next to postings) +
+        TakeOrderedAndProject, <= max_candidates rows to the driver (plan
+        metadata, the search_prefix/plan_terms contract). Co-occurrence
+        counting is ONE partition-pruned postings scan over context +
+        candidate term_ids: context docs reduce via a map-side-combined
+        (doc, n_ctx_terms) agg, candidate rows semi-join against them,
+        then a <= max_candidates-group count. No corpus scan, no window,
+        no Python beyond the shared Arrow decode.
+
+        Output: (completion, n_docs, df) ordered n_docs DESC, df DESC,
+        completion ASC, limited to k. Context words absent from the
+        corpus -> empty (the AND contract); completions co-occurring with
+        zero context docs are dropped.
+        """
+        out_schema = "completion string, n_docs long, df long"
+        words = self.tokenize_query(partial)
+        if not words:
+            return self.spark.createDataFrame([], out_schema)
+        prefix, context = words[-1], sorted(set(words[:-1]))
+        cand = (
+            self._term_stats.filter(
+                F.col("term").startswith(prefix)
+                & ~F.col("term").contains(" ")
+            )
+            .select("term", "term_id", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(max_candidates))
+            .collect()
+        )
+        cand = [r for r in cand if r["term"] not in context]
+        if not cand:
+            return self.spark.createDataFrame([], out_schema)
+        if not context:
+            # no typed context: rank by dictionary df (n_docs == df)
+            rows = [(r["term"], int(r["df"]), int(r["df"])) for r in cand]
+            return (
+                self.spark.createDataFrame(rows, out_schema)
+                .orderBy(
+                    F.desc("n_docs"), F.desc("df"), F.asc("completion")
+                )
+                .limit(int(k))
+            )
+        ctx_plan = self.plan_terms(context)
+        if len(ctx_plan) < len(context):
+            return self.spark.createDataFrame([], out_schema)
+        ctx_ids = [int(t) for t in ctx_plan["term_id"]]
+        cand_ids = [int(r["term_id"]) for r in cand]
+        decoded = self.decoded_postings(sorted(set(ctx_ids + cand_ids)))
+        ctx_docs = (
+            decoded.filter(F.col("term_id").isin(ctx_ids))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nm"))
+            .filter(F.col("nm") == len(ctx_ids))
+            .select("doc_id")
+        )
+        counts = (
+            decoded.filter(F.col("term_id").isin(cand_ids))
+            .join(ctx_docs, "doc_id", "left_semi")
+            .groupBy("term_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        meta = self.spark.createDataFrame(
+            [(int(r["term_id"]), r["term"], int(r["df"])) for r in cand],
+            "term_id long, completion string, df long",
+        )
+        return (
+            counts.join(F.broadcast(meta), "term_id")
+            .select(
+                "completion",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("df").cast("long").alias("df"),
+            )
+            .orderBy(F.desc("n_docs"), F.desc("df"), F.asc("completion"))
+            .limit(int(k))
+        )
+
     def search_near(
         self, w1: str, w2: str, slop: int = 3, k: int = 10
     ) -> DataFrame:
