@@ -215,7 +215,7 @@ def main() -> None:
         "hybrid_rerank", "rrf_fusion",
         # round 5 (session 5): CCNet-style self-trained bigram-LM
         # surprisal quality score; context-aware type-ahead completion
-        "doc_perplexity", "complete_query",
+        "doc_perplexity", "complete_query", "normalize_text",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

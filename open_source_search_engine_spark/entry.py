@@ -1368,6 +1368,38 @@ def q_resample(spark, sf_dir):
     )
 
 
+def dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic encoding-damage corpus for normalize_text: the
+    testdata text is clean ASCII, so control chars, zero-width marks,
+    whitespace runs, and ragged edges are injected as pure doc_id
+    arithmetic — identical expressions on the Spark and DuckDB sides
+    (the pii_docs pattern)."""
+    d = documents(spark, sf_dir)
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            # ragged leading edge (tab+space run) on every 3rd doc
+            F.when(did % 3 == 0, F.lit("\t  ")).otherwise(F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            # C0 control chars on every 7th doc
+            F.when(did % 7 == 0, F.lit(" ctrl\x01\x02x")).otherwise(
+                F.lit("")
+            ),
+            # zero-width space + BOM on every 5th doc
+            F.when(
+                did % 5 == 0, F.lit(" zero\u200bwidth\ufeff")
+            ).otherwise(F.lit("")),
+            # interior space run on every 4th doc
+            F.when(did % 4 == 0, F.lit(" double  spaced   end")).otherwise(
+                F.lit("")
+            ),
+            # trailing blank-line pile on every 3rd doc
+            F.when(did % 3 == 0, F.lit("\n\n\n\n")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
 def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PII-injected corpus: the testdata documents carry no
     contact strings, so typed PII is appended as pure doc_id arithmetic —
@@ -1403,6 +1435,17 @@ def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did % 13 == 0, F.lit(" card 4111 1111 1111 1111")
             ).otherwise(F.lit("")),
         ).alias("text"),
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    # ftfy-lite encoding hygiene (pre-tokenization cleanup stage): strip
+    # control/zero-width chars, collapse whitespace runs, trim — per-doc
+    # damage deltas + clean_text, one shuffle-free JVM projection
+    return (
+        curation.normalize_text(dirty_docs(spark, sf_dir))
+        .orderBy("doc_id")
+        .limit(200)
     )
 
 
@@ -1620,6 +1663,7 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "doc_perplexity": q_doc_perplexity,
     "complete_query": q_complete_query,
+    "normalize_text": q_normalize_text,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -2561,6 +2605,54 @@ JOIN vocab va ON va.term = p.term_a
 JOIN vocab vb ON vb.term = p.term_b
 CROSS JOIN nd
 ORDER BY df_ab DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+    # normalize_text: ftfy-lite hygiene over the deterministically dirtied
+    # corpus (dirty_docs mirrored as the dirty CTE); every regexp uses
+    # RE2-safe classes, 'g' matches Spark's replace-all default, and the
+    # trim is a regex (step 1 already removed \x0B, the one char Java \s
+    # and RE2 \s disagree on)
+    "normalize_text": """
+WITH dirty AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN chr(9) || '  ' ELSE '' END)
+    || coalesce(text, '')
+    || (CASE WHEN doc_id % 7 = 0
+        THEN ' ctrl' || chr(1) || chr(2) || 'x' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' zero' || chr(8203) || 'width' || chr(65279) ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN ' double  spaced   end' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN repeat(chr(10), 4) ELSE '' END)
+    AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                        '', 'g') AS a
+  FROM dirty
+),
+s2 AS (
+  SELECT *, regexp_replace(
+    a, '[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{200E}\\x{200F}]',
+    '', 'g') AS b
+  FROM s1
+),
+s3 AS (
+  SELECT *, regexp_replace(
+    regexp_replace(b, '[ \\t]{2,}', ' ', 'g'),
+    '\\n{3,}', chr(10) || chr(10), 'g') AS d
+  FROM s2
+),
+s4 AS (
+  SELECT *, regexp_replace(d, '^\\s+|\\s+$', '', 'g') AS clean FROM s3
+)
+SELECT doc_id,
+       CAST(length(t) - length(a) AS BIGINT) AS n_ctrl,
+       CAST(length(a) - length(b) AS BIGINT) AS n_zw,
+       CAST(length(b) - length(d) AS BIGINT) AS n_ws_removed,
+       CAST(CASE WHEN clean <> t THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       clean AS clean_text
+FROM s4 ORDER BY doc_id LIMIT 200
 """,
     # complete_query: type-ahead — dictionary prefix candidates (top-8 by
     # df, minus already-typed words, mirroring the engine's post-limit

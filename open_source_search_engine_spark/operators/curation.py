@@ -510,3 +510,50 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         total.alias("pii_total"),
         clean.alias("clean_text"),
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-hygiene normalization over the document table — the
+    ftfy-lite cleanup every training pipeline runs before tokenization
+    (and the reference runs a far heavier version of at ingest:
+    `iconv.cpp` charset conversion + `XmlDoc.cpp` whitespace handling;
+    here the UTF-8 input contract leaves only the intra-document
+    artifacts):
+
+    1. strip C0/C1 control characters (keeping tab + newline),
+    2. strip zero-width and bidi-mark code points (ZWSP/ZWNJ/ZWJ/word
+       joiner/BOM/LRM/RLM — invisible chars that split tokens and leak
+       into shards),
+    3. collapse runs of spaces/tabs to one space,
+    4. collapse 3+ consecutive newlines to a paragraph break (2),
+    5. trim leading/trailing whitespace.
+
+    Per doc the deltas are reported so a pipeline can threshold on damage:
+    ``n_ctrl`` / ``n_zw`` chars removed by (1)/(2), ``n_ws_removed``
+    whitespace chars dropped by (3)+(4), and ``changed`` (0/1).
+
+    Scale notes (100 TB): pure JVM regexp projection inside whole-stage
+    codegen — zero shuffles, zero Python, same contract as pii_scrub
+    (plan-gated). Placed with the curation ops so pack_export can consume
+    ``clean_text``.
+    """
+    ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    zw = "[\\u200B\\u200C\\u200D\\u2060\\uFEFF\\u200E\\u200F]"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = docs.select("doc_id", t.alias("_t"))
+    a = F.regexp_replace(F.col("_t"), ctrl, "")
+    b = F.regexp_replace(a, zw, "")
+    c = F.regexp_replace(b, "[ \\t]{2,}", " ")
+    d = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    # regex trim, not F.trim: trim() strips spaces only, and \s is
+    # dialect-safe here because step (1) already removed \x0B (the one
+    # char Java's \s and RE2's \s disagree on)
+    clean = F.regexp_replace(d, "^\\s+|\\s+$", "")
+    return out.select(
+        "doc_id",
+        (F.length(F.col("_t")) - F.length(a)).cast("long").alias("n_ctrl"),
+        (F.length(a) - F.length(b)).cast("long").alias("n_zw"),
+        (F.length(b) - F.length(d)).cast("long").alias("n_ws_removed"),
+        (clean != F.col("_t")).cast("long").alias("changed"),
+        clean.alias("clean_text"),
+    )
