@@ -655,6 +655,23 @@ def q_rrf_fusion(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q_mmr_rerank(spark, sf_dir):
+    # MMR diversified re-rank (Carbonell & Goldstein 1998): BM25 top-50
+    # page greedily re-ordered by 0.7*rel - 0.3*max-cosine-to-picked;
+    # the greedy argmax is 1e-9-quantized on BOTH sides so fp drift
+    # becomes a doc_id tie-break, never a selection flip
+    eng = engine_for(spark, sf_dir)
+    emb = embeddings(spark, sf_dir)
+    return similarity.mmr_rerank(
+        eng, emb, ["merge", "vector"], mode="AND", m=50, k=10, lam=0.7
+    ).select(
+        "rank",
+        "doc_id",
+        F.round("rel", 4).alias("rel"),
+        F.round("mmr", 4).alias("mmr"),
+    ).orderBy("rank")
+
+
 def q_prefix_search(spark, sf_dir):
     # wildcard term: 's*' expands IN THE DICTIONARY to the top-4 terms by
     # df (desc, term asc) and scores as one vote group (J2 machinery,
@@ -1664,6 +1681,7 @@ QUERIES = {
     "doc_perplexity": q_doc_perplexity,
     "complete_query": q_complete_query,
     "normalize_text": q_normalize_text,
+    "mmr_rerank": q_mmr_rerank,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -2087,6 +2105,59 @@ dd AS (
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM dd WHERE grnk = 1 ORDER BY rank LIMIT {k}
+"""
+
+
+def _mmr_sql(
+    terms: list[str], mode: str, m: int, k: int, lam: float
+) -> str:
+    """Unrolled greedy-MMR oracle: step i picks the argmax of
+    round(lam*rel - (1-lam)*max cos to chosen, 9) over the not-yet-chosen
+    page (mmr DESC, doc_id ASC) — k chained CTE pairs instead of
+    recursion, mirroring mmr_rerank's quantize-then-tie-break contract."""
+    # every CTE is MATERIALIZED: chosen{{i}} references chosen{{i-1}}, so
+    # DuckDB's default inlining would expand the chain exponentially
+    # (and re-open the parquet per reference)
+    steps = [
+        f"""sel1 AS MATERIALIZED (
+  SELECT doc_id, rel, round({lam} * rel, 9) AS mmr, 1 AS rank
+  FROM pemb ORDER BY mmr DESC, doc_id ASC LIMIT 1
+),
+chosen1 AS MATERIALIZED (SELECT doc_id FROM sel1)"""
+    ]
+    for i in range(2, int(k) + 1):
+        steps.append(
+            f"""sel{i} AS MATERIALIZED (
+  SELECT c.doc_id, c.rel,
+         round({lam} * c.rel - {1.0 - lam} * (
+           SELECT max(list_cosine_similarity(c.v, s.v))
+           FROM pemb s
+           WHERE s.doc_id IN (SELECT doc_id FROM chosen{i - 1})
+         ), 9) AS mmr, {i} AS rank
+  FROM pemb c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM chosen{i - 1})
+  ORDER BY mmr DESC, c.doc_id ASC LIMIT 1
+),
+chosen{i} AS MATERIALIZED (SELECT doc_id FROM chosen{i - 1}
+              UNION ALL SELECT doc_id FROM sel{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM sel{i}" for i in range(1, int(k) + 1)
+    )
+    return f"""
+WITH {_bm25_ctes(terms, mode)},
+page AS MATERIALIZED (
+  SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id ASC LIMIT {m}),
+mx AS (SELECT max(s) AS mx FROM page),
+pemb AS MATERIALIZED (
+  SELECT p.doc_id, p.s / mx.mx AS rel, e.embedding::DOUBLE[] AS v
+  FROM page p JOIN embeddings e ON e.vec_id = p.doc_id CROSS JOIN mx
+),
+{",".join(steps)},
+mmr_all AS ({union})
+SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       round(rel, 4) AS rel, round(mmr, 4) AS mmr
+FROM mmr_all ORDER BY rank
 """
 
 
@@ -2606,6 +2677,10 @@ JOIN vocab vb ON vb.term = p.term_b
 CROSS JOIN nd
 ORDER BY df_ab DESC, term_a ASC, term_b ASC LIMIT 20
 """,
+    # mmr_rerank: greedy MMR unrolled to k chained argmax CTEs (no
+    # recursion); quantized at 9 decimals before every argmax on both
+    # sides so fp drift ties instead of flipping picks
+    "mmr_rerank": _mmr_sql(["merge", "vector"], "AND", 50, 10, 0.7),
     # normalize_text: ftfy-lite hygiene over the deterministically dirtied
     # corpus (dirty_docs mirrored as the dirty CTE); every regexp uses
     # RE2-safe classes, 'g' matches Spark's replace-all default, and the

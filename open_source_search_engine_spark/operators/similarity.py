@@ -604,3 +604,103 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def mmr_rerank(
+    engine,
+    emb: DataFrame,
+    query_terms: list[str],
+    mode: str = "AND",
+    m: int = 50,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    the BM25 top-``m`` page re-ordered greedily so each next pick maximizes
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max_{s in picked} cos(d, s)
+
+    with rel = bm25/max(page). The embedding-space generalization of the
+    reference's result diversity mechanisms — the per-site cap
+    (`Msg40.cpp` site clustering, our bm25_source_cap) and summary-
+    similarity dedup (`Msg40.cpp:1173` percentSimilarSummary, our
+    search_deduped) both diversify the PAGE; MMR does it against the
+    dense signal, trading relevance for novelty explicitly via ``lam``.
+
+    Scale shape: the same bounded-page skeleton as search_deduped's
+    greedy kernel — the <= m-row lexical page broadcasts into the
+    embedding table (corpus side never shuffles), and the inherently
+    sequential greedy selection runs in ONE Arrow kernel over that
+    bounded page (<= m rows by construction, a serve-node-sized working
+    set). Everything before the kernel is the pruned-postings top-k job.
+
+    Determinism contract: mmr scores are quantized to 9 decimals BEFORE
+    the argmax on both this path and the DuckDB oracle, so sub-1e-9
+    floating drift between numpy and the oracle's sequential sums
+    becomes an exact tie and breaks by doc_id — never a selection flip.
+
+    Returns (rank, doc_id, rel, mmr): rank = greedy pick order, <= k
+    rows. Candidates without an embedding row drop out (inner join).
+    """
+    page = engine.search_terms(query_terms, mode, int(m)).select(
+        "doc_id", F.col("score").alias("bm25")
+    ).localCheckpoint(eager=True)
+    mx = page.agg(F.max("bm25").alias("mx"))
+    pemb = (
+        emb.join(F.broadcast(page), emb[id_col] == page["doc_id"], "inner")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            (F.col("bm25") / F.col("mx")).alias("rel"),
+            F.col(vec_col).alias("v"),
+        )
+    )
+    kk, w_rel = int(k), float(lam)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"rank": [], "doc_id": [], "rel": [], "mmr": []}
+            )
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        )
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        rel = pdf["rel"].to_numpy(np.float64)
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        picked: list[int] = []
+        remaining = list(range(len(pdf)))
+        out = {"rank": [], "doc_id": [], "rel": [], "mmr": []}
+        while remaining and len(picked) < kk:
+            if picked:
+                pen = S[np.ix_(remaining, picked)].max(axis=1)
+            else:
+                pen = np.zeros(len(remaining))
+            mmr = np.round(
+                w_rel * rel[remaining] - (1.0 - w_rel) * pen, 9
+            )
+            # argmax by (mmr desc, doc_id asc): remaining is doc_id-sorted,
+            # so the FIRST max index is the tie-break winner
+            best = int(np.argmax(mmr))
+            i = remaining.pop(best)
+            picked.append(i)
+            out["rank"].append(len(picked))
+            out["doc_id"].append(int(ids[i]))
+            out["rel"].append(float(rel[i]))
+            out["mmr"].append(float(mmr[best]))
+        return pd.DataFrame(out)
+
+    return (
+        pemb.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: greedy(pdf.drop(columns=["_g"])),
+            schema="rank long, doc_id long, rel double, mmr double",
+        )
+        .orderBy("rank")
+    )
