@@ -216,7 +216,7 @@ def main() -> None:
         # round 5 (session 5): CCNet-style self-trained bigram-LM
         # surprisal quality score; context-aware type-ahead completion
         "doc_perplexity", "complete_query", "normalize_text",
-        "mmr_rerank",
+        "mmr_rerank", "eval_rankings",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .functions.bm25 import B_DEFAULT, K1_DEFAULT
-from .operators import curation, dedup, similarity, speller, text_analysis
+from .operators import (
+    curation,
+    dedup,
+    evaluation,
+    similarity,
+    speller,
+    text_analysis,
+)
 from .operators.index_build import IndexConfig, build_index
 from .operators.query import SearchEngine
 from .operators.wand import (
@@ -670,6 +677,35 @@ def q_mmr_rerank(spark, sf_dir):
         F.round("rel", 4).alias("rel"),
         F.round("mmr", 4).alias("mmr"),
     ).orderBy("rank")
+
+
+def q_eval_rankings(spark, sf_dir):
+    # retrieval-evaluation harness: grade the strict AND top-10 against
+    # qrels from the wider OR ranking (rel = 21 - rank, top-20 over a
+    # superset query) — recall/MRR/DCG/nDCG@10 of one serving path
+    # measured against another's graded list
+    eng = engine_for(spark, sf_dir)
+    res = _ranked(eng.search_terms(["merge", "vector"], "AND", 10), 10).select(
+        F.lit("q1").alias("query_id"), "doc_id", "rank"
+    )
+    qrels = _ranked(
+        eng.search_terms(["merge", "vector", "sort"], "OR", 20), 20
+    ).select(
+        F.lit("q1").alias("query_id"),
+        "doc_id",
+        (F.lit(21) - F.col("rank")).cast("double").alias("rel"),
+    )
+    out = evaluation.eval_rankings(res, qrels, k=10)
+    return out.select(
+        "query_id",
+        "n_rel",
+        "n_hit",
+        F.round("recall", 4).alias("recall"),
+        F.round("mrr", 4).alias("mrr"),
+        F.round("dcg", 4).alias("dcg"),
+        F.round("idcg", 4).alias("idcg"),
+        F.round("ndcg", 4).alias("ndcg"),
+    ).orderBy("query_id")
 
 
 def q_prefix_search(spark, sf_dir):
@@ -1682,6 +1718,7 @@ QUERIES = {
     "complete_query": q_complete_query,
     "normalize_text": q_normalize_text,
     "mmr_rerank": q_mmr_rerank,
+    "eval_rankings": q_eval_rankings,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -2676,6 +2713,67 @@ JOIN vocab va ON va.term = p.term_a
 JOIN vocab vb ON vb.term = p.term_b
 CROSS JOIN nd
 ORDER BY df_ab DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+    # eval_rankings: trec_eval graded metrics — strict AND top-10 graded
+    # against the wider OR ranking's top-20 (rel = 21 - rank); the base
+    # toks/tok/dl/corpus CTEs are query-independent, so the second
+    # ranking appends its own qdf2/tf2/scored2 block
+    "eval_rankings": f"""
+WITH {_bm25_ctes(["merge", "vector"], "AND")},
+res AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+qdf2 AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('merge', 'sort', 'vector') GROUP BY term
+),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('merge', 'sort', 'vector') GROUP BY doc_id, term
+),
+scored2 AS (
+  SELECT tf2.doc_id,
+         sum( ln((c.n_docs - qdf2.df + 0.5) / (qdf2.df + 0.5) + 1.0)
+              * (tf2.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf2.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                    + {B_DEFAULT} * dl.dl / c.avgdl))) ) AS s
+  FROM tf2
+  JOIN qdf2 USING (term)
+  JOIN dl ON dl.doc_id = tf2.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf2.doc_id
+),
+qr AS (
+  SELECT doc_id,
+         CAST(21 - row_number() OVER (ORDER BY s DESC, doc_id ASC)
+              AS DOUBLE) AS rel
+  FROM scored2 ORDER BY rel DESC LIMIT 20
+),
+hits AS (SELECT r.rank, x.rel FROM res r JOIN qr x ON x.doc_id = r.doc_id),
+agg AS (
+  SELECT count(*) AS n_hit,
+         sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+         1.0 / min(rank) AS mrr
+  FROM hits
+),
+ideal AS (
+  SELECT sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qr
+  ) WHERE irank <= 10
+),
+nrel AS (SELECT count(*) AS n_rel FROM qr)
+SELECT 'q1' AS query_id,
+       CAST(n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) / CAST(n_rel AS DOUBLE), 4) AS recall,
+       round(coalesce(mrr, 0.0), 4) AS mrr,
+       round(coalesce(dcg, 0.0), 4) AS dcg,
+       round(idcg, 4) AS idcg,
+       round(coalesce(dcg, 0.0) / idcg, 4) AS ndcg
+FROM nrel CROSS JOIN ideal CROSS JOIN agg
 """,
     # mmr_rerank: greedy MMR unrolled to k chained argmax CTEs (no
     # recursion); quantized at 9 decimals before every argmax on both
