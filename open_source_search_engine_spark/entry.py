@@ -1631,6 +1631,55 @@ def q_uor(spark, sf_dir):
 # --------------------------------------------------------------------------
 # CJK: derived deterministic CJK corpus over the sf documents
 # --------------------------------------------------------------------------
+_PASSAGE_ENGINES: dict[str, SearchEngine] = {}
+
+
+def passage_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Chunk-level engine for passage retrieval (built once per process+sf
+    like engine_for/cjk_for): documents split into 32-token windows with
+    8-token overlap (chunk_docs), each chunk indexed as its own doc with
+    chunk key = parent*1000 + chunk_idx and the parent kept as a doc-store
+    column, so MaxP rolls up via the ordinary group-ranking machinery."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PASSAGE_ENGINES:
+        wh = os.path.join(
+            "/tmp", "osse-entry-passage-wh", key.strip("/").replace("/", "_")
+        )
+        cat = Catalog(spark, wh)
+        chunks = curation.chunk_docs(
+            documents(spark, sf_dir), max_tokens=32, overlap=8
+        )
+        pdocs = chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx"))
+            .cast("long")
+            .alias("chunk_key"),
+            F.col("doc_id").alias("parent_id"),
+            F.col("chunk_text").alias("text"),
+        ).withColumnRenamed("chunk_key", "doc_id")
+        build_index(spark, cat, pdocs, IndexConfig(tokenizer_mode="ascii"))
+        _PASSAGE_ENGINES[key] = SearchEngine(
+            spark, cat, tokenizer_mode="ascii"
+        )
+    return _PASSAGE_ENGINES[key]
+
+
+def q_maxp_passage(spark, sf_dir):
+    # passage retrieval with MaxP aggregation (Dai & Callan 2019: score
+    # passages, rank docs by their BEST passage): AND over the chunk index
+    # demands both terms inside ONE 32-token window — tighter than doc-
+    # level AND — then search_grouped(max) rolls chunks up to parents
+    eng = passage_for(spark, sf_dir)
+    out = eng.search_grouped(
+        ["merge", "vector"], "parent_id", k=10, mode="AND", agg="max"
+    )
+    return out.select(
+        F.col("group").cast("long").alias("doc_id"),
+        F.round("group_score", 4).alias("best_passage"),
+        F.col("n_matching").cast("long").alias("n_chunks"),
+        F.col("best_doc_id").cast("long").alias("best_chunk_key"),
+    )
+
+
 _CJK_ENGINES: dict[str, SearchEngine] = {}
 
 
@@ -1719,6 +1768,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "mmr_rerank": q_mmr_rerank,
     "eval_rankings": q_eval_rankings,
+    "maxp_passage": q_maxp_passage,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -2713,6 +2763,63 @@ JOIN vocab va ON va.term = p.term_a
 JOIN vocab vb ON vb.term = p.term_b
 CROSS JOIN nd
 ORDER BY df_ab DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+    # maxp_passage: chunk-level BM25 (32-token windows, stride 24, chunk
+    # key = parent*1000 + idx) with AND inside ONE window, parents ranked
+    # by their best passage; best-chunk argmax tie-breaks (s DESC, cid
+    # ASC) via a per-parent window
+    "maxp_passage": f"""
+WITH {_TOKS},
+meta AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN n <= 32 THEN 1
+                              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INTEGER)
+                         END)) AS i
+  FROM meta
+),
+chunk AS (
+  SELECT doc_id * 1000 + i AS cid, doc_id AS parent,
+         toks[i*24+1 : i*24+32] AS ct
+  FROM idx
+),
+cdl AS (SELECT cid, len(ct) AS dl FROM chunk),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM cdl),
+ctok AS (SELECT cid, unnest(ct) AS term FROM chunk),
+qdf AS (
+  SELECT term, count(DISTINCT cid) AS df FROM ctok
+  WHERE term IN ('merge', 'vector') GROUP BY term
+),
+tf AS (
+  SELECT cid, term, count(*) AS tf FROM ctok
+  WHERE term IN ('merge', 'vector') GROUP BY cid, term
+),
+scored AS (
+  SELECT tf.cid,
+         sum( ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+              * (tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                    + {B_DEFAULT} * cdl.dl / c.avgdl))) ) AS s
+  FROM tf
+  JOIN qdf USING (term)
+  JOIN cdl ON cdl.cid = tf.cid
+  CROSS JOIN corpus c
+  GROUP BY tf.cid
+  HAVING count(*) = 2
+),
+ranked AS (
+  SELECT ch.parent, sc.cid, sc.s,
+         row_number() OVER (
+           PARTITION BY ch.parent ORDER BY sc.s DESC, sc.cid ASC) AS rn,
+         count(*) OVER (PARTITION BY ch.parent) AS n_chunks,
+         max(sc.s) OVER (PARTITION BY ch.parent) AS gs
+  FROM scored sc JOIN chunk ch ON ch.cid = sc.cid
+)
+SELECT CAST(parent AS BIGINT) AS doc_id, round(gs, 4) AS best_passage,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(cid AS BIGINT) AS best_chunk_key
+FROM ranked WHERE rn = 1
+ORDER BY gs DESC, parent ASC LIMIT 10
 """,
     # eval_rankings: trec_eval graded metrics — strict AND top-10 graded
     # against the wider OR ranking's top-20 (rel = 21 - rank); the base
