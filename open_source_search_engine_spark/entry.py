@@ -1680,6 +1680,20 @@ def q_maxp_passage(spark, sf_dir):
     )
 
 
+def q_prf(spark, sf_dir):
+    # Rocchio pseudo-relevance feedback: AND page over (merge, vector)
+    # feeds related_terms' top-5 expansion (tf_page x idf, df>=2), then a
+    # weighted OR requery — originals at 1.0, expansions at beta=0.4 —
+    # the automated form of the reference's gigabit refinement links
+    eng = engine_for(spark, sf_dir)
+    out = eng.search_prf(
+        ["merge", "vector"], k=10, fb_docs=10, n_expand=5, beta=0.4
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "matched"
+    )
+
+
 _CJK_ENGINES: dict[str, SearchEngine] = {}
 
 
@@ -1769,6 +1783,7 @@ QUERIES = {
     "mmr_rerank": q_mmr_rerank,
     "eval_rankings": q_eval_rankings,
     "maxp_passage": q_maxp_passage,
+    "prf_expand": q_prf,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3631,6 +3646,61 @@ rel AS (
 SELECT term, round(score, 4) AS score, CAST(tf_page AS BIGINT) AS tf_page,
        CAST(df AS BIGINT) AS df
 FROM rel ORDER BY score DESC, term ASC LIMIT 10
+""",
+    # prf_expand: Rocchio PRF — base AND page (10 docs) -> top-5
+    # expansion terms (tf_page x idf, df>=2, query terms excluded) ->
+    # weighted OR requery (originals w=1.0, expansions w=0.4); matched
+    # counts hits over the EXPANDED term set
+    "prf_expand": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+page AS (SELECT doc_id FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10),
+ptoks AS (
+  SELECT t.doc_id, unnest(t.toks) AS term
+  FROM toks t JOIN page p ON p.doc_id = t.doc_id
+),
+cand AS (
+  SELECT term, count(*) AS tf_page FROM ptoks
+  WHERE term NOT IN ('merge', 'vector') GROUP BY term
+),
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+expt AS (
+  SELECT c.term
+  FROM cand c JOIN gdf g USING (term) CROSS JOIN nd
+  WHERE g.df >= 2
+  ORDER BY c.tf_page * ln((nd.n - g.df + 0.5) / (g.df + 0.5) + 1.0) DESC,
+           c.term ASC
+  LIMIT 5
+),
+wterms AS (
+  SELECT 'merge' AS term, 1.0 AS w
+  UNION ALL SELECT 'vector', 1.0
+  UNION ALL SELECT term, 0.4 FROM expt
+),
+qdf2 AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT term FROM wterms) GROUP BY term
+),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM wterms) GROUP BY doc_id, term
+),
+scored2 AS (
+  SELECT tf2.doc_id,
+         sum( wt.w * ln((c.n_docs - qdf2.df + 0.5) / (qdf2.df + 0.5) + 1.0)
+              * (tf2.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf2.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                    + {B_DEFAULT} * dl.dl / c.avgdl))) ) AS s,
+         count(*) AS matched
+  FROM tf2
+  JOIN qdf2 USING (term)
+  JOIN wterms wt USING (term)
+  JOIN dl ON dl.doc_id = tf2.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf2.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored2 ORDER BY s DESC, doc_id ASC LIMIT 10
 """,
     # quality-aware survivor per duplicate cluster: same clusters as
     # dedup_clusters, keep the longest doc (n_chars DESC, doc_id ASC)

@@ -2206,6 +2206,74 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def search_prf(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        fb_docs: int = 10,
+        n_expand: int = 5,
+        beta: float = 0.4,
+        min_df: int = 2,
+        mode: str = "AND",
+    ) -> DataFrame:
+        """Pseudo-relevance-feedback requery (Rocchio, public IR since
+        1971): run the base query, mine expansion terms from its top
+        ``fb_docs`` results, then re-score a weighted OR over
+        original ∪ expansion — the automated version of the reference's
+        query-refinement flow, where PageResults offers gigabit-derived
+        refined searches that re-enter the query path (`Msg40.cpp:1545`
+        gigabit vector over result summaries; PageResults' related-topics
+        links are exactly "requery with this term added").
+
+        Expansion mining IS ``related_terms`` (tf_page × idf, query terms
+        excluded, df ≥ ``min_df``, top ``n_expand`` by score DESC / term
+        ASC — deterministic). The requery scores every term's ordinary
+        BM25 contribution scaled by weight 1.0 for original terms and
+        ``beta`` for expansion terms (Rocchio's β; a=1, γ=0 — no
+        negative feedback, matching the reference's refinement UX),
+        summed in canonical term order (bit-stable). Output:
+        (doc_id, score, matched) ordered score DESC / doc_id ASC,
+        ``matched`` counting hits over the EXPANDED term set.
+
+        Scale shape: expansion mining is related_terms' page-restricted
+        O(fb_docs·dl) job (never a corpus scan); the driver collects only
+        ≤ ``n_expand`` term strings (bounded metadata); the requery is
+        the ordinary partition-pruned weighted-OR top-k
+        (TakeOrderedAndProject). Two jobs total.
+        """
+        if beta < 0.0:
+            raise ValueError("beta must be >= 0")
+        exp = [
+            r["term"]
+            for r in self.related_terms(
+                query_terms,
+                k_docs=int(fb_docs),
+                top_terms=int(n_expand),
+                mode=mode,
+                min_df=int(min_df),
+            )
+            .select("term")
+            .collect()
+        ]
+        q = sorted(set(query_terms))
+        plan = self.plan_terms(sorted(set(q) | set(exp)))
+        if plan.empty:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, matched int"
+            )
+        contrib = self._contributions(plan).withColumn(
+            "contrib",
+            F.col("contrib")
+            * F.when(F.col("term").isin(q), F.lit(1.0)).otherwise(
+                F.lit(float(beta))
+            ),
+        )
+        return (
+            self._aggregate_scores(contrib, list(plan["term"]))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def count_matches(self, query_terms: list[str]) -> DataFrame:
         """Total-hits counting — the reference's "results 1-10 of about N"
         figure (`Msg40.cpp` getNumTotalHits; PageResults renders it on
