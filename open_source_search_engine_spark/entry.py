@@ -1694,6 +1694,27 @@ def q_prf(spark, sf_dir):
     )
 
 
+def q_ltr_features(spark, sf_dir):
+    # learning-to-rank feature export: per-candidate ranking features
+    # (bm25, coverage, tf stats, idf_sum, dl_norm) for the top-20 OR
+    # candidates — the signals PosdbTable.cpp folds into one score,
+    # exported as columns for model training instead
+    eng = engine_for(spark, sf_dir)
+    out = eng.ltr_features(["merge", "vector"], k=20)
+    return out.select(
+        "doc_id",
+        F.round("bm25", 4).alias("bm25"),
+        "matched",
+        F.round("coverage", 4).alias("coverage"),
+        "tf_sum",
+        "tf_min",
+        "tf_max",
+        F.round("idf_sum", 4).alias("idf_sum"),
+        "dl",
+        F.round("dl_norm", 4).alias("dl_norm"),
+    )
+
+
 _CJK_ENGINES: dict[str, SearchEngine] = {}
 
 
@@ -1784,6 +1805,7 @@ QUERIES = {
     "eval_rankings": q_eval_rankings,
     "maxp_passage": q_maxp_passage,
     "prf_expand": q_prf,
+    "ltr_features": q_ltr_features,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3701,6 +3723,43 @@ scored2 AS (
 )
 SELECT doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
 FROM scored2 ORDER BY s DESC, doc_id ASC LIMIT 10
+""",
+    # ltr_features: per-candidate LTR feature row over the top-20 OR
+    # candidates; bm25/tfnorm identical to the bm25_* oracles, dl features
+    # from the same unigram token count the index stores
+    "ltr_features": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('merge', 'vector') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('merge', 'vector') GROUP BY doc_id, term
+),
+feat AS (
+  SELECT tf.doc_id,
+         sum( ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+              * (tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                    + {B_DEFAULT} * dl.dl / c.avgdl))) ) AS bm25,
+         count(*) AS matched,
+         sum(tf.tf) AS tf_sum, min(tf.tf) AS tf_min, max(tf.tf) AS tf_max,
+         sum(ln((c.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0))
+           AS idf_sum,
+         max(dl.dl) AS dl, max(dl.dl) / max(c.avgdl) AS dl_norm
+  FROM tf
+  JOIN qdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(bm25, 4) AS bm25, CAST(matched AS INTEGER) AS matched,
+       round(matched / 2.0, 4) AS coverage,
+       CAST(tf_sum AS BIGINT) AS tf_sum, CAST(tf_min AS INTEGER) AS tf_min,
+       CAST(tf_max AS INTEGER) AS tf_max, round(idf_sum, 4) AS idf_sum,
+       CAST(dl AS INTEGER) AS dl, round(dl_norm, 4) AS dl_norm
+FROM feat ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """,
     # quality-aware survivor per duplicate cluster: same clusters as
     # dedup_clusters, keep the longest doc (n_chars DESC, doc_id ASC)
