@@ -123,6 +123,7 @@ def main() -> None:
         documents,
         engine_for,
         pairs_for,
+        passage_for,
         sigs_for,
     )
 
@@ -157,6 +158,10 @@ def main() -> None:
     t0 = time.time()
     cjk_for(spark, sf_dir)
     queries["cjk_build"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    passage_for(spark, sf_dir)
+    queries["passage_build"] = round(time.time() - t0, 4)
 
     headline = [
         "bm25_and", "bm25_or", "bm25_not", "bm25_stopwords", "wand",
@@ -217,6 +222,10 @@ def main() -> None:
         # surprisal quality score; context-aware type-ahead completion
         "doc_perplexity", "complete_query", "normalize_text",
         "mmr_rerank", "eval_rankings",
+        # round 5 (session 6): passage retrieval with MaxP rollup (its
+        # one-time chunk-index build is attributed to passage_build below),
+        # Rocchio PRF requery, LTR feature export
+        "maxp_passage", "prf_expand", "ltr_features",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
