@@ -356,3 +356,28 @@ def test_collocations_no_cartesian_or_sortmergejoin(spark):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p  # vocab + final top-k selections
+
+
+def test_ltr_features_single_agg_pruned_topk(eng):
+    # the feature export must cost exactly a plain query: term_id pushdown
+    # on the postings scan, ONE doc_id aggregate carrying every feature
+    # (no second shuffle, no window, no join beyond the broadcast meta),
+    # top-k via partial-top-k
+    df = eng.ltr_features(["spark", "index"], k=10)
+    p = _physical(df)
+    assert "PushedFilters: [In(term_id" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the per-term (term, idf) meta
+
+
+def test_prf_requery_is_pruned_topk(eng):
+    # the PRF requery is the ordinary weighted-OR page: pruned postings
+    # scan + TakeOrderedAndProject; the expansion mining happens in its
+    # own bounded jobs before this plan exists
+    df = eng.search_prf(["spark", "index"], k=10, fb_docs=5, n_expand=3)
+    p = _physical(df)
+    assert "PushedFilters: [In(term_id" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
