@@ -25,6 +25,7 @@ from .operators import (
     curation,
     dedup,
     evaluation,
+    percolate as percolate_op,
     similarity,
     speller,
     text_analysis,
@@ -1715,6 +1716,23 @@ def q_ltr_features(spark, sf_dir):
     )
 
 
+def q_percolate(spark, sf_dir):
+    # reverse search: stored rule queries evaluated against every doc —
+    # ingest-time tagging/alerting (the generalized X13/X14 routing
+    # stage); rules broadcast, corpus never self-shuffles
+    rules = spark.createDataFrame(
+        [
+            (1, ["merge", "vector"], "AND"),
+            (2, ["checkpoint"], "OR"),
+            (3, ["merge", "zzzabsent"], "AND"),
+            (4, ["shuffle", "broadcast"], "OR"),
+        ],
+        "query_id long, terms array<string>, mode string",
+    )
+    out = percolate_op.percolate(documents(spark, sf_dir), rules)
+    return out.orderBy("query_id", "doc_id").limit(300)
+
+
 _CJK_ENGINES: dict[str, SearchEngine] = {}
 
 
@@ -1806,6 +1824,7 @@ QUERIES = {
     "maxp_passage": q_maxp_passage,
     "prf_expand": q_prf,
     "ltr_features": q_ltr_features,
+    "percolate": q_percolate,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3760,6 +3779,29 @@ SELECT doc_id, round(bm25, 4) AS bm25, CAST(matched AS INTEGER) AS matched,
        CAST(tf_max AS INTEGER) AS tf_max, round(idf_sum, 4) AS idf_sum,
        CAST(dl AS INTEGER) AS dl, round(dl_norm, 4) AS dl_norm
 FROM feat ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+    # percolate: stored rule queries vs every doc over distinct doc
+    # terms; AND = all distinct rule terms present, OR = any
+    "percolate": f"""
+WITH {_TOKS},
+dterm AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+rules(query_id, term, mode, n_terms) AS (VALUES
+  (1, 'merge', 'AND', 2), (1, 'vector', 'AND', 2),
+  (2, 'checkpoint', 'OR', 1),
+  (3, 'merge', 'AND', 2), (3, 'zzzabsent', 'AND', 2),
+  (4, 'shuffle', 'OR', 2), (4, 'broadcast', 'OR', 2)
+),
+agg AS (
+  SELECT d.doc_id, r.query_id, count(*) AS n_hit,
+         max(r.n_terms) AS n_terms, max(r.mode) AS mode
+  FROM dterm d JOIN rules r USING (term)
+  GROUP BY d.doc_id, r.query_id
+)
+SELECT doc_id, CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_hit AS BIGINT) AS n_hit, CAST(n_terms AS BIGINT) AS n_terms
+FROM agg
+WHERE (mode = 'AND' AND n_hit = n_terms) OR (mode = 'OR' AND n_hit >= 1)
+ORDER BY query_id, doc_id LIMIT 300
 """,
     # quality-aware survivor per duplicate cluster: same clusters as
     # dedup_clusters, keep the longest doc (n_chars DESC, doc_id ASC)
