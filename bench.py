@@ -225,7 +225,7 @@ def main() -> None:
         # round 5 (session 6): passage retrieval with MaxP rollup (its
         # one-time chunk-index build is attributed to passage_build below),
         # Rocchio PRF requery, LTR feature export
-        "maxp_passage", "prf_expand", "ltr_features",
+        "maxp_passage", "prf_expand", "ltr_features", "percolate",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
