@@ -1716,6 +1716,21 @@ def q_ltr_features(spark, sf_dir):
     )
 
 
+def q_fuzzy(spark, sf_dir):
+    # typo-tolerant retrieval: 'merje' (typo) expands in the dictionary to
+    # its edit-distance-1 neighbors (exact term leads, weight 1.0; typo
+    # neighbors damped 0.7) and scores as one vote group; AND with the
+    # 'vector' group, whose own neighborhood (vector, vectors, ...) also
+    # expands — the cap max_expansions=4 binds
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_fuzzy(
+            ["merje", "vector"], "AND", 10, max_edit=1, max_expansions=4
+        ),
+        10,
+    )
+
+
 def q_percolate(spark, sf_dir):
     # reverse search: stored rule queries evaluated against every doc —
     # ingest-time tagging/alerting (the generalized X13/X14 routing
@@ -1825,6 +1840,7 @@ QUERIES = {
     "prf_expand": q_prf,
     "ltr_features": q_ltr_features,
     "percolate": q_percolate,
+    "fuzzy_search": q_fuzzy,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3779,6 +3795,50 @@ SELECT doc_id, round(bm25, 4) AS bm25, CAST(matched AS INTEGER) AS matched,
        CAST(tf_max AS INTEGER) AS tf_max, round(idf_sum, 4) AS idf_sum,
        CAST(dl AS INTEGER) AS dl, round(dl_norm, 4) AS dl_norm
 FROM feat ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+    # fuzzy_search: edit-distance-1 dictionary expansion per query term
+    # (distance ASC so the exact term leads, df DESC, term ASC, LIMIT
+    # binds), weight 1.0 at distance 0 / 0.7 otherwise, scored as vote
+    # groups with AND across groups
+    "fuzzy_search": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+expa AS (
+  SELECT term, df,
+         CASE WHEN levenshtein(term, 'merje') = 0 THEN 1.0 ELSE 0.7 END AS w,
+         'merje' AS grp
+  FROM gdf WHERE levenshtein(term, 'merje') <= 1
+  ORDER BY levenshtein(term, 'merje') ASC, df DESC, term ASC LIMIT 4
+),
+expb AS (
+  SELECT term, df,
+         CASE WHEN levenshtein(term, 'vector') = 0 THEN 1.0 ELSE 0.7 END AS w,
+         'vector' AS grp
+  FROM gdf WHERE levenshtein(term, 'vector') <= 1
+  ORDER BY levenshtein(term, 'vector') ASC, df DESC, term ASC LIMIT 4
+),
+mem AS (SELECT * FROM expa UNION ALL SELECT * FROM expb),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM tok t JOIN mem USING (term) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tf.doc_id, m.grp,
+         m.w * ln((c.n_docs - m.df + 0.5) / (m.df + 0.5) + 1.0)
+         * (tf.tf * ({K1_DEFAULT} + 1.0)
+            / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+               + {B_DEFAULT} * dl.dl / c.avgdl))) AS c
+  FROM tf JOIN mem m USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id, sum(c) AS s, count(DISTINCT grp) AS matched
+  FROM contrib GROUP BY doc_id
+  HAVING count(DISTINCT grp) = 2
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
 """,
     # percolate: stored rule queries vs every doc over distinct doc
     # terms; AND = all distinct rule terms present, OR = any

@@ -2462,6 +2462,65 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def search_fuzzy(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        max_edit: int = 1,
+        max_expansions: int = 8,
+        fuzzy_weight: float = 0.7,
+    ) -> DataFrame:
+        """Typo-tolerant search: each query term expands to the dictionary
+        terms within Levenshtein distance ≤ ``max_edit`` and the expansion
+        scores as ONE vote group through the J2 machinery
+        (`_vote_group_scores`) — OR within the group, the query's AND/OR
+        across groups, matched counts groups. The retrieval-side
+        complement of the spell-assist surface (`Speller.cpp:169`
+        getRecommendation walks edit neighbors of the typed word;
+        search_with_suggestion requeries AFTER the fact — this matches
+        THROUGH the typo in one query), and the edit-distance sibling of
+        ``search_prefix``'s wildcard expansion.
+
+        Expansion order: distance ASC (the exact term, if indexed, always
+        leads), then df DESC, term ASC — deterministic. Member weight:
+        1.0 at distance 0, ``fuzzy_weight`` otherwise (the derived-form
+        damp, same shape as the morphology path's 0.9). A term whose
+        neighborhood is empty behaves like an absent term (AND → empty
+        page).
+
+        Scale shape: expansion happens in the term DICTIONARY only — the
+        length band |len − len(q)| ≤ max_edit pushes to the term_stats
+        scan as two comparisons, levenshtein evaluates inside the band
+        only, TakeOrderedAndProject collects ≤ max_expansions rows per
+        term (plan metadata, the search_prefix contract). The postings
+        scan stays partition-pruned to the expanded terms.
+        """
+        groups: dict[str, list[tuple[str, float]]] = {}
+        for t in sorted(set(query_terms)):
+            lev = F.levenshtein(F.col("term"), F.lit(t))
+            rows = (
+                self._term_stats.filter(
+                    (F.length("term") >= len(t) - int(max_edit))
+                    & (F.length("term") <= len(t) + int(max_edit))
+                    & ~F.col("term").contains(" ")
+                )
+                .select("term", "df", lev.alias("lev"))
+                .filter(F.col("lev") <= int(max_edit))
+                .orderBy(F.asc("lev"), F.desc("df"), F.asc("term"))
+                .limit(int(max_expansions))
+                .collect()
+            )
+            groups[t] = [
+                (r["term"], 1.0 if r["lev"] == 0 else float(fuzzy_weight))
+                for r in rows
+            ]
+        return (
+            self._vote_group_scores(groups, mode)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def complete_query(
         self, partial: str, k: int = 10, max_candidates: int = 32
     ) -> DataFrame:
