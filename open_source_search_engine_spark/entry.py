@@ -1716,6 +1716,23 @@ def q_ltr_features(spark, sf_dir):
     )
 
 
+def q_relaxed(spark, sf_dir):
+    # requireAllTerms=false (Msg3a.cpp:124-126 rat): full-coverage docs
+    # preferred, partial matchers fill the page — one job, two-key top-k;
+    # the rank window runs over the already-limited <=15-row page
+    eng = engine_for(spark, sf_dir)
+    page = eng.search_relaxed(["merge", "vector", "checkpoint"], k=15)
+    full_first = F.desc((F.col("phase") == "full").cast("int"))
+    w = Window.orderBy(full_first, F.desc("score"), F.asc("doc_id"))
+    return page.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        "matched",
+        "phase",
+    )
+
+
 def q_fuzzy(spark, sf_dir):
     # typo-tolerant retrieval: 'merje' (typo) expands in the dictionary to
     # its edit-distance-1 neighbors (exact term leads, weight 1.0; typo
@@ -1841,6 +1858,7 @@ QUERIES = {
     "ltr_features": q_ltr_features,
     "percolate": q_percolate,
     "fuzzy_search": q_fuzzy,
+    "relaxed_rat": q_relaxed,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3795,6 +3813,19 @@ SELECT doc_id, round(bm25, 4) AS bm25, CAST(matched AS INTEGER) AS matched,
        CAST(tf_max AS INTEGER) AS tf_max, round(idf_sum, 4) AS idf_sum,
        CAST(dl AS INTEGER) AS dl, round(dl_norm, 4) AS dl_norm
 FROM feat ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+    # relaxed_rat: OR scoring, full-coverage tier first ((matched = n
+    # present terms) DESC, score DESC, doc_id ASC), partial fill
+    "relaxed_rat": f"""
+WITH {_bm25_ctes(['merge', 'vector', 'checkpoint'], 'OR')},
+np AS (SELECT count(*) AS n FROM qdf)
+SELECT CAST(row_number() OVER (
+         ORDER BY (matched = np.n) DESC, s DESC, doc_id ASC
+       ) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched,
+       CASE WHEN matched = np.n THEN 'full' ELSE 'partial' END AS phase
+FROM scored CROSS JOIN np
+ORDER BY rank LIMIT 15
 """,
     # fuzzy_search: edit-distance-1 dictionary expansion per query term
     # (distance ASC so the exact term leads, df DESC, term ASC, LIMIT

@@ -2462,6 +2462,48 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def search_relaxed(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        exclude_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """requireAllTerms=false serving (`Msg3a.cpp:124-126`: "all search
+        results MUST contain the required query terms, OTHERWISE, such
+        results are preferred, but the result set will contain docs that
+        do not have all required query terms") — the relaxed half of the
+        reference's rat parameter. Full-coverage docs form the top tier;
+        partial matchers fill the remainder of the page, each tier
+        ordered score DESC / doc_id ASC.
+
+        ``phase`` = 'full' when the doc matches every query term PRESENT
+        in the corpus (an absent term can match nothing under either
+        mode — same contract as plan_terms everywhere else), else
+        'partial'.
+
+        Scale shape: ONE job — ordinary OR scoring with a two-key
+        TakeOrderedAndProject ((is_full, score) DESC, doc_id ASC); no
+        driver-side count-then-requery round trip, unlike the spell
+        fallback (which must inspect the page to decide).
+        """
+        plan = self.plan_terms(query_terms)
+        n_full = len(plan)
+        scored = self.score_terms(query_terms, "OR", exclude_terms)
+        is_full = F.col("matched") == F.lit(int(n_full))
+        return (
+            scored.withColumn(
+                "phase",
+                F.when(is_full, F.lit("full")).otherwise(F.lit("partial")),
+            )
+            .orderBy(
+                F.desc(is_full.cast("int")),
+                F.desc("score"),
+                F.asc("doc_id"),
+            )
+            .limit(int(k))
+            .select("doc_id", "score", "matched", "phase")
+        )
+
     def search_fuzzy(
         self,
         query_terms: list[str],
