@@ -48,6 +48,27 @@ def run_battery(eng) -> dict:
         out[key] = [[int(r.doc_id), float(r.score), int(r.matched)] for r in rows]
     rows = wand_search(eng, WAND_TERMS, "AND", 10).collect()
     out["wand"] = [[int(r.doc_id), float(r.score), int(r.matched)] for r in rows]
+    # r5 session-6 serving paths: tiered relaxed page (phase strings),
+    # dictionary-driven fuzzy expansion (driver-collected plan metadata —
+    # exactly the cross-JVM risk this gate exists for), PRF's two-job
+    # mine-then-requery, and the LTR feature export's wide aggregate
+    rows = eng.search_relaxed(["spark", "index", "merge"], 10).collect()
+    out["relaxed"] = [
+        [int(r.doc_id), float(r.score), int(r.matched), r.phase] for r in rows
+    ]
+    rows = eng.search_fuzzy(["spak", "index"], "AND", 10).collect()
+    out["fuzzy"] = [[int(r.doc_id), float(r.score), int(r.matched)] for r in rows]
+    rows = eng.search_prf(["spark", "index"], k=10).collect()
+    out["prf"] = [[int(r.doc_id), float(r.score), int(r.matched)] for r in rows]
+    rows = eng.ltr_features(["spark", "index"], k=10).collect()
+    out["ltr"] = [
+        [
+            int(r.doc_id), float(r.bm25), int(r.matched), float(r.coverage),
+            int(r.tf_sum), int(r.tf_min), int(r.tf_max), float(r.idf_sum),
+            int(r.dl), float(r.dl_norm),
+        ]
+        for r in rows
+    ]
     return out
 
 

@@ -53,6 +53,9 @@ def test_local_cluster_battery_bit_identical(
     assert len(expected["and"]) == 10
     assert len(expected["wand"]) == 10
     assert expected["rare"]  # planted rare term: present, tiny df
+    # r5 session-6 paths all matched something to diff
+    for key in ("relaxed", "fuzzy", "prf", "ltr"):
+        assert expected[key], f"battery entry {key} is empty"
 
     wh_cluster = str(tmp_path_factory.mktemp("parity-wh-cluster"))
     env = dict(os.environ)
