@@ -1716,6 +1716,25 @@ def q_ltr_features(spark, sf_dir):
     )
 
 
+def q_search_after(spark, sf_dir):
+    # cursor-based deep paging: run page 1, take its last row's
+    # (score, doc_id) as the cursor, return page 2 — which must equal
+    # ranks 11-20 of the global ordering EXACTLY (the bit-stable-score
+    # guarantee the operator's docstring leans on); the cursor is the
+    # only driver-side state (one k-row page)
+    eng = engine_for(spark, sf_dir)
+    p1 = eng.search_after(["merge", "vector"], "AND", k=10).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = eng.search_after(["merge", "vector"], "AND", k=10, after=cur)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return p2.select(
+        (F.row_number().over(w) + 10).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        "matched",
+    )
+
+
 def q_relaxed(spark, sf_dir):
     # requireAllTerms=false (Msg3a.cpp:124-126 rat): full-coverage docs
     # preferred, partial matchers fill the page — one job, two-key top-k;
@@ -1859,6 +1878,7 @@ QUERIES = {
     "percolate": q_percolate,
     "fuzzy_search": q_fuzzy,
     "relaxed_rat": q_relaxed,
+    "search_after": q_search_after,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3813,6 +3833,19 @@ SELECT doc_id, round(bm25, 4) AS bm25, CAST(matched AS INTEGER) AS matched,
        CAST(tf_max AS INTEGER) AS tf_max, round(idf_sum, 4) AS idf_sum,
        CAST(dl AS INTEGER) AS dl, round(dl_norm, 4) AS dl_norm
 FROM feat ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+    # search_after: page 2 via the cursor predicate must equal global
+    # ranks 11-20 exactly (strict (s, doc_id) tuple order, doc_id unique)
+    "search_after": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+ranked AS (
+  SELECT doc_id, s, matched,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
+       CAST(matched AS BIGINT) AS matched
+FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
 """,
     # relaxed_rat: OR scoring, full-coverage tier first ((matched = n
     # present terms) DESC, score DESC, doc_id ASC), partial fill

@@ -2462,6 +2462,48 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def search_after(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        exclude_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """Cursor-based deep paging: page N+1 is the top-k of the ranking
+        STRICTLY AFTER the cursor ``after`` = (score, doc_id) of page N's
+        last row — the scale-correct pagination. The reference pages by
+        over-fetching firstResultNum+docsToGet and slicing (`Msg40.cpp`
+        docsToGet grows with the requested offset; our ``bm25_paging``
+        mirrors that), which is O(offset + k) work per page; this is O(k)
+        per page at ANY depth, because the cursor predicate
+        (score, doc_id) < cursor filters BEFORE the top-k selection, so
+        page 1000 costs the same one TakeOrderedAndProject as page 1.
+
+        Sound ONLY because scores are bit-stable: `_aggregate_scores`
+        folds contributions in canonical term order, so re-running the
+        query reproduces page N's boundary score EXACTLY and the strict
+        tuple comparison ((score < s0) OR (score = s0 AND doc_id > d0))
+        resumes without skips or repeats. An engine with
+        nondeterministic float accumulation cannot offer this operator.
+
+        ``after=None`` is page 1 (identical to search_terms).
+        """
+        scored = self.score_terms(query_terms, mode, exclude_terms)
+        if after is not None:
+            s0, d0 = float(after[0]), int(after[1])
+            scored = scored.filter(
+                (F.col("score") < F.lit(s0))
+                | (
+                    (F.col("score") == F.lit(s0))
+                    & (F.col("doc_id") > F.lit(d0))
+                )
+            )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def search_relaxed(
         self,
         query_terms: list[str],
