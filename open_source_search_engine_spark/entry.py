@@ -1735,6 +1735,24 @@ def q_search_after(spark, sf_dir):
     )
 
 
+def q_wand_after(spark, sf_dir):
+    # cursor paging on the WAND scale path: page 1 via block-max WAND,
+    # cursor = its last row, page 2 via WAND with the cursor predicate
+    # applied before theta/top-k — must equal global ranks 11-20 exactly
+    # (WAND is score-identical to the exact path)
+    eng = engine_for(spark, sf_dir)
+    p1 = wand_search(eng, ["merge", "vector"], "AND", k=10).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = wand_search(eng, ["merge", "vector"], "AND", k=10, after=cur)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return p2.select(
+        (F.row_number().over(w) + 10).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        "matched",
+    )
+
+
 def q_relaxed(spark, sf_dir):
     # requireAllTerms=false (Msg3a.cpp:124-126 rat): full-coverage docs
     # preferred, partial matchers fill the page — one job, two-key top-k;
@@ -1879,6 +1897,7 @@ QUERIES = {
     "fuzzy_search": q_fuzzy,
     "relaxed_rat": q_relaxed,
     "search_after": q_search_after,
+    "wand_after": q_wand_after,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3837,6 +3856,20 @@ FROM feat ORDER BY bm25 DESC, doc_id ASC LIMIT 20
     # search_after: page 2 via the cursor predicate must equal global
     # ranks 11-20 exactly (strict (s, doc_id) tuple order, doc_id unique)
     "search_after": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+ranked AS (
+  SELECT doc_id, s, matched,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
+       CAST(matched AS BIGINT) AS matched
+FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
+""",
+    # wand_after: same contract as search_after but via block-max WAND —
+    # the oracle is identical (ranks 11-20), proving the cursor composes
+    # with the pruning path score-identically
+    "wand_after": f"""
 WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
 ranked AS (
   SELECT doc_id, s, matched,

@@ -300,6 +300,7 @@ def wand_search(
     phase_a_groups: int = 8,
     max_group_split: int = MAX_GROUP_SPLIT,
     small_df_cutoff: int = 100_000,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Block-max WAND BM25 top-k. Same result contract as
     SearchEngine.search_terms: (doc_id, score, matched) ordered
@@ -395,8 +396,9 @@ def wand_search(
     # consumed exactly ONCE here, so it is NOT persisted on this path --
     # the two-phase branch persists it because phases A and B both scan it
     if mode == "AND" and int(plan["df"].min()) <= small_df_cutoff:
-        scored = _apply_exclusions(
-            engine, score_groups(q_blocks), exclude_terms
+        scored = _apply_cursor(
+            _apply_exclusions(engine, score_groups(q_blocks), exclude_terms),
+            after,
         )
         # returned LAZY: nothing in this lineage is persisted (unlike the
         # two-phase branch below, which must materialize before unpersist),
@@ -431,7 +433,9 @@ def wand_search(
         scored_a = score_groups(
             q_blocks.join(F.broadcast(g_a), "group_id", "left_semi")
         )
-        scored_a = _apply_exclusions(engine, scored_a, exclude_terms)
+        scored_a = _apply_cursor(
+            _apply_exclusions(engine, scored_a, exclude_terms), after
+        )
         scored_a = scored_a.persist()
         top_a = (
             scored_a.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
@@ -443,14 +447,17 @@ def wand_search(
         g_b = gmeta.join(g_a, "group_id", "left_anti").filter(
             F.col("ub_sum") >= F.lit(theta - EPS)
         )
-        scored_b = _apply_exclusions(
-            engine,
-            score_groups(
-                q_blocks.join(
-                    g_b.select("group_id"), "group_id", "left_semi"
-                )
+        scored_b = _apply_cursor(
+            _apply_exclusions(
+                engine,
+                score_groups(
+                    q_blocks.join(
+                        g_b.select("group_id"), "group_id", "left_semi"
+                    )
+                ),
+                exclude_terms,
             ),
-            exclude_terms,
+            after,
         )
         out = (
             scored_a.unionByName(scored_b)
@@ -835,6 +842,25 @@ def wand_boosted(
         m = min(max(m * 4, int(m_needed * 1.25)), max_candidates)
     return (
         spark.createDataFrame(rows, top.schema) if rows else empty
+    )
+
+
+def _apply_cursor(
+    scored: DataFrame, after: tuple[float, int] | None
+) -> DataFrame:
+    """search_after's strict (score, doc_id) cursor predicate on a scored
+    frame (see SearchEngine.search_after: sound because scores are
+    bit-stable). Applied BEFORE each top-k selection; on the two-phase
+    path it also runs before theta is read, so theta is the kth best of
+    the REMAINING ranking — the cursor bounds scores from ABOVE, so it
+    can never raise theta, but phase-B pruning against the page's own
+    theta still skips groups exactly as on page 1."""
+    if after is None:
+        return scored
+    s0, d0 = float(after[0]), int(after[1])
+    return scored.filter(
+        (F.col("score") < F.lit(s0))
+        | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
     )
 
 

@@ -84,3 +84,33 @@ def test_deep_page_plan_is_single_topk(eng):
     )
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_wand_cursor_pages_tile_exact_ranking(eng):
+    # WAND + cursor on BOTH wand paths must reproduce the exact-path
+    # global ranking bit-for-bit when chained
+    from open_source_search_engine_spark.operators.wand import wand_search
+
+    full = eng.search_terms(Q, "AND", 10_000).collect()
+    assert len(full) > 15
+    for cutoff in (100_000, 0):  # fast path, then forced two-phase theta
+        paged, cur = [], None
+        while True:
+            page = wand_search(
+                eng, Q, "AND", k=6, after=cur, small_df_cutoff=cutoff
+            ).collect()
+            if not page:
+                break
+            paged.extend(page)
+            cur = (page[-1]["score"], page[-1]["doc_id"])
+        assert [(r["doc_id"], r["score"]) for r in paged] == [
+            (r["doc_id"], r["score"]) for r in full
+        ], f"cutoff={cutoff}"
+
+
+def test_wand_after_none_is_plain_wand(eng):
+    from open_source_search_engine_spark.operators.wand import wand_search
+
+    a = wand_search(eng, Q, "AND", k=10).collect()
+    b = wand_search(eng, Q, "AND", k=10, after=None).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
