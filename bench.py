@@ -226,7 +226,7 @@ def main() -> None:
         # one-time chunk-index build is attributed to passage_build below),
         # Rocchio PRF requery, LTR feature export
         "maxp_passage", "prf_expand", "ltr_features", "percolate",
-        "fuzzy_search", "relaxed_rat", "search_after",
+        "fuzzy_search", "relaxed_rat", "search_after", "wand_after",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
