@@ -1735,6 +1735,21 @@ def q_search_after(spark, sf_dir):
     )
 
 
+def q_explain(spark, sf_dir):
+    # &debug=1 query-info surface: per-term dictionary telemetry + the
+    # deterministic route decision, zero Spark jobs from the cached plan
+    eng = engine_for(spark, sf_dir)
+    out = eng.explain_terms(["merge", "vector", "zzzabsent"])
+    return out.select(
+        "term",
+        "present",
+        "df",
+        F.round("idf", 4).alias("idf"),
+        "route",
+        "sum_df",
+    ).orderBy("term")
+
+
 def q_wand_after(spark, sf_dir):
     # cursor paging on the WAND scale path: page 1 via block-max WAND,
     # cursor = its last row, page 2 via WAND with the cursor predicate
@@ -1898,6 +1913,7 @@ QUERIES = {
     "relaxed_rat": q_relaxed,
     "search_after": q_search_after,
     "wand_after": q_wand_after,
+    "explain_terms": q_explain,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3865,6 +3881,26 @@ ranked AS (
 SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
        CAST(matched AS BIGINT) AS matched
 FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
+""",
+    # explain_terms: dictionary rows + routing decision; absent term ->
+    # df 0 / idf NULL / present false; sum_df over present terms only
+    "explain_terms": f"""
+WITH {_TOKS}, {_TOK},
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+q(term) AS (VALUES ('merge'), ('vector'), ('zzzabsent')),
+j AS (
+  SELECT q.term, (g.df IS NOT NULL) AS present,
+         coalesce(g.df, 0) AS df,
+         CASE WHEN g.df IS NULL THEN NULL
+              ELSE ln((nd.n - g.df + 0.5) / (g.df + 0.5) + 1.0) END AS idf
+  FROM q LEFT JOIN gdf g USING (term) CROSS JOIN nd
+),
+tot AS (SELECT sum(df) AS sum_df FROM j)
+SELECT term, present, CAST(df AS BIGINT) AS df, round(idf, 4) AS idf,
+       CASE WHEN tot.sum_df <= 1000000 THEN 'exact' ELSE 'wand' END AS route,
+       CAST(tot.sum_df AS BIGINT) AS sum_df
+FROM j CROSS JOIN tot ORDER BY term
 """,
     # wand_after: same contract as search_after but via block-max WAND —
     # the oracle is identical (ranks 11-20), proving the cursor composes

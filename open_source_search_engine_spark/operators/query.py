@@ -2462,6 +2462,47 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def explain_terms(
+        self,
+        query_terms: list[str],
+        wand_df_cutoff: int = 1_000_000,
+    ) -> DataFrame:
+        """Query-plan introspection — the reference's `&debug=1` query-info
+        surface (PageResults debug dump of per-term termlist sizes;
+        `Msg3a.cpp:1011` setTermFreqWeights is exactly this table) as a
+        DataFrame an operator can join/log: per query term its dictionary
+        row (present, df, idf) plus the query-level routing decision
+        (``route`` exact|wand by search_auto's sum(df) ≤ cutoff rule and
+        the ``sum_df`` that drove it).
+
+        Costs ZERO Spark jobs when the terms are plan-cached (plan_terms
+        memoizes dictionary rows, including confirmed misses) — the frame
+        is built from driver-held plan metadata, so SERP handlers can
+        attach it to every response for free. Absent terms appear with
+        df=0 / idf NULL / present=false; sum_df counts present terms only
+        (an absent term decodes nothing — same contract as routing).
+        """
+        plan = self.plan_terms(query_terms)
+        by_term = (
+            {
+                str(r["term"]): (int(r["df"]), float(r["idf"]))
+                for _, r in plan.iterrows()
+            }
+            if not plan.empty
+            else {}
+        )
+        sum_df = sum(df for df, _ in by_term.values())
+        route = "exact" if sum_df <= int(wand_df_cutoff) else "wand"
+        rows = []
+        for t in sorted(set(query_terms)):
+            df_i, idf = by_term.get(t, (0, None))
+            rows.append((t, t in by_term, df_i, idf, route, sum_df))
+        return self.spark.createDataFrame(
+            rows,
+            "term string, present boolean, df long, idf double, "
+            "route string, sum_df long",
+        )
+
     def search_after(
         self,
         query_terms: list[str],
