@@ -1735,6 +1735,22 @@ def q_search_after(spark, sf_dir):
     )
 
 
+def q_vocab_drift(spark, sf_dir):
+    # corpus drift telemetry between two deterministic slices (doc_id
+    # parity): per-term add-one-smoothed log probability ratio over the
+    # union vocabulary, top movers by |log_ratio|
+    docs = documents(spark, sf_dir)
+    out = text_analysis.vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        min_count=5,
+        top_k=20,
+    )
+    return out.select(
+        "term", "c_a", "c_b", F.round("log_ratio", 4).alias("log_ratio")
+    )
+
+
 def q_explain(spark, sf_dir):
     # &debug=1 query-info surface: per-term dictionary telemetry + the
     # deterministic route decision, zero Spark jobs from the cached plan
@@ -1914,6 +1930,7 @@ QUERIES = {
     "search_after": q_search_after,
     "wand_after": q_wand_after,
     "explain_terms": q_explain,
+    "vocab_drift": q_vocab_drift,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3881,6 +3898,34 @@ ranked AS (
 SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
        CAST(matched AS BIGINT) AS matched
 FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
+""",
+    # vocab_drift: add-one-smoothed per-term log p-ratio between the two
+    # doc_id-parity slices over the UNION vocabulary; hapax damped by
+    # min_count on c_a + c_b; top movers by |log_ratio| DESC, term ASC
+    "vocab_drift": f"""
+WITH {_TOKS},
+ta AS (
+  SELECT unnest(toks) AS term FROM toks WHERE doc_id % 2 = 0
+),
+tb AS (
+  SELECT unnest(toks) AS term FROM toks WHERE doc_id % 2 = 1
+),
+ca AS (SELECT term, count(*) AS c_a FROM ta GROUP BY term),
+cb AS (SELECT term, count(*) AS c_b FROM tb GROUP BY term),
+j AS (
+  SELECT coalesce(ca.term, cb.term) AS term,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+),
+tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b, count(*) AS v FROM j)
+SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       round(ln( ((c_b + 1.0) / (tot.n_b + tot.v))
+               / ((c_a + 1.0) / (tot.n_a + tot.v)) ), 4) AS log_ratio
+FROM j CROSS JOIN tot
+WHERE c_a + c_b >= 5
+ORDER BY abs(ln( ((c_b + 1.0) / (tot.n_b + tot.v))
+             / ((c_a + 1.0) / (tot.n_a + tot.v)) )) DESC, term ASC
+LIMIT 20
 """,
     # explain_terms: dictionary rows + routing decision; absent term ->
     # df 0 / idf NULL / present false; sum_df over present terms only

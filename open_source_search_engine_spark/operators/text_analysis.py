@@ -855,3 +855,66 @@ def doc_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(-mean_l, 4).alias("nll"),
         F.round(F.exp(-mean_l), 4).alias("ppl"),
     )
+
+
+def vocab_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus drift monitor: per-term distribution shift between two
+    corpus slices — the data-drift telemetry a training pipeline runs
+    between ingest batches, sources, or time windows (the reference
+    tracks per-doc term distributions, `XmlDoc.cpp` getCountTable; this
+    is the corpus-vs-corpus comparison of the same statistic).
+
+    Per term: unigram probabilities under add-one smoothing over the
+    UNION vocabulary, p_x = (c_x + 1) / (N_x + V), and the drift score
+    ``log_ratio`` = ln(p_b / p_a) — positive means the term grew in B.
+    ``min_count`` (on c_a + c_b) drops hapax noise; output is the top
+    ``top_k`` movers by |log_ratio| DESC, term ASC (deterministic), as
+    (term, c_a, c_b, log_ratio).
+
+    Scale shape: one map-side-combined token-count aggregate per side, a
+    shuffle join on term (vocab-sized, not corpus-sized), and the two
+    scalar constants (N, V) ride a 1-row cross join broadcast — the same
+    bounded pattern as the curation ops. Top-k via TakeOrderedAndProject.
+    """
+    ca = (
+        with_tokens(docs_a, text_col)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    cb = (
+        with_tokens(docs_b, text_col)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    j = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    tot = j.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_a = (F.col("c_a") + 1) / (F.col("n_a") + F.col("v"))
+    p_b = (F.col("c_b") + 1) / (F.col("n_b") + F.col("v"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .filter((F.col("c_a") + F.col("c_b")) >= int(min_count))
+        .select(
+            "term",
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.log(p_b / p_a).alias("log_ratio"),
+        )
+        .orderBy(F.desc(F.abs(F.col("log_ratio"))), F.asc("term"))
+        .limit(int(top_k))
+    )
