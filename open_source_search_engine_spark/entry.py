@@ -1751,6 +1751,18 @@ def q_vocab_drift(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    # first-order Markov transition table over per-user event streams
+    # (the tool/action funnel an agent-log pipeline reads): lag window
+    # per user ordered (ts, event_id), pair counts + conditional p
+    from .operators.events import event_transitions
+
+    out = event_transitions(events(spark, sf_dir), min_count=2)
+    return out.select(
+        "prev_type", "next_type", "n", F.round("p", 4).alias("p")
+    )
+
+
 def q_explain(spark, sf_dir):
     # &debug=1 query-info surface: per-term dictionary telemetry + the
     # deterministic route decision, zero Spark jobs from the cached plan
@@ -1931,6 +1943,7 @@ QUERIES = {
     "wand_after": q_wand_after,
     "explain_terms": q_explain,
     "vocab_drift": q_vocab_drift,
+    "event_transitions": q_event_transitions,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3898,6 +3911,27 @@ ranked AS (
 SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
        CAST(matched AS BIGINT) AS matched
 FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
+""",
+    # event_transitions: per-user lag over (ts, event_id), pair counts,
+    # conditional p over totals taken BEFORE the min_count prune
+    "event_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM pairs
+WHERE n >= 2
+ORDER BY n DESC, prev_type ASC, next_type ASC
 """,
     # vocab_drift: add-one-smoothed per-term log p-ratio between the two
     # doc_id-parity slices over the UNION vocabulary; hapax damped by

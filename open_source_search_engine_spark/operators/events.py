@@ -149,3 +149,47 @@ def as_of_join(
     out = out.withColumn(f"{right_ts}{suffix}", F.col("_rpay.__rts"))
     drop = ["_side", "_ats", "_rpay"] + (["_rord"] if right_order_col else [])
     return out.drop(*drop)
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order transition table over per-user event streams — the
+    Markov funnel an agent-log pipeline reads tool/action flows from
+    (which step follows which, and with what probability). The reference
+    has no sequence analytics at all (SURVEY.md §2.3); this is the
+    event-table sibling of sessionize, sharing its exact shuffle shape.
+
+    Per user, events order by (ts, order_col) — the tiebreaker makes the
+    lag deterministic under equal timestamps — and each adjacent pair
+    (prev_type -> next_type) counts once. Output per observed pair:
+    (prev_type, next_type, n, p) with p = n / total transitions leaving
+    prev_type (rows ordered n DESC, prev_type ASC, next_type ASC;
+    ``min_count`` prunes rare pairs AFTER the conditional totals are
+    taken, so p still sums to 1 per prev_type across the unpruned set).
+
+    Scale shape: ONE shuffle on user_col for the lag window (identical
+    to sessionize), then a map-side-combined pair count; the per-prev
+    totals ride a window over the (tiny) pair table, not the events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("p", F.col("n") / F.sum("n").over(tot))
+        .filter(F.col("n") >= int(min_count))
+        .orderBy(F.desc("n"), F.asc("prev_type"), F.asc("next_type"))
+    )
