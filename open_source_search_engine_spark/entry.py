@@ -1763,6 +1763,27 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_props_extract(spark, sf_dir):
+    # schema-on-read over the events props JSON column: extract a typed
+    # field inside the scan projection (get_json_object stays in
+    # whole-stage codegen), filter on it, aggregate — the standard
+    # semi-structured-ingest shape a log pipeline runs before schemas
+    # stabilize; no UDF, no parse stage, no shuffle beyond the groupBy
+    ev = events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_explain(spark, sf_dir):
     # &debug=1 query-info surface: per-term dictionary telemetry + the
     # deterministic route decision, zero Spark jobs from the cached plan
@@ -1944,6 +1965,7 @@ QUERIES = {
     "explain_terms": q_explain,
     "vocab_drift": q_vocab_drift,
     "event_transitions": q_event_transitions,
+    "props_extract": q_props_extract,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3911,6 +3933,19 @@ ranked AS (
 SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
        CAST(matched AS BIGINT) AS matched
 FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
+""",
+    # props_extract: typed field out of the props JSON string, filtered
+    # and aggregated — json_extract_string mirrors get_json_object
+    "props_extract": """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS avg_value, round(avg(k), 4) AS avg_k
+FROM e WHERE k >= 50
+GROUP BY event_type ORDER BY event_type
 """,
     # event_transitions: per-user lag over (ts, event_id), pair counts,
     # conditional p over totals taken BEFORE the min_count prune

@@ -72,3 +72,30 @@ def test_ordering_is_deterministic(ev):
     rows = event_transitions(ev).collect()
     key = [(-r["n"], r["prev_type"], r["next_type"]) for r in rows]
     assert key == sorted(key)
+
+
+def test_props_extract_schema_on_read(spark):
+    """q_props_extract's JSON path: planted rows, brute-force comparison,
+    malformed / missing-key props fall out as NULL (never error)."""
+    from open_source_search_engine_spark.entry import q_props_extract
+    import os
+
+    rows = [
+        (1, "a", 10.0, '{"k": 60}'),
+        (2, "a", 20.0, '{"k": 40}'),      # filtered: k < 50
+        (3, "b", 30.0, '{"k": 70}'),
+        (4, "b", 50.0, '{"j": 1}'),        # missing key -> NULL -> filtered
+        (5, "b", 70.0, "not json"),        # malformed -> NULL -> filtered
+        (6, "b", 40.0, '{"k": 90}'),
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="props-sf-")
+    d.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {r["event_type"]: r for r in q_props_extract(spark, sf).collect()}
+    assert got["a"]["n"] == 1 and got["a"]["avg_k"] == 60.0
+    assert got["b"]["n"] == 2
+    assert got["b"]["avg_value"] == 35.0 and got["b"]["avg_k"] == 80.0
