@@ -1784,6 +1784,19 @@ def q_props_extract(spark, sf_dir):
     )
 
 
+def q_fetch_docs(spark, sf_dir):
+    # PageGet cached-copy serving: the BM25 page's ids fetched back from
+    # the doc store through the pruned In(doc_id) scan
+    eng = engine_for(spark, sf_dir)
+    ids = [
+        r["doc_id"]
+        for r in eng.search_terms(["merge", "vector"], "AND", 5).collect()
+    ]
+    return eng.fetch_docs(ids).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def q_explain(spark, sf_dir):
     # &debug=1 query-info surface: per-term dictionary telemetry + the
     # deterministic route decision, zero Spark jobs from the cached plan
@@ -1966,6 +1979,7 @@ QUERIES = {
     "vocab_drift": q_vocab_drift,
     "event_transitions": q_event_transitions,
     "props_extract": q_props_extract,
+    "fetch_docs": q_fetch_docs,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3933,6 +3947,14 @@ ranked AS (
 SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
        CAST(matched AS BIGINT) AS matched
 FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
+""",
+    # fetch_docs: the AND page's top-5 ids joined back to the doc store
+    "fetch_docs": f"""
+WITH {_bm25_ctes(['merge', 'vector'], 'AND')},
+page AS (SELECT doc_id FROM scored ORDER BY s DESC, doc_id ASC LIMIT 5)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN page USING (doc_id)
+ORDER BY d.doc_id
 """,
     # props_extract: typed field out of the props JSON string, filtered
     # and aggregated — json_extract_string mirrors get_json_object

@@ -2462,6 +2462,26 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
+        """Cached-copy serving — the reference's PageGet flow (serve the
+        stored document by docid; `PageGet.cpp` reads the title rec via
+        Msg20/Msg22 by docid): a partition-pruned doc-store lookup
+        returning every stored column for the requested ids, ordered
+        doc_id ASC. The SERP's "cached" link, the snippet path's doc
+        fetch, and any export-by-id all reduce to this one scan shape.
+
+        Scale shape: an In(doc_id) predicate pushed to the doc-store
+        parquet scan (plan-gated) — the page of ids is query-sized, so
+        the filter is a literal list, no join, no shuffle beyond the
+        final order of ≤len(doc_ids) rows.
+        """
+        ids = sorted({int(d) for d in doc_ids})
+        return (
+            self.catalog.read_table("documents")
+            .filter(F.col("doc_id").isin(ids))
+            .orderBy(F.asc("doc_id"))
+        )
+
     def explain_terms(
         self,
         query_terms: list[str],

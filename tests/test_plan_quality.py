@@ -381,3 +381,16 @@ def test_prf_requery_is_pruned_topk(eng):
     assert "PushedFilters: [In(term_id" in p
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_fetch_docs_is_pruned_point_lookup(eng):
+    # PageGet shape: the In(doc_id) predicate reaches the doc-store scan;
+    # no join, no window, one ordered projection
+    df = eng.fetch_docs([3, 1, 2, 2])
+    p = _physical(df)
+    assert "PushedFilters: [In(doc_id" in p
+    assert "Join" not in p and "Window" not in p
+    rows = df.collect()
+    assert [r["doc_id"] for r in rows] == sorted(
+        {1, 2, 3} & {r["doc_id"] for r in rows}
+    ), "ordered doc_id ASC, dedup'd ids"
