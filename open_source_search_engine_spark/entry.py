@@ -1784,6 +1784,21 @@ def q_props_extract(spark, sf_dir):
     )
 
 
+def q_sq8_ann(spark, sf_dir):
+    # int8 scalar-quantized ANN (FAISS-style SQ8): per-dim min/max stats,
+    # floor((x-mn)/(mx-mn)*255+0.5) quantization, asymmetric cosine of
+    # the float query (vec_id 0's embedding) vs dequantized vectors —
+    # the 4x-memory scale path under the same scan+top-k plan
+    emb = embeddings(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    qdf, mn, mx = similarity.sq8_compress(emb)
+    out = similarity.sq8_topk(qdf, qvec, mn, mx, k=20)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_fetch_docs(spark, sf_dir):
     # PageGet cached-copy serving: the BM25 page's ids fetched back from
     # the doc store through the pruned In(doc_id) scan
@@ -1980,6 +1995,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "props_extract": q_props_extract,
     "fetch_docs": q_fetch_docs,
+    "sq8_ann": q_sq8_ann,
     "prefix_search": q_prefix_search,
     "near_phrase": q_near_phrase,
     "more_like_this": q_more_like_this,
@@ -3947,6 +3963,44 @@ ranked AS (
 SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(s, 4) AS score,
        CAST(matched AS BIGINT) AS matched
 FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn
+""",
+    # sq8_ann: per-dim min/max -> int8 quantize -> dequantize -> cosine
+    # vs the float query; every subtraction forced to DOUBLE so the
+    # scale factors match Spark's python-double literals bit-for-bit
+    "sq8_ann": """
+WITH pos AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+stats AS (
+  SELECT i, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx
+  FROM pos GROUP BY i
+),
+qv AS (SELECT x AS qx, i FROM pos WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS n FROM qv),
+quant AS (
+  SELECT p.vec_id, p.i,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE greatest(0, least(255,
+                CAST(floor((CAST(p.x AS DOUBLE) - s.mn) / (s.mx - s.mn)
+                           * 255.0 + 0.5) AS INTEGER)))
+         END AS q
+  FROM pos p JOIN stats s USING (i)
+),
+deq AS (
+  SELECT qt.vec_id, qt.i, qt.q * (s.mx - s.mn) / 255.0 + s.mn AS xh
+  FROM quant qt JOIN stats s USING (i)
+),
+sc AS (
+  SELECT d.vec_id,
+         sum(d.xh * CAST(qv.qx AS DOUBLE))
+           / (sqrt(sum(d.xh * d.xh)) * max(qn.n)) AS cosine
+  FROM deq d JOIN qv ON qv.i = d.i CROSS JOIN qn
+  GROUP BY d.vec_id
+)
+SELECT vec_id, round(cosine, 4) AS cosine FROM sc
+ORDER BY cosine DESC, vec_id ASC LIMIT 20
 """,
     # fetch_docs: the AND page's top-5 ids joined back to the doc store
     "fetch_docs": f"""

@@ -704,3 +704,90 @@ def mmr_rerank(
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------- sq8 ----
+def sq8_compress(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Scalar int8 quantization of the embedding column — the standard 4×
+    memory compression an ANN index applies before anything fancier (the
+    SQ8 of FAISS/public ANN practice): per-dimension min/max over the
+    corpus, each float mapped to floor((x−mn)/(mx−mn)·255 + 0.5) ∈
+    [0,255]. Returns ``(qdf, mn, mx)`` — qdf is (id, q array<int>) and
+    mn/mx are the per-dim python lists a search needs to dequantize.
+
+    Scale shape: the stats pass is ONE posexplode + map-side-combined
+    groupBy(pos) collecting exactly dim rows to the driver (bounded
+    metadata); quantization itself is a pure zip_with projection — no
+    shuffle, no Python. Degenerate dims (mx == mn) quantize to 0 and
+    dequantize back to mn exactly.
+    """
+    stats = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = [float(r["mn"]) for r in stats]
+    mx = [float(r["mx"]) for r in stats]
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    sc_arr = F.array(*[F.lit(b - a) for a, b in zip(mn, mx)])
+    shifted = F.zip_with(
+        F.col(vec_col), mn_arr, lambda x, m: x.cast("double") - m
+    )
+    q = F.zip_with(
+        shifted,
+        sc_arr,
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(d / s * F.lit(255.0) + F.lit(0.5)).cast("int"),
+                ),
+            )
+        ),
+    )
+    return (
+        embeddings.select(F.col(id_col), q.alias("q")),
+        mn,
+        mx,
+    )
+
+
+def sq8_topk(
+    qdf: DataFrame,
+    query_vec: list[float],
+    mn: list[float],
+    mx: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric SQ8 cosine top-k: the float query against DEQUANTIZED
+    stored vectors (x̂ = mn + q·(mx−mn)/255) — one scan over the int8
+    table + TakeOrderedAndProject, the same plan as the float brute
+    force at a quarter of the bytes. Output (id, cosine) ordered cosine
+    DESC, id ASC. Recall vs the float ranking is a corpus property;
+    tests gate it on the planted testdata.
+    """
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    sc_arr = F.array(*[F.lit(b - a) for a, b in zip(mn, mx)])
+    scaled = F.zip_with(
+        F.col("q"), sc_arr, lambda qq, s: qq.cast("double") * s / F.lit(255.0)
+    )
+    deq = F.zip_with(scaled, mn_arr, lambda v, m: v + m)
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    with_deq = qdf.withColumn("_deq", deq)
+    cos = (
+        _dot(F.col("_deq"), qv) / (_norm(F.col("_deq")) * F.lit(qn))
+    ).alias("cosine")
+    return (
+        with_deq.select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(int(k))
+    )
