@@ -228,7 +228,7 @@ def main() -> None:
         "maxp_passage", "prf_expand", "ltr_features", "percolate",
         "fuzzy_search", "relaxed_rat", "search_after", "wand_after",
         "explain_terms", "vocab_drift", "event_transitions",
-        "props_extract", "fetch_docs",
+        "props_extract", "fetch_docs", "sq8_ann",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median
