@@ -1883,12 +1883,14 @@ def q_percolate(spark, sf_dir):
     # stage); rules broadcast, corpus never self-shuffles
     rules = spark.createDataFrame(
         [
-            (1, ["merge", "vector"], "AND"),
-            (2, ["checkpoint"], "OR"),
-            (3, ["merge", "zzzabsent"], "AND"),
-            (4, ["shuffle", "broadcast"], "OR"),
+            (1, ["merge", "vector"], "AND", None),
+            (2, ["checkpoint"], "OR", None),
+            (3, ["merge", "zzzabsent"], "AND", None),
+            (4, ["shuffle", "broadcast"], "OR", None),
+            (5, ["merge"], "OR", ["vector"]),  # '-vector' sign grammar
         ],
-        "query_id long, terms array<string>, mode string",
+        "query_id long, terms array<string>, mode string, "
+        "exclude array<string>",
     )
     out = percolate_op.percolate(documents(spark, sf_dir), rules)
     return out.orderBy("query_id", "doc_id").limit(300)
@@ -4172,7 +4174,13 @@ rules(query_id, term, mode, n_terms) AS (VALUES
   (1, 'merge', 'AND', 2), (1, 'vector', 'AND', 2),
   (2, 'checkpoint', 'OR', 1),
   (3, 'merge', 'AND', 2), (3, 'zzzabsent', 'AND', 2),
-  (4, 'shuffle', 'OR', 2), (4, 'broadcast', 'OR', 2)
+  (4, 'shuffle', 'OR', 2), (4, 'broadcast', 'OR', 2),
+  (5, 'merge', 'OR', 1)
+),
+exhits AS (
+  SELECT DISTINCT d.doc_id, rx.query_id
+  FROM dterm d
+  JOIN (VALUES (5, 'vector')) AS rx(query_id, term) ON d.term = rx.term
 ),
 agg AS (
   SELECT d.doc_id, r.query_id, count(*) AS n_hit,
@@ -4182,8 +4190,12 @@ agg AS (
 )
 SELECT doc_id, CAST(query_id AS BIGINT) AS query_id,
        CAST(n_hit AS BIGINT) AS n_hit, CAST(n_terms AS BIGINT) AS n_terms
-FROM agg
-WHERE (mode = 'AND' AND n_hit = n_terms) OR (mode = 'OR' AND n_hit >= 1)
+FROM agg a
+WHERE ((mode = 'AND' AND n_hit = n_terms) OR (mode = 'OR' AND n_hit >= 1))
+  AND NOT EXISTS (
+    SELECT 1 FROM exhits e
+    WHERE e.doc_id = a.doc_id AND e.query_id = a.query_id
+  )
 ORDER BY query_id, doc_id LIMIT 300
 """,
     # quality-aware survivor per duplicate cluster: same clusters as

@@ -46,16 +46,21 @@ def percolate(
     mode 'AND' (all distinct terms must appear) or 'OR' (any). Duplicate
     terms inside a rule are ignored (`Query.h:137` IGNORE_REPEAT — same
     contract as the forward path). Rule terms are matched in the ascii
-    normalized token space.
+    normalized token space. An optional ``exclude`` array<string> column
+    carries the rule's negative terms (`Query.h:191-193` '-term' sign
+    grammar): a doc containing ANY excluded term never matches the rule,
+    regardless of mode.
 
     Returns one row per MATCHING (doc, rule) pair:
     (doc_id, query_id, n_hit, n_terms) — ``n_hit`` distinct rule terms
     present in the doc, ``n_terms`` the rule's distinct-term count.
     Docs matching no rule and rules matching no doc simply yield no rows.
     """
-    rule_rows = rules.select(
-        "query_id", F.array_distinct("terms").alias("terms"), "mode"
-    ).collect()
+    has_excl = "exclude" in rules.columns
+    sel = ["query_id", F.array_distinct("terms").alias("terms"), "mode"] + (
+        [F.array_distinct("exclude").alias("exclude")] if has_excl else []
+    )
+    rule_rows = rules.select(*sel).collect()
     structs = []
     for r in rule_rows:
         if r["mode"] not in ("AND", "OR"):
@@ -67,6 +72,12 @@ def percolate(
             (n_hit == F.lit(n_terms)) if r["mode"] == "AND"
             else (n_hit >= 1)
         )
+        excl = list(r["exclude"]) if has_excl and r["exclude"] else []
+        if excl:
+            ex_arr = F.array(*[F.lit(t) for t in excl])
+            matched = matched & (
+                F.size(F.array_intersect(F.col("_toks"), ex_arr)) == 0
+            )
         structs.append(
             F.struct(
                 F.lit(int(r["query_id"])).cast("long").alias("query_id"),

@@ -130,3 +130,31 @@ def test_percolate_streaming_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == _expected()
+
+
+def test_percolate_exclude_terms(frames, spark):
+    docs, _ = frames
+    rules = spark.createDataFrame(
+        [
+            (20, ["alpha"], "OR", ["bravo"]),   # alpha docs WITHOUT bravo
+            (21, ["alpha"], "OR", []),          # empty exclude = no-op
+            (22, ["alpha"], "OR", None),        # NULL exclude = no-op
+        ],
+        "query_id long, terms array<string>, mode string, "
+        "exclude array<string>",
+    )
+    got: dict[int, set[int]] = {20: set(), 21: set(), 22: set()}
+    for r in percolate(docs, rules).collect():
+        got[r["query_id"]].add(r["doc_id"])
+    alpha_docs = {d for d, t in DOCS if "alpha" in _toks(t)}
+    bravo_docs = {d for d, t in DOCS if "bravo" in _toks(t)}
+    assert got[20] == alpha_docs - bravo_docs
+    assert got[21] == alpha_docs and got[22] == alpha_docs
+    # a rules frame WITHOUT the exclude column still works (back-compat)
+    legacy = spark.createDataFrame(
+        [(30, ["alpha"], "OR")],
+        "query_id long, terms array<string>, mode string",
+    )
+    assert {
+        r["doc_id"] for r in percolate(docs, legacy).collect()
+    } == alpha_docs
