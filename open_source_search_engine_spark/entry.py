@@ -721,6 +721,18 @@ def q_prefix_search(spark, sf_dir):
     )
 
 
+def q_suffix_search(spark, sf_dir):
+    # leading wildcard: '*e' expands via the REVERSED dictionary (the
+    # range-prunable mirror of prefix expansion) to the top-4 suffix
+    # matches by df (desc, term asc) and scores as one vote group; AND
+    # with the literal 'stream' group. The corpus has five *e terms, so
+    # max_expansions=4 proves the bound binds.
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_suffix(["*e", "stream"], "AND", 10, max_expansions=4), 10
+    )
+
+
 def q_near_phrase(spark, sf_dir):
     # in-order sloppy phrase: 'vector' within 3 tokens AFTER 'merge'
     # (slop=1 would be the exact phrase); BM25 AND score with the observed
@@ -1977,6 +1989,7 @@ QUERIES = {
     # -- round-5 additions + r5-CHANGED code: lead so CORRECTNESS_r05
     #    covers them (wand gained the literal-map/lazy fast path, lang_id
     #    gained the confidence-margin column this round) -----------------
+    "suffix_search": q_suffix_search,
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
     "doc_perplexity": q_doc_perplexity,
@@ -2847,6 +2860,44 @@ FROM f ORDER BY rank LIMIT 10
     # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
     # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
     # the literal 'merge' group; matched counts GROUPS
+    # suffix_search: '*e' expands to the top-4 dictionary terms ENDING in
+    # 'e' (df desc, term asc; the engine probes its reversed dictionary,
+    # the oracle states the same set with LIKE '%e'), scored as one vote
+    # group AND'd with the literal 'stream' group
+    "suffix_search": f"""
+WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+exp AS (
+  SELECT term, df FROM gdf WHERE term LIKE '%e'
+  ORDER BY df DESC, term ASC LIMIT 4
+),
+mem AS (
+  SELECT term, df, '*e' AS grp FROM exp
+  UNION ALL
+  SELECT term, df, 'stream' AS grp FROM gdf WHERE term = 'stream'
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM tok t JOIN mem USING (term) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tf.doc_id, m.grp,
+         ln((c.n_docs - m.df + 0.5) / (m.df + 0.5) + 1.0)
+         * (tf.tf * ({K1_DEFAULT} + 1.0)
+            / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+               + {B_DEFAULT} * dl.dl / c.avgdl))) AS c
+  FROM tf JOIN mem m USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id, sum(c) AS s, count(DISTINCT grp) AS matched
+  FROM contrib GROUP BY doc_id
+  HAVING count(DISTINCT grp) = 2
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
+""",
     "prefix_search": f"""
 WITH {_TOKS}, {_TOK}, {_DL}, {_CORPUS},
 gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),

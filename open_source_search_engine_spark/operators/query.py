@@ -2462,6 +2462,74 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def _reversed_dict(self) -> DataFrame:
+        """The reversed-term dictionary backing search_suffix, materialized
+        once per engine: term_stats re-keyed by reverse(term) and
+        range-partitioned + sorted on that key, so a leading-wildcard
+        lookup becomes a PREFIX range probe (the classic Lucene
+        ReversedWildcardFilter move). In-memory the range partitioning
+        gives InMemoryTableScan batch pruning on rterm bounds; a
+        deployment persists this as a second sort order of the (tiny)
+        dictionary table, making ``*fix`` a min/max-pruned range scan
+        instead of a full-dictionary regex pass."""
+        if getattr(self, "_rdict", None) is None:
+            self._rdict = (
+                self._term_stats.filter(~F.col("term").contains(" "))
+                .select(
+                    F.reverse(F.col("term")).alias("rterm"), "term", "df"
+                )
+                .repartitionByRange(8, "rterm")
+                .sortWithinPartitions("rterm")
+                .persist()
+            )
+        return self._rdict
+
+    def search_suffix(
+        self,
+        patterns: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        max_expansions: int = 16,
+    ) -> DataFrame:
+        """Leading-wildcard query terms: ``"*fix"`` expands to the top
+        ``max_expansions`` dictionary terms sharing the SUFFIX (df DESC,
+        term ASC, deterministic) and scores as ONE vote group — the
+        mirror image of `search_prefix`, completing the wildcard pair.
+
+        The naive plan (``term LIKE '%fix'``) cannot be pruned: every
+        dictionary row must be tested. The scale design is the reversed
+        dictionary (`_reversed_dict`): key the dictionary by
+        reverse(term) once, and a suffix probe becomes
+        ``rterm startswith reverse(suffix)`` — a range-prunable prefix
+        scan over a table sorted for exactly that predicate. The postings
+        scan that follows is partition-pruned to the expanded terms, the
+        same contract as search_prefix.
+
+        Beyond the reference's grammar (Gigablast has no wildcard); the
+        expansion scores through the J2 vote-group machinery like a
+        synonym set (`Synonyms.cpp:59` group semantics).
+        """
+        groups: dict[str, list[tuple[str, float]]] = {}
+        for pat in sorted(set(patterns)):
+            if pat.startswith("*") and len(pat) > 1:
+                rpre = pat[1:][::-1]
+                rows = (
+                    self._reversed_dict()
+                    .filter(F.col("rterm").startswith(rpre))
+                    .select("term", "df")
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expansions))
+                    .collect()
+                )
+                groups[pat] = [(r["term"], 1.0) for r in rows]
+            else:
+                groups[pat] = [(pat, 1.0)]
+        return (
+            self._vote_group_scores(groups, mode)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """Cached-copy serving — the reference's PageGet flow (serve the
         stored document by docid; `PageGet.cpp` reads the title rec via
