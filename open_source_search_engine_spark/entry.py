@@ -721,6 +721,22 @@ def q_prefix_search(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    # deterministic HyperLogLog distinct-term sketch per source: md5
+    # registers + linear-counting correction, identical arithmetic on
+    # both sides — the sketch ITSELF is oracle-gated, with the exact
+    # count(DISTINCT) audit column alongside
+    out = text_analysis.hll_distinct_terms(
+        documents(spark, sf_dir), m=64, include_exact=True
+    )
+    return out.select(
+        "source",
+        F.round("hll_est", 4).alias("hll_est"),
+        "n_exact",
+        F.round("rel_err", 4).alias("rel_err"),
+    ).orderBy("source")
+
+
 def q_suffix_search(spark, sf_dir):
     # leading wildcard: '*e' expands via the REVERSED dictionary (the
     # range-prunable mirror of prefix expansion) to the top-4 suffix
@@ -1990,6 +2006,7 @@ QUERIES = {
     #    covers them (wand gained the literal-map/lazy fast path, lang_id
     #    gained the confidence-margin column this round) -----------------
     "suffix_search": q_suffix_search,
+    "hll_distinct": q_hll_distinct,
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
     "doc_perplexity": q_doc_perplexity,
@@ -2860,6 +2877,69 @@ FROM f ORDER BY rank LIMIT 10
     # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
     # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
     # the literal 'merge' group; matched counts GROUPS
+    # hll_distinct: the deterministic HLL sketch — identical md5-register
+    # + leading-zero-digit arithmetic on both sides, so registers,
+    # estimate, and linear-counting correction all reproduce exactly
+    "hll_distinct": f"""
+WITH {_TOKS},
+tokg AS (
+  SELECT d.source, t.term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) t
+  JOIN documents d USING (doc_id)
+),
+hx AS (SELECT source, term, md5(term) AS h FROM tokg),
+rr AS (
+  SELECT source, term,
+         ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 64 AS reg,
+         CASE
+           WHEN length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) = 12
+             THEN 49
+           ELSE length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) * 4
+                + (CASE
+                     WHEN (instr('0123456789abcdef',
+                            substring(substring(h, 3, 12),
+                              length(regexp_extract(substring(h, 3, 12),
+                                     '^(0*)', 1)) + 1, 1)) - 1) >= 8 THEN 0
+                     WHEN (instr('0123456789abcdef',
+                            substring(substring(h, 3, 12),
+                              length(regexp_extract(substring(h, 3, 12),
+                                     '^(0*)', 1)) + 1, 1)) - 1) >= 4 THEN 1
+                     WHEN (instr('0123456789abcdef',
+                            substring(substring(h, 3, 12),
+                              length(regexp_extract(substring(h, 3, 12),
+                                     '^(0*)', 1)) + 1, 1)) - 1) >= 2 THEN 2
+                     ELSE 3
+                   END) + 1
+         END AS rho
+  FROM hx
+),
+regs AS (SELECT source, reg, max(rho) AS mx FROM rr GROUP BY 1, 2),
+per AS (
+  SELECT source, sum(power(2.0, -mx)) AS sumexp, count(*) AS n_regs
+  FROM regs GROUP BY 1
+),
+rawe AS (
+  SELECT source, n_regs,
+         0.709 * 64.0 * 64.0 / (sumexp + (64.0 - n_regs)) AS raw
+  FROM per
+),
+fin AS (
+  SELECT source,
+         CASE WHEN raw <= 160.0 AND (64.0 - n_regs) > 0
+              THEN 64.0 * ln(64.0 / (64.0 - n_regs))
+              ELSE raw END AS hll_est
+  FROM rawe
+),
+ex AS (
+  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_exact
+  FROM tokg GROUP BY 1
+)
+SELECT f.source, round(f.hll_est, 4) AS hll_est, ex.n_exact,
+       round(abs(f.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+FROM fin f JOIN ex USING (source)
+ORDER BY f.source
+""",
     # suffix_search: '*e' expands to the top-4 dictionary terms ENDING in
     # 'e' (df desc, term asc; the engine probes its reversed dictionary,
     # the oracle states the same set with LIKE '%e'), scored as one vote

@@ -663,6 +663,92 @@ def corpus_profile(
     )
 
 
+def hll_distinct_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    m: int = 64,
+    include_exact: bool = True,
+) -> DataFrame:
+    """Per-group distinct-term estimate via a DETERMINISTIC HyperLogLog
+    sketch (Flajolet et al. 2007) — the streaming-mergeable cardinality
+    telemetry a 100 TB curation pipeline keeps per source/shard, where an
+    exact count(DISTINCT term) is a full (group, term)-keyed shuffle of
+    the whole token stream.
+
+    Deliberately NOT Spark's approx_count_distinct: that sketch's hash is
+    engine-internal, so no external oracle can reproduce it. This one is
+    md5-based and digit-arithmetic only, so DuckDB computes the identical
+    registers and the identical estimate — the sketch itself is
+    oracle-gated, not just sanity-bounded.
+
+    Per token: h = md5(term); register = first byte mod ``m``; rho = 1 +
+    number of leading zero BITS of the next 48 bits (12 hex digits,
+    counted via string ops: 4 per leading '0' digit plus the first
+    nonzero digit's own leading zeros; all-zero -> 49). Registers
+    aggregate with max (idempotent over duplicate tokens — no distinct
+    needed anywhere). Estimate = alpha_m * m^2 / sum(2^-M_j) with empty
+    registers contributing 2^0, and the standard linear-counting
+    correction m*ln(m/V) when the raw estimate <= 2.5m and V>0 empty
+    registers remain.
+
+    Scale shape: one JVM projection over the token stream, then a
+    map-side-combined groupBy on (group, register) — at most m rows per
+    group cross the wire, independent of corpus size, and sketches of
+    disjoint slices merge by register-max (the property that makes this a
+    per-partition accumulator at 10^12-turn scale). ``include_exact``
+    adds the exact count(DISTINCT) comparison column (the expensive path
+    the sketch replaces) — keep it for audits, drop it in production.
+    """
+    hexd = "0123456789abcdef"
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("term"),
+    ).withColumn("h", F.md5(F.col("term")))
+    d0 = f"(instr('{hexd}', substring(h, 1, 1)) - 1)"
+    d1 = f"(instr('{hexd}', substring(h, 2, 1)) - 1)"
+    z = "length(regexp_extract(substring(h, 3, 12), '^(0*)', 1))"
+    dv = f"(instr('{hexd}', substring(substring(h, 3, 12), {z} + 1, 1)) - 1)"
+    lzd = (
+        f"(CASE WHEN {dv} >= 8 THEN 0 WHEN {dv} >= 4 THEN 1 "
+        f"WHEN {dv} >= 2 THEN 2 ELSE 3 END)"
+    )
+    tok = tok.select(
+        "grp",
+        "term",
+        F.expr(f"({d0} * 16 + {d1}) % {int(m)}").alias("reg"),
+        F.expr(
+            f"CASE WHEN {z} = 12 THEN 49 ELSE {z} * 4 + {lzd} + 1 END"
+        ).alias("rho"),
+    )
+    regs = tok.groupBy("grp", "reg").agg(F.max("rho").alias("mx"))
+    alpha = 0.709  # alpha_64; callers changing m supply the matching alpha
+    per = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("sumexp"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    mm = float(m)
+    raw = F.lit(alpha * mm * mm) / (
+        F.col("sumexp") + (F.lit(mm) - F.col("n_regs"))
+    )
+    v = F.lit(mm) - F.col("n_regs")
+    est = F.when(
+        (raw <= F.lit(2.5 * mm)) & (v > 0), F.lit(mm) * F.log(F.lit(mm) / v)
+    ).otherwise(raw)
+    out = per.select(F.col("grp"), est.alias("hll_est"))
+    if include_exact:
+        exact = tok.groupBy("grp").agg(
+            F.countDistinct("term").cast("long").alias("n_exact")
+        )
+        out = out.join(exact, "grp").withColumn(
+            "rel_err",
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"),
+        )
+    return out.withColumnRenamed("grp", group_col)
+
+
 def collocations(
     docs: DataFrame,
     text_col: str = "text",

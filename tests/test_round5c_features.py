@@ -91,6 +91,68 @@ def test_suffix_unmatched_under_and_is_empty(eng):
     assert eng.search_suffix(["*zzzzq", "index"], "OR", 10).collect() != []
 
 
+# ---------------------------------------------------------------- hll ----
+def test_hll_estimate_within_sketch_error(spark):
+    # 64 registers -> relative error ~1.04/sqrt(64) = 13%; allow 3 sigma.
+    # Vocabulary of ~200 distinct terms across two sources.
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 200}" for j in range(30)),
+         f"s{i % 2}")
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from open_source_search_engine_spark.operators.text_analysis import (
+        hll_distinct_terms,
+    )
+
+    out = hll_distinct_terms(docs).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_exact"] > 50
+        assert r["rel_err"] < 3 * 1.04 / (64 ** 0.5), (
+            r["source"], r["hll_est"], r["n_exact"]
+        )
+
+
+def test_hll_registers_merge_across_slices(spark):
+    # THE scale property: the sketch of a union equals the register-max
+    # merge of per-slice sketches -- what makes it a per-partition
+    # accumulator. Verified at the estimate level: computing the sketch
+    # over all docs equals computing it over any partition split, because
+    # registers only ever take max(rho).
+    from open_source_search_engine_spark.operators.text_analysis import (
+        hll_distinct_terms,
+    )
+
+    rows = [
+        (i, " ".join(f"t{(i * 13 + j) % 150}" for j in range(20)), "one")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    whole = hll_distinct_terms(docs, include_exact=False).collect()[0]
+    redistributed = hll_distinct_terms(
+        docs.repartition(13), include_exact=False
+    ).collect()[0]
+    assert whole["hll_est"] == redistributed["hll_est"]
+
+
+def test_hll_duplicate_tokens_do_not_move_registers(spark):
+    # idempotence: repeating every doc's text 5x changes nothing
+    from open_source_search_engine_spark.operators.text_analysis import (
+        hll_distinct_terms,
+    )
+
+    base = [(i, f"alpha beta w{i}", "s") for i in range(30)]
+    docs = spark.createDataFrame(base, "doc_id long, text string, source string")
+    dup = spark.createDataFrame(
+        [(i, " ".join([t] * 5), s) for i, t, s in base],
+        "doc_id long, text string, source string",
+    )
+    a = hll_distinct_terms(docs, include_exact=False).collect()[0]["hll_est"]
+    b = hll_distinct_terms(dup, include_exact=False).collect()[0]["hll_est"]
+    assert a == b
+
+
 def test_reversed_dict_covers_dictionary_exactly_once(eng):
     rd = eng._reversed_dict().collect()
     uni = [
