@@ -230,8 +230,9 @@ def main() -> None:
         "explain_terms", "vocab_drift", "event_transitions",
         "props_extract", "fetch_docs", "sq8_ann",
         # round 5 (session 7): reversed-dictionary leading wildcard,
-        # deterministic HLL distinct-term sketch
-        "suffix_search", "hll_distinct",
+        # deterministic HLL distinct-term sketch, packed binary-
+        # quantization ANN with exact rescore
+        "suffix_search", "hll_distinct", "bq_rescore",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -721,6 +721,25 @@ def q_prefix_search(spark, sf_dir):
     )
 
 
+def q_bq_rescore(spark, sf_dir):
+    # packed binary-quantization ANN (sign bits -> 32-bit words, 32x
+    # memory): coarse Hamming top-50 over the 8-byte packed table, exact
+    # float-cosine rescore of just those candidates -- the third rung of
+    # the ANN memory ladder (float / sq8 / bq), query = vec_id 0
+    emb = embeddings(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    packed, dim = similarity.bq_pack(emb)
+    out = similarity.bq_topk(packed, emb, qvec, dim, rescore=50, k=10)
+    return out.select(
+        "vec_id",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     # deterministic HyperLogLog distinct-term sketch per source: md5
     # registers + linear-counting correction, identical arithmetic on
@@ -2007,6 +2026,7 @@ QUERIES = {
     #    gained the confidence-margin column this round) -----------------
     "suffix_search": q_suffix_search,
     "hll_distinct": q_hll_distinct,
+    "bq_rescore": q_bq_rescore,
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
     "doc_perplexity": q_doc_perplexity,
@@ -2877,6 +2897,55 @@ FROM f ORDER BY rank LIMIT 10
     # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
     # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
     # the literal 'merge' group; matched counts GROUPS
+    # bq_rescore: pack sign bits into 32-bit words (dim 0 most
+    # significant within its word — sum b * 2^(31 - i%32) == the
+    # engine's acc*2+b fold), Hamming = bit_count(xor) per word,
+    # coarse top-50 by (hamming, vec_id), exact float-cosine rescore
+    "bq_rescore": """
+WITH pos AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+qv AS (SELECT x, i FROM pos WHERE vec_id = 0),
+words AS (
+  SELECT vec_id, CAST((i - 1) / 32 AS INTEGER) AS j,
+         sum(CASE WHEN x >= 0
+                  THEN (CAST(1 AS BIGINT) << (31 - ((i - 1) % 32)))
+                  ELSE 0 END) AS w
+  FROM pos GROUP BY 1, 2
+),
+qwords AS (
+  SELECT CAST((i - 1) / 32 AS INTEGER) AS j,
+         sum(CASE WHEN x >= 0
+                  THEN (CAST(1 AS BIGINT) << (31 - ((i - 1) % 32)))
+                  ELSE 0 END) AS w
+  FROM qv GROUP BY 1
+),
+ham AS (
+  SELECT w.vec_id, sum(bit_count(xor(w.w, q.w))) AS hamming
+  FROM words w JOIN qwords q USING (j) GROUP BY 1
+),
+cand AS (
+  SELECT vec_id, hamming FROM ham
+  ORDER BY hamming ASC, vec_id ASC LIMIT 50
+),
+qn AS (
+  SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n FROM qv
+),
+resc AS (
+  SELECT p.vec_id,
+         sum(CAST(p.x AS DOUBLE) * CAST(q.x AS DOUBLE)) AS d,
+         sqrt(sum(CAST(p.x AS DOUBLE) * CAST(p.x AS DOUBLE))) AS n
+  FROM pos p JOIN qv q USING (i)
+  WHERE p.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY 1
+)
+SELECT c.vec_id, CAST(c.hamming AS BIGINT) AS hamming,
+       round(r.d / (r.n * qn.n), 4) AS cosine
+FROM cand c JOIN resc r USING (vec_id) CROSS JOIN qn
+ORDER BY r.d / (r.n * qn.n) DESC, c.vec_id ASC LIMIT 10
+""",
     # hll_distinct: the deterministic HLL sketch — identical md5-register
     # + leading-zero-digit arithmetic on both sides, so registers,
     # estimate, and linear-counting correction all reproduce exactly

@@ -153,6 +153,84 @@ def test_hll_duplicate_tokens_do_not_move_registers(spark):
     assert a == b
 
 
+# ----------------------------------------------------------------- bq ----
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(v) for v in rng.randn(64).astype("float32")])
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+
+def test_bq_pack_bits_match_signs(emb):
+    from open_source_search_engine_spark.operators.similarity import bq_pack
+
+    packed, dim = bq_pack(emb)
+    assert dim == 64
+    got = {r["vec_id"]: (r["w0"], r["w1"]) for r in packed.collect()}
+    for r in emb.collect():
+        bits = [1 if x >= 0 else 0 for x in r["embedding"]]
+        w0 = int("".join(map(str, bits[:32])), 2)
+        w1 = int("".join(map(str, bits[32:])), 2)
+        assert got[r["vec_id"]] == (w0, w1)
+
+
+def test_bq_hamming_matches_bruteforce(emb):
+    from open_source_search_engine_spark.operators.similarity import (
+        bq_pack,
+        bq_topk,
+    )
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = vecs[3]
+    packed, dim = bq_pack(emb)
+    out = bq_topk(packed, emb, q, dim, rescore=200, k=200).collect()
+    qb = [1 if x >= 0 else 0 for x in q]
+    for r in out:
+        vb = [1 if x >= 0 else 0 for x in vecs[r["vec_id"]]]
+        assert r["hamming"] == sum(a != b for a, b in zip(qb, vb))
+
+
+def test_bq_full_rescore_reproduces_float_bruteforce(emb):
+    # with rescore >= corpus the coarse phase only reorders candidates:
+    # the final page must be the float brute force exactly
+    from open_source_search_engine_spark.operators.similarity import (
+        bq_pack,
+        bq_topk,
+        cosine_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    packed, dim = bq_pack(emb)
+    got = bq_topk(packed, emb, q, dim, rescore=10**6, k=10).collect()
+    want = cosine_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], round(r["cosine"], 6)) for r in got] == [
+        (r["vec_id"], round(r["cosine"], 6)) for r in want
+    ]
+
+
+def test_bq_recall_reasonable_at_64_bits(emb):
+    # sign-bit Hamming is a coarse but real signal: top-50-of-200
+    # rescore must recover most of the float top-10
+    from open_source_search_engine_spark.operators.similarity import (
+        bq_pack,
+        bq_topk,
+        cosine_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]
+    packed, dim = bq_pack(emb)
+    got = {r["vec_id"] for r in bq_topk(packed, emb, q, dim, 50, 10).collect()}
+    want = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    assert len(got & want) >= 5, (got, want)
+
+
 def test_reversed_dict_covers_dictionary_exactly_once(eng):
     rd = eng._reversed_dict().collect()
     uni = [
