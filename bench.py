@@ -125,6 +125,7 @@ def main() -> None:
         pairs_for,
         passage_for,
         sigs_for,
+        tt_engine_for,
     )
 
     # untimed warmup (same policy as the transcript-build leg below): fork
@@ -162,6 +163,10 @@ def main() -> None:
     t0 = time.time()
     passage_for(spark, sf_dir)
     queries["passage_build"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    tt_engine_for(spark, sf_dir)
+    queries["tt_build"] = round(time.time() - t0, 4)
 
     headline = [
         "bm25_and", "bm25_or", "bm25_not", "bm25_stopwords", "wand",
@@ -231,8 +236,10 @@ def main() -> None:
         "props_extract", "fetch_docs", "sq8_ann",
         # round 5 (session 7): reversed-dictionary leading wildcard,
         # deterministic HLL distinct-term sketch, packed binary-
-        # quantization ANN with exact rescore
-        "suffix_search", "hll_distinct", "bq_rescore",
+        # quantization ANN with exact rescore, snapshot-pinned
+        # (time-travel) serving over the mutated index (its build+mutate
+        # stage is attributed to tt_build above)
+        "suffix_search", "hll_distinct", "bq_rescore", "bm25_snapshot",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

@@ -333,3 +333,72 @@ class Catalog:
                 return 0
             self._commit(name, [data_dir], latest)
         return fan_in
+
+    # -- time-travel serving view ------------------------------------------
+    def capture(self) -> dict[str, str]:
+        """Pin map of every live table to its CURRENT snapshot id — the
+        "as of now" marker a reader hands to :meth:`at` later (Iceberg:
+        recording each table's current snapshot-id; Rdb analog: the file
+        set before updateToRebuildFiles swaps it, `Rdb.h:227`)."""
+        pins: dict[str, str] = {}
+        if self.use_iceberg:
+            rows = self.spark.sql("SHOW TABLES IN osse.db").collect()
+            for r in rows:
+                name = r["tableName"]
+                sid = self.snapshot_id(name)
+                if sid is not None:
+                    pins[name] = sid
+            return pins
+        if os.path.isdir(self.warehouse):
+            for name in sorted(os.listdir(self.warehouse)):
+                if os.path.exists(self._manifest_path(name)):
+                    m = self._read_manifest(name)
+                    if m is not None:
+                        pins[name] = m["snapshot_id"]
+        return pins
+
+    def at(self, pins: dict[str, str]) -> "SnapshotView":
+        """A READ-ONLY view of this catalog frozen at ``pins`` (from
+        :meth:`capture`): read_table resolves through read_snapshot, a
+        table absent from the pin map is absent from the view, and any
+        write raises. A SearchEngine constructed over the view serves the
+        index exactly as it was at capture time — snapshot-isolated from
+        every later upsert/delete/compaction (Iceberg VERSION AS OF as a
+        serving surface)."""
+        return SnapshotView(self, dict(pins))
+
+
+class SnapshotView:
+    """Read-only, snapshot-pinned facade over a Catalog (see Catalog.at).
+    Implements exactly the read surface serving code uses (read_table /
+    table_exists / read_snapshot / snapshot_id); writes raise."""
+
+    def __init__(self, parent: Catalog, pins: dict[str, str]):
+        self.parent = parent
+        self.pins = pins
+        self.spark = parent.spark
+        self.use_iceberg = parent.use_iceberg
+
+    def table_exists(self, name: str) -> bool:
+        return name in self.pins
+
+    def read_table(self, name: str) -> DataFrame:
+        if name not in self.pins:
+            raise FileNotFoundError(
+                f"table {name} did not exist at the pinned snapshot"
+            )
+        return self.parent.read_snapshot(name, self.pins[name])
+
+    def snapshot_id(self, name: str) -> str | None:
+        return self.pins.get(name)
+
+    def read_snapshot(self, name: str, snapshot_id: str) -> DataFrame:
+        return self.parent.read_snapshot(name, snapshot_id)
+
+    def _refuse(self, *_a, **_k):
+        raise PermissionError("SnapshotView is read-only (time-travel serving)")
+
+    write_table = _refuse
+    append_table = _refuse
+    commit_data_dirs = _refuse
+    compact = _refuse

@@ -74,6 +74,56 @@ def engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[key]
 
 
+_TT: dict[str, SearchEngine] = {}
+
+
+def tt_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Time-travel serving engine: build, CAPTURE every table's snapshot
+    id, then mutate the index destructively (deletes + an upsert that
+    would change the page) — and serve from a SearchEngine pinned to the
+    capture via ``Catalog.at``. Snapshot isolation means the pinned page
+    must equal a plain BM25 oracle over the ORIGINAL corpus, which is
+    exactly what the driver checks (the oracle never sees the edits)."""
+    import shutil
+
+    from .operators.updates import apply_updates
+
+    key = os.path.abspath(sf_dir)
+    if key not in _TT:
+        wh = os.path.join(
+            "/tmp", "osse-entry-tt", key.strip("/").replace("/", "_")
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = Catalog(spark, wh)
+        docs = documents(spark, sf_dir)
+        build_index(spark, cat, docs, IndexConfig(tokenizer_mode="ascii"))
+        pins = cat.capture()
+        # destructive edits AFTER the capture: every 7th doc deleted and
+        # doc 1 rewritten to a page-dominating text for the query terms
+        apply_updates(
+            spark,
+            cat,
+            upserts=spark.createDataFrame(
+                [(1, "merge vector merge vector merge vector", "en",
+                  "src0", 40)],
+                docs.schema,
+            ),
+            delete_ids=docs.select("doc_id").filter(
+                F.col("doc_id") % 7 == 0
+            ),
+            config=IndexConfig(tokenizer_mode="ascii"),
+        )
+        _TT[key] = SearchEngine(spark, cat.at(pins), tokenizer_mode="ascii")
+    return _TT[key]
+
+
+def q_bm25_snapshot(spark, sf_dir):
+    # VERSION AS OF serving: the snapshot-pinned engine answers over the
+    # pre-edit index; the oracle is plain BM25 over the original corpus
+    eng = tt_engine_for(spark, sf_dir)
+    return _ranked(eng.search_terms(["merge", "vector"], "AND", 10), 10)
+
+
 _ANN: dict[str, dict] = {}
 
 _PAIRS: dict[str, DataFrame] = {}
@@ -2027,6 +2077,7 @@ QUERIES = {
     "suffix_search": q_suffix_search,
     "hll_distinct": q_hll_distinct,
     "bq_rescore": q_bq_rescore,
+    "bm25_snapshot": q_bm25_snapshot,
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
     "doc_perplexity": q_doc_perplexity,
@@ -2897,6 +2948,11 @@ FROM f ORDER BY rank LIMIT 10
     # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
     # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
     # the literal 'merge' group; matched counts GROUPS
+    # bm25_snapshot: the pinned engine must reproduce plain BM25 over the
+    # ORIGINAL corpus — this oracle deliberately knows nothing about the
+    # deletes/upserts applied after the capture (snapshot isolation IS
+    # the contract being checked)
+    "bm25_snapshot": _bm25_sql(["merge", "vector"], 10, "AND"),
     # bq_rescore: pack sign bits into 32-bit words (dim 0 most
     # significant within its word — sum b * 2^(31 - i%32) == the
     # engine's acc*2+b fold), Hamming = bit_count(xor) per word,

@@ -231,6 +231,77 @@ def test_bq_recall_reasonable_at_64_bits(emb):
     assert len(got & want) >= 5, (got, want)
 
 
+# ---------------------------------------------------------- time travel ----
+@pytest.fixture(scope="module")
+def tt(spark, tmp_path_factory):
+    """Build, capture pins, then mutate destructively: delete a third of
+    the corpus and rewrite one doc to dominate the test query."""
+    from open_source_search_engine_spark.operators.updates import apply_updates
+
+    wh = str(tmp_path_factory.mktemp("r5c-tt-wh"))
+    catalog = Catalog(spark, wh)
+    docs = transcripts_to_docs(synth_transcripts(spark, 400))
+    build_index(spark, catalog, docs, IndexConfig())
+    pins = catalog.capture()
+    page_before = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in SearchEngine(spark, catalog)
+        .search_terms(["spark", "index"], "AND", 10)
+        .collect()
+    ]
+    apply_updates(
+        spark,
+        catalog,
+        upserts=spark.createDataFrame(
+            [(docs.first()["doc_id"], "spark index " * 20)],
+            "doc_id long, text string",
+        ),
+        delete_ids=docs.select("doc_id").filter(F.col("doc_id") % 3 == 0),
+    )
+    return catalog, pins, page_before
+
+
+def test_snapshot_pinned_engine_ignores_later_edits(spark, tt):
+    catalog, pins, page_before = tt
+    pinned = SearchEngine(spark, catalog.at(pins))
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in pinned.search_terms(["spark", "index"], "AND", 10).collect()
+    ]
+    assert got == page_before
+    # ...and the LIVE engine serves a genuinely different page, so the
+    # pin is doing real work
+    live = SearchEngine(spark, catalog)
+    live_page = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in live.search_terms(["spark", "index"], "AND", 10).collect()
+    ]
+    assert live_page != page_before
+
+
+def test_snapshot_view_is_read_only_and_frozen(spark, tt):
+    catalog, pins, _ = tt
+    view = catalog.at(pins)
+    with pytest.raises(PermissionError):
+        view.write_table(None, "anything")
+    with pytest.raises(PermissionError):
+        view.compact("postings")
+    # tombstones were created AFTER the capture: absent from the view,
+    # present in the live catalog
+    assert catalog.table_exists("tombstones")
+    assert not view.table_exists("tombstones")
+    with pytest.raises(FileNotFoundError):
+        view.read_table("tombstones")
+
+
+def test_capture_covers_every_live_table(tt):
+    catalog, pins, _ = tt
+    for name in ("postings", "term_stats", "corpus_stats", "documents"):
+        assert name in pins
+        # the pinned read resolves and is non-empty
+        assert catalog.read_snapshot(name, pins[name]).limit(1).count() == 1
+
+
 def test_reversed_dict_covers_dictionary_exactly_once(eng):
     rd = eng._reversed_dict().collect()
     uni = [
