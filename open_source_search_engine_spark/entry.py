@@ -771,6 +771,20 @@ def q_prefix_search(spark, sf_dir):
     )
 
 
+def q_bm25f(spark, sf_dir):
+    # BM25F: body text + the source field as one weighted tf stream
+    # (w_field=2) — 'src3' matches only in the field, 'merge' only in the
+    # body, and the AND page exists because union-df semantics let a
+    # field-only hit count as a match
+    eng = engine_for(spark, sf_dir)
+    return _ranked(
+        eng.search_fielded(
+            ["merge", "src3"], "AND", 10, field_col="source", field_weight=2.0
+        ),
+        10,
+    )
+
+
 def q_bq_rescore(spark, sf_dir):
     # packed binary-quantization ANN (sign bits -> 32-bit words, 32x
     # memory): coarse Hamming top-50 over the 8-byte packed table, exact
@@ -2078,6 +2092,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "bq_rescore": q_bq_rescore,
     "bm25_snapshot": q_bm25_snapshot,
+    "bm25f": q_bm25f,
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
     "doc_perplexity": q_doc_perplexity,
@@ -2948,6 +2963,63 @@ FROM f ORDER BY rank LIMIT 10
     # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
     # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
     # the literal 'merge' group; matched counts GROUPS
+    # bm25f: body + source field as one weighted tf stream (w=2):
+    # tf~ = tf_body + 2*tf_field, dl~ = dl + 2*dl_field, avgdl~ over all
+    # docs, idf from the UNION df — field-only hits count under AND
+    "bm25f": f"""
+WITH {_TOKS}, {_TOK}, {_DL},
+ftoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(source),
+         '[^a-z0-9_]+'), t -> t <> '') AS ftoks
+  FROM documents
+),
+ftok AS (SELECT doc_id, unnest(ftoks) AS term FROM ftoks),
+fdl AS (SELECT doc_id, len(ftoks) AS dlt FROM ftoks),
+c2 AS (
+  SELECT count(*) AS n_docs,
+         avg(dl.dl + 2.0 * fdl.dlt) AS avgdlf
+  FROM dl JOIN fdl USING (doc_id)
+),
+btf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('merge', 'src3') GROUP BY 1, 2
+),
+ttf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ftok
+  WHERE term IN ('merge', 'src3') GROUP BY 1, 2
+),
+comb AS (
+  SELECT doc_id, term, tfc FROM (
+    SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+           coalesce(b.term, t.term) AS term,
+           coalesce(b.tf, 0) + 2.0 * coalesce(t.tf, 0) AS tfc
+    FROM btf b FULL OUTER JOIN ttf t
+      ON b.doc_id = t.doc_id AND b.term = t.term
+  ) WHERE tfc > 0
+),
+fdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM comb GROUP BY 1),
+dld AS (
+  SELECT dl.doc_id, dl.dl + 2.0 * fdl.dlt AS dlf
+  FROM dl JOIN fdl USING (doc_id)
+),
+scored AS (
+  SELECT comb.doc_id,
+         sum( ln((c2.n_docs - fdf.df + 0.5) / (fdf.df + 0.5) + 1.0)
+              * (comb.tfc * ({K1_DEFAULT} + 1.0)
+                 / (comb.tfc + {K1_DEFAULT} * (1.0 - {B_DEFAULT}
+                    + {B_DEFAULT} * dld.dlf / c2.avgdlf))) ) AS s,
+         count(*) AS matched
+  FROM comb
+  JOIN fdf USING (term)
+  JOIN dld ON dld.doc_id = comb.doc_id
+  CROSS JOIN c2
+  GROUP BY comb.doc_id
+  HAVING count(*) = 2
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(s, 4) AS score, CAST(matched AS BIGINT) AS matched
+FROM scored ORDER BY rank LIMIT 10
+""",
     # bm25_snapshot: the pinned engine must reproduce plain BM25 over the
     # ORIGINAL corpus — this oracle deliberately knows nothing about the
     # deletes/upserts applied after the capture (snapshot isolation IS

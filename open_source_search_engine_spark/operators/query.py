@@ -2530,6 +2530,180 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def search_fielded(
+        self,
+        query_terms: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        field_col: str = "source",
+        field_weight: float = 2.0,
+    ) -> DataFrame:
+        """BM25F field-weighted scoring (Robertson–Zaragoza): the body
+        text and a metadata field score as ONE weighted term-frequency
+        stream — tf̃ = tf_body + w·tf_field, dl̃ = dl_body + w·dl_field,
+        avgdl̃ over the corpus, idf from the UNION document frequency
+        (a doc matching only in the field still counts, and still
+        matches under AND). This is the reference's per-hashgroup weight
+        family (`Posdb.h` HASHGROUP_INTITLE / s_hashGroupWeights,
+        `PosdbTable.cpp` applies them per posting): title hits outrank
+        body hits because their occurrences are weighted INSIDE the
+        saturation curve, not bolted on after.
+
+        Plan shape: the field DICTIONARY (distinct ``field_col`` values)
+        is collected once — bounded by field cardinality, the analog of
+        the term dictionary; a deployment materializes it at build time.
+        Field-side candidates come from a BROADCAST join of that tiny
+        (value, term, tf) map against a column-pruned doc-store scan;
+        body-side candidates are the usual partition-pruned postings
+        decode. The two sides full-outer-join on (doc_id, term) — a
+        shuffle bounded by candidate count, not corpus size — and per-doc
+        dl̃ joins in from the same pruned doc-store scan. (A production
+        build stores w·dl_field next to dl in the postings rows — the
+        build already stores dl — which collapses that join; here it is
+        derived so BM25F works on every existing index unchanged.)
+        """
+        from .index_build import doc_length_col
+
+        w = float(field_weight)
+        k1, b = self.params.k1, self.params.b
+        uniq = sorted(set(query_terms))
+        plan = self.plan_terms(uniq)
+        docs = self.catalog.read_table("documents")
+        # field dictionary: distinct values -> tokenized tf map + field dl
+        fvals = [
+            r["v"]
+            for r in docs.select(
+                F.col(field_col).alias("v")
+            ).distinct().collect()
+        ]
+        tmap: list[tuple[str, str, int]] = []
+        dlt: dict[str, int] = {}
+        for v in fvals:
+            toks = self.tokenize_query(v or "")
+            dlt[v] = len(toks)
+            for t in uniq:
+                c = toks.count(t)
+                if c:
+                    tmap.append((v, t, c))
+        # per-doc dl-tilde: dl_body (from text, == the indexed dl) plus
+        # w * dl_field; ONE column-pruned doc-store projection reused by
+        # both the field-candidate join and the dl join
+        docs_aux = docs.select(
+            "doc_id",
+            F.col(field_col).alias("_fv"),
+            doc_length_col(self.tokenizer_mode)(F.col("text")).alias(
+                "_dlb"
+            ),
+        )
+        dlt_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(v, int(n)) for v, n in dlt.items()], "_fv string, _dlt int"
+            )
+        )
+        dl_side = docs_aux.join(dlt_df, "_fv").select(
+            "doc_id",
+            (F.col("_dlb") + F.lit(w) * F.col("_dlt")).alias("_dlf"),
+        )
+        # avgdl-tilde: avgdl_body (corpus stats) + w * mean field dl,
+        # the latter from a field-cardinality-bounded count agg
+        counts = {
+            r["_fv"]: r["n"]
+            for r in docs.groupBy(
+                F.col(field_col).alias("_fv")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        avg_dlt = (
+            sum(counts[v] * dlt[v] for v in counts) / float(self.n_docs)
+            if self.n_docs
+            else 0.0
+        )
+        avgdlf = self.avgdl + w * avg_dlt
+        # body side: partition-pruned postings decode
+        if not plan.empty:
+            body = self.decoded_postings(
+                [int(t) for t in plan["term_id"]]
+            ).join(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        [
+                            (int(r.term_id), r.term)
+                            for r in plan.itertuples(index=False)
+                        ],
+                        "term_id long, term string",
+                    )
+                ),
+                "term_id",
+            ).select("doc_id", "term", F.col("tf").alias("_tfb"))
+        else:
+            body = self.spark.createDataFrame(
+                [], "doc_id long, term string, _tfb int"
+            )
+        # field side: broadcast (value, term, tf) map into the doc store
+        if tmap:
+            fside = docs_aux.join(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        tmap, "_fv string, term string, _tft int"
+                    )
+                ),
+                "_fv",
+            ).select("doc_id", "term", "_tft")
+        else:
+            fside = self.spark.createDataFrame(
+                [], "doc_id long, term string, _tft int"
+            )
+        comb = (
+            body.join(fside, ["doc_id", "term"], "full_outer")
+            .select(
+                "doc_id",
+                "term",
+                (
+                    F.coalesce(F.col("_tfb"), F.lit(0)).cast("double")
+                    + F.lit(w) * F.coalesce(F.col("_tft"), F.lit(0))
+                ).alias("_tfc"),
+            )
+            # df/matched are defined on tf-tilde > 0: at w=0 a field-only
+            # hit contributes nothing and must not count, so the operator
+            # degenerates EXACTLY to plain BM25 (gated)
+            .filter(F.col("_tfc") > 0)
+        )
+        # union df per term -> idf-tilde (n_terms rows, broadcast back)
+        fdf = comb.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("_df")
+        )
+        idf = F.log(
+            (F.lit(float(self.n_docs)) - F.col("_df") + 0.5)
+            / (F.col("_df") + 0.5)
+            + 1.0
+        )
+        scored = (
+            comb.join(F.broadcast(fdf), "term")
+            .join(dl_side, "doc_id")
+            .select(
+                "doc_id",
+                (
+                    idf
+                    * (
+                        F.col("_tfc")
+                        * (k1 + 1.0)
+                        / (
+                            F.col("_tfc")
+                            + k1
+                            * (1.0 - b + b * F.col("_dlf") / F.lit(avgdlf))
+                        )
+                    )
+                ).alias("_c"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum("_c").alias("score"),
+                F.count(F.lit(1)).cast("int").alias("matched"),
+            )
+        )
+        if mode == "AND":
+            scored = scored.filter(F.col("matched") == len(uniq))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """Cached-copy serving — the reference's PageGet flow (serve the
         stored document by docid; `PageGet.cpp` reads the title rec via

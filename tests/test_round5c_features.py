@@ -302,6 +302,91 @@ def test_capture_covers_every_live_table(tt):
         assert catalog.read_snapshot(name, pins[name]).limit(1).count() == 1
 
 
+# -------------------------------------------------------------- bm25f ----
+def test_bm25f_weight_zero_degenerates_to_plain_bm25(eng):
+    got = eng.search_fielded(
+        ["spark", "index"], "AND", 10, field_col="role", field_weight=0.0
+    ).collect()
+    want = eng.search_terms(["spark", "index"], "AND", 10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_bm25f_matches_bruteforce_recompute(eng):
+    import math
+
+    w, k1, b = 2.0, eng.params.k1, eng.params.b
+    docs = eng.catalog.read_table("documents").collect()
+    terms = ["spark", "user"]
+    tf = {}
+    dlf = {}
+    for r in docs:
+        bt = _toks(r["text"])
+        ft = _toks(r["role"] or "")
+        dlf[r["doc_id"]] = len(bt) + w * len(ft)
+        for t in terms:
+            c = bt.count(t) + w * ft.count(t)
+            if c > 0:
+                tf[(r["doc_id"], t)] = c
+    n = len(docs)
+    # the engine composes avgdl-tilde from the STORED corpus-stats body
+    # avgdl (same source as every other serving path) + w * mean field dl
+    avgdlf = eng.avgdl + w * (
+        sum(len(_toks(r["role"] or "")) for r in docs) / n
+    )
+    df = {t: sum(1 for (d, tt) in tf if tt == t) for t in terms}
+    scores = {}
+    for (d, t), c in sorted(tf.items()):
+        idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        contrib = idf * c * (k1 + 1.0) / (
+            c + k1 * (1.0 - b + b * dlf[d] / avgdlf)
+        )
+        scores.setdefault(d, [0.0, 0])
+        scores[d][0] += contrib
+        scores[d][1] += 1
+    full = sorted(
+        (
+            (d, s)
+            for d, (s, m) in scores.items()
+            if m == len(terms)
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = eng.search_fielded(
+        terms, "AND", 10, field_col="role", field_weight=w
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+        (d, round(s, 6)) for d, s in full
+    ]
+    # union-df semantics: 'user' never appears in transcript body text of
+    # the synthetic corpus? if it does this still holds -- the point is
+    # the AND page is non-empty because the role field supplies the term
+    assert got, "field-side hits must satisfy AND"
+
+
+def test_bm25f_field_hit_outranks_body_hit(spark, tmp_path_factory):
+    # two docs, same body length: one has the query term ONLY in the
+    # field (weighted 3x), one has it once in the body -- the field doc
+    # must rank first
+    wh = str(tmp_path_factory.mktemp("r5c-f-wh"))
+    catalog = Catalog(spark, wh)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "query", 4),
+            (2, "query beta gamma delta", "other", 4),
+            (3, "alpha beta gamma delta", "other", 4),
+        ],
+        "doc_id long, text string, role string, n long",
+    )
+    build_index(spark, catalog, docs, IndexConfig())
+    engine = SearchEngine(spark, catalog)
+    out = engine.search_fielded(
+        ["query"], "OR", 10, field_col="role", field_weight=3.0
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+
+
 def test_reversed_dict_covers_dictionary_exactly_once(eng):
     rd = eng._reversed_dict().collect()
     uni = [
