@@ -240,8 +240,9 @@ def main() -> None:
         # (time-travel) serving over the mutated index (its build+mutate
         # stage is attributed to tt_build above)
         "suffix_search", "hll_distinct", "bq_rescore", "bm25_snapshot",
-        # round 5 (session 7): BM25F field-weighted scoring
-        "bm25f",
+        # round 5 (session 7): BM25F field-weighted scoring; dictionary
+        # drift between a snapshot pin and the live index
+        "bm25f", "index_diff",
     ]
     # median-of-N per query (default 3): shared-host noise flipped the
     # r1->r2 comparison on queries whose code had not changed; the median

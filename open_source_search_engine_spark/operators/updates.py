@@ -328,3 +328,37 @@ def compact_updates(spark: SparkSession, catalog: Catalog) -> int:
             max_seg=0,
         )
     return n_tombs
+
+
+def term_stats_diff(old_catalog, new_catalog, top_k: int = 20) -> DataFrame:
+    """Dictionary drift between two index states — typically a
+    ``Catalog.at(capture())`` pin and the live catalog after updates: per
+    term, the exact df before and after, top movers first. The ops
+    surface for "what did this batch of upserts/deletes do to the
+    index", and a direct audit of the update path's delta-exact
+    term_stats contract (the reported df_new is the stats table the
+    serving paths actually use, not a recount).
+
+    Scale shape: both sides are term_stats reads (the dictionary — tiny
+    next to postings), one full-outer join keyed on term, abs-delta
+    TakeOrderedAndProject. Works across any two catalogs/snapshot views
+    that share a tokenizer, including two pins of the SAME catalog
+    (before/after an arbitrary span of commits)."""
+    old = old_catalog.read_table("term_stats").select(
+        "term", F.col("df").alias("df_old")
+    )
+    new = new_catalog.read_table("term_stats").select(
+        "term", F.col("df").alias("df_new")
+    )
+    return (
+        old.join(new, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("df_old"), F.lit(0)).cast("long").alias("df_old"),
+            F.coalesce(F.col("df_new"), F.lit(0)).cast("long").alias("df_new"),
+        )
+        .withColumn("delta", (F.col("df_new") - F.col("df_old")).cast("long"))
+        .filter(F.col("delta") != 0)
+        .orderBy(F.abs(F.col("delta")).desc(), F.asc("term"))
+        .limit(int(top_k))
+    )

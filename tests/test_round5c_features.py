@@ -387,6 +387,72 @@ def test_bm25f_field_hit_outranks_body_hit(spark, tmp_path_factory):
     assert [r["doc_id"] for r in out] == [1, 2]
 
 
+# --------------------------------------------------------- index diff ----
+def test_term_stats_diff_matches_recount(spark, tt):
+    # the diff reads the DELTA-MAINTAINED stats tables; the brute force
+    # recounts dfs from the docs actually present before/after
+    from collections import Counter
+
+    from open_source_search_engine_spark.operators.updates import (
+        term_stats_diff,
+    )
+
+    catalog, pins, _ = tt
+    old_docs = {
+        r["doc_id"]: r["text"]
+        for r in catalog.read_snapshot(
+            "documents", pins["documents"]
+        ).collect()
+    }
+    live = {
+        r["doc_id"]: r["text"]
+        for r in catalog.read_table("documents").collect()
+    }
+
+    from open_source_search_engine_spark.functions.tokenizer import tokenize
+
+    def dfs(docs):
+        # the fixture index is built in the default unicode mode -- the
+        # recount must use the same tokenizer, not the ascii _toks
+        c = Counter()
+        for text in docs.values():
+            for t in set(tokenize(text, "unicode")):
+                c[t] += 1
+        return c
+
+    do, dn = dfs(old_docs), dfs(live)
+    want = sorted(
+        (
+            (t, do.get(t, 0), dn.get(t, 0), dn.get(t, 0) - do.get(t, 0))
+            for t in set(do) | set(dn)
+            if dn.get(t, 0) != do.get(t, 0)
+        ),
+        key=lambda x: (-abs(x[3]), x[0]),
+    )
+    got = [
+        (r["term"], r["df_old"], r["df_new"], r["delta"])
+        for r in term_stats_diff(
+            catalog.at(pins), catalog, top_k=10**6
+        ).collect()
+    ]
+    assert got == want
+    assert want, "the fixture's edits must move the dictionary"
+
+
+def test_term_stats_diff_same_catalog_is_empty(spark, tt):
+    catalog, pins, _ = tt
+    view = catalog.at(pins)
+    assert term_stats_diff_empty(view)
+
+
+def term_stats_diff_empty(view):
+    from open_source_search_engine_spark.operators.updates import (
+        term_stats_diff,
+    )
+
+    return term_stats_diff(view, view, top_k=100).count() == 0
+
+
 def test_reversed_dict_covers_dictionary_exactly_once(eng):
     rd = eng._reversed_dict().collect()
     uni = [
