@@ -394,3 +394,70 @@ def test_fetch_docs_is_pruned_point_lookup(eng):
     assert [r["doc_id"] for r in rows] == sorted(
         {1, 2, 3} & {r["doc_id"] for r in rows}
     ), "ordered doc_id ASC, dedup'd ids"
+
+
+def test_suffix_expansion_dictionary_only_pruned_postings(eng):
+    # the wildcard expansion probes the (persisted) reversed dictionary;
+    # the SERVING plan that follows is the usual vote-group shape: the
+    # postings scan stays pruned to the expanded term ids, top-k is
+    # TakeOrderedAndProject, and nothing degenerates into a global sort
+    df = eng.search_suffix(["*e", "index"], "AND", 10, max_expansions=3)
+    p = _physical(df)
+    assert "PushedFilters: [In(term_id" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_hll_sketch_is_jvm_only_bounded_shuffle(spark):
+    # the sketch path (include_exact=False) must stay JVM-side -- no
+    # Python workers, no joins -- and its only shuffles are the
+    # register agg (<= m rows per group) and the per-group rollup
+    from open_source_search_engine_spark.operators.text_analysis import (
+        hll_distinct_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} beta", f"s{i % 3}") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    df = hll_distinct_terms(docs, include_exact=False)
+    p = _physical(df)
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+    assert "Join" not in p
+    assert "partial_max" in p or "HashAggregate" in p  # map-side combine
+
+
+def test_bq_coarse_phase_no_join_rescore_is_broadcast(spark):
+    # coarse Hamming top-c: one scan of the packed words +
+    # TakeOrderedAndProject, no join; the rescore joins the candidate
+    # ids back BROADCAST -- the float table is never sort-merge joined
+    import numpy as np
+
+    from open_source_search_engine_spark.operators.similarity import (
+        bq_pack,
+        bq_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.randn(64)]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    packed, dim = bq_pack(emb)
+    q = [float(v) for v in rng.randn(64)]
+    full = bq_topk(packed, emb, q, dim, rescore=20, k=5)
+    p = _physical(full)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bm25f_field_side_broadcast_no_cartesian(eng):
+    df = eng.search_fielded(
+        ["spark", "user"], "AND", 10, field_col="role", field_weight=2.0
+    )
+    p = _physical(df)
+    # the (value, term, tf) field map and the per-term df both join in
+    # broadcast; candidates never cartesian
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
