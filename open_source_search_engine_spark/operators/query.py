@@ -1829,8 +1829,40 @@ class SearchEngine:
 
     def search(self, query: str, mode: str = "AND", k: int = 10) -> DataFrame:
         """Parse a query string: bare terms, '-term' exclusions
-        (`Query.h:191-193` sign parsing). For the FULL grammar (quotes,
-        parens, OR, field:value) use search_query."""
+        (`Query.h:191-193` sign parsing), and wildcards — a term with a
+        leading or trailing ``*`` routes the whole query through
+        search_wildcard, where each pattern expands in the (reversed)
+        dictionary and scores as a vote group; signs compose (r5 s7).
+        For the FULL grammar (quotes, parens, OR, field:value) use
+        search_query."""
+        raw = query.split()
+        has_wild = any(
+            not w.startswith("-")
+            and (w.startswith("*") or w.endswith("*"))
+            and w.strip("*")
+            for w in raw
+        )
+        if has_wild:
+            # the tokenizer strips '*', so wildcard queries re-attach the
+            # marker to the (single) token of each starred word; signed
+            # words tokenize as usual
+            include, exclude = [], []
+            for w in raw:
+                neg = w.startswith("-") and len(w) > 1
+                body = w[1:] if neg else w
+                lead, trail = body.startswith("*"), body.endswith("*")
+                toks = self.tokenize_query(body.strip("*"))
+                if neg:
+                    exclude.extend(toks)
+                elif toks and (lead or trail) and len(toks) == 1:
+                    include.append(
+                        ("*" if lead else "") + toks[0] + ("*" if trail else "")
+                    )
+                else:
+                    include.extend(toks)
+            return self.search_wildcard(
+                include, mode=mode, k=k, exclude_terms=exclude
+            )
         include, exclude = self._parse_signs(query)
         return self.search_terms(include, mode=mode, k=k, exclude_terms=exclude)
 
@@ -2439,28 +2471,7 @@ class SearchEngine:
         expanded terms; an unmatched prefix under AND yields an empty
         page (same contract as an absent term).
         """
-        groups: dict[str, list[tuple[str, float]]] = {}
-        for pat in sorted(set(patterns)):
-            if pat.endswith("*") and len(pat) > 1:
-                pre = pat[:-1]
-                rows = (
-                    self._term_stats.filter(
-                        F.col("term").startswith(pre)
-                        & ~F.col("term").contains(" ")
-                    )
-                    .select("term", "df")
-                    .orderBy(F.desc("df"), F.asc("term"))
-                    .limit(int(max_expansions))
-                    .collect()
-                )
-                groups[pat] = [(r["term"], 1.0) for r in rows]
-            else:
-                groups[pat] = [(pat, 1.0)]
-        return (
-            self._vote_group_scores(groups, mode)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(int(k))
-        )
+        return self.search_wildcard(patterns, mode, k, max_expansions)
 
     def _reversed_dict(self) -> DataFrame:
         """The reversed-term dictionary backing search_suffix, materialized
@@ -2510,8 +2521,32 @@ class SearchEngine:
         synonym set (`Synonyms.cpp:59` group semantics).
         """
         groups: dict[str, list[tuple[str, float]]] = {}
+        return self.search_wildcard(patterns, mode, k, max_expansions)
+
+    def _wildcard_groups(
+        self, patterns: list[str], max_expansions: int
+    ) -> dict[str, list[tuple[str, float]]]:
+        """Shared wildcard expander: trailing ``pre*`` probes the term
+        dictionary (pushed-down StartsWith), leading ``*fix`` probes the
+        reversed dictionary (`_reversed_dict`); anything else is a
+        literal single-member group. Expansion order is (df DESC, term
+        ASC), bounded by ``max_expansions`` per pattern."""
+        groups: dict[str, list[tuple[str, float]]] = {}
         for pat in sorted(set(patterns)):
-            if pat.startswith("*") and len(pat) > 1:
+            if pat.endswith("*") and len(pat) > 1 and "*" not in pat[:-1]:
+                pre = pat[:-1]
+                rows = (
+                    self._term_stats.filter(
+                        F.col("term").startswith(pre)
+                        & ~F.col("term").contains(" ")
+                    )
+                    .select("term", "df")
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expansions))
+                    .collect()
+                )
+                groups[pat] = [(r["term"], 1.0) for r in rows]
+            elif pat.startswith("*") and len(pat) > 1 and "*" not in pat[1:]:
                 rpre = pat[1:][::-1]
                 rows = (
                     self._reversed_dict()
@@ -2524,10 +2559,34 @@ class SearchEngine:
                 groups[pat] = [(r["term"], 1.0) for r in rows]
             else:
                 groups[pat] = [(pat, 1.0)]
+        return groups
+
+    def search_wildcard(
+        self,
+        patterns: list[str],
+        mode: str = "AND",
+        k: int = 10,
+        max_expansions: int = 16,
+        exclude_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """Unified wildcard serving: every pattern — trailing ``pre*``,
+        leading ``*fix``, or a literal word — becomes one vote group, so
+        mixed queries ("s* merge -vector") score with the same J2 group
+        semantics as synonyms; '-term' exclusions apply as the standard
+        anti-join, exactly like search_terms. ``search()`` routes here
+        whenever the query string contains a wildcard, so signs and
+        wildcards compose in the user-facing grammar."""
+        groups = self._wildcard_groups(patterns, max_expansions)
+        scored = self._vote_group_scores(groups, mode)
+        if exclude_terms:
+            ex_plan = self.plan_terms(exclude_terms)
+            if not ex_plan.empty:
+                ex_docs = self.decoded_postings(
+                    [int(t) for t in ex_plan["term_id"]]
+                ).select("doc_id").distinct()
+                scored = scored.join(ex_docs, "doc_id", "left_anti")
         return (
-            self._vote_group_scores(groups, mode)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(int(k))
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
         )
 
     def search_fielded(

@@ -231,6 +231,49 @@ def test_bq_recall_reasonable_at_64_bits(emb):
     assert len(got & want) >= 5, (got, want)
 
 
+# ------------------------------------------------- wildcard in grammar ----
+def test_search_string_routes_wildcards(eng):
+    got = eng.search("s* index", mode="AND", k=10).collect()
+    want = eng.search_prefix(["s*", "index"], "AND", 10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    # mixed directions in one query: trailing AND leading patterns
+    mixed = eng.search("s* *e", mode="AND", k=10).collect()
+    manual = eng.search_wildcard(["s*", "*e"], "AND", 10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in mixed] == [
+        (r["doc_id"], round(r["score"], 9)) for r in manual
+    ]
+    assert mixed, "both groups expand in this corpus"
+
+
+def test_search_wildcard_exclusion_composes(eng):
+    # '-vector' must anti-join the wildcard page exactly like search_terms
+    full = eng.search_wildcard(["s*", "index"], "AND", 10**6).collect()
+    with_vector = {
+        r["doc_id"]
+        for r in eng.catalog.read_table("documents").collect()
+        if "vector" in _toks(r["text"])
+    }
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in full
+        if r["doc_id"] not in with_vector
+    ][:10]
+    got = eng.search("s* index -vector", mode="AND", k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == want
+    assert len(got) < len(full), "the exclusion must bite"
+
+
+def test_plain_queries_keep_the_fast_path(eng):
+    # no wildcard -> the classic search_terms page, bit-identical
+    a = eng.search("spark index", mode="AND", k=10).collect()
+    b = eng.search_terms(["spark", "index"], "AND", 10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+        (r["doc_id"], round(r["score"], 9)) for r in b
+    ]
+
+
 # ---------------------------------------------------------- time travel ----
 @pytest.fixture(scope="module")
 def tt(spark, tmp_path_factory):
