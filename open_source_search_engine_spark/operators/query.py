@@ -2628,13 +2628,21 @@ class SearchEngine:
         uniq = sorted(set(query_terms))
         plan = self.plan_terms(uniq)
         docs = self.catalog.read_table("documents")
-        # field dictionary: distinct values -> tokenized tf map + field dl
-        fvals = [
-            r["v"]
-            for r in docs.select(
-                F.col(field_col).alias("v")
-            ).distinct().collect()
-        ]
+        # field dictionary: distinct values + per-value doc counts,
+        # collected ONCE per (engine, field) — ONE map-side-combined agg,
+        # cardinality-bounded, snapshot-bound like _plan_cache (a build
+        # materializes this next to term_stats)
+        if not hasattr(self, "_field_dicts"):
+            self._field_dicts: dict[str, dict[str, int]] = {}
+        if field_col not in self._field_dicts:
+            self._field_dicts[field_col] = {
+                r["_fv"]: r["n"]
+                for r in docs.groupBy(F.col(field_col).alias("_fv"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        counts = self._field_dicts[field_col]
+        fvals = list(counts)
         tmap: list[tuple[str, str, int]] = []
         dlt: dict[str, int] = {}
         for v in fvals:
@@ -2664,13 +2672,7 @@ class SearchEngine:
             (F.col("_dlb") + F.lit(w) * F.col("_dlt")).alias("_dlf"),
         )
         # avgdl-tilde: avgdl_body (corpus stats) + w * mean field dl,
-        # the latter from a field-cardinality-bounded count agg
-        counts = {
-            r["_fv"]: r["n"]
-            for r in docs.groupBy(
-                F.col(field_col).alias("_fv")
-            ).agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        # the latter from the cached per-value doc counts
         avg_dlt = (
             sum(counts[v] * dlt[v] for v in counts) / float(self.n_docs)
             if self.n_docs
