@@ -30,7 +30,15 @@ def eng(spark, tmp_path_factory):
         transcripts_to_docs(synth_transcripts(spark, 600)),
         IndexConfig(),
     )
-    return SearchEngine(spark, catalog)
+    e = SearchEngine(spark, catalog)
+    yield e
+    # good heap citizenship in the shared session-long JVM: release the
+    # persisted reversed dictionary and any cached phrase frames
+    rd = getattr(e, "_rdict", None)
+    if rd is not None:
+        rd.unpersist()
+    for hits, _df in e._phrase_hits_cache.values():
+        hits.unpersist()
 
 
 def _toks(text: str) -> list[str]:
