@@ -891,10 +891,16 @@ class SearchEngine:
             for i, (_t, m, _w) in enumerate(entries)
         ]
         g = contrib.groupBy("doc_id").agg(*aggs)
+        # linear-size canonical fold: coalesce-to-0.0 is bit-identical to
+        # skip-absent for strictly-positive contributions (x + 0.0 == x),
+        # while the when/otherwise form DUPLICATES the accumulated tree in
+        # both branches -- O(2^n) expression nodes, which detonates codegen
+        # subexpression elimination for wide vote groups (found via a
+        # 2x16-member wildcard query; same fix at every slot-fold site)
         score = F.lit(0.0)
         for i, (_t, _m, w) in enumerate(entries):
             c = F.col(f"_c{i}")
-            score = F.when(c.isNotNull(), score + F.lit(w) * c).otherwise(score)
+            score = score + F.lit(w) * F.coalesce(c, F.lit(0.0))
         col_of = {(t, m): f"_c{i}" for i, (t, m, _w) in enumerate(entries)}
         matched = F.lit(0)
         for t in sorted(viable):
@@ -1171,9 +1177,11 @@ class SearchEngine:
             )
             out = out.join(pair, "doc_id", "left_outer")
             c = F.col(f"_bg{i}")
-            score = F.when(
-                c.isNotNull(), score + F.lit(float(bigram_weight)) * c
-            ).otherwise(score)
+            # linear fold (see _vote_group_scores): when/otherwise doubles
+            # the tree per bigram
+            score = score + F.lit(float(bigram_weight)) * F.coalesce(
+                c, F.lit(0.0)
+            )
         return (
             out.select("doc_id", score.alias("score"), "matched")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1392,10 +1400,11 @@ class SearchEngine:
             F.first("n_required").alias("n_required"),
             F.first("k").alias("k"),
         )
+        # linear fold (see _vote_group_scores): when/otherwise doubles
+        # the tree per slot
         score = F.lit(0.0)
         for i in range(nslots):
-            c = F.col(f"_c{i}")
-            score = F.when(c.isNotNull(), score + c).otherwise(score)
+            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
         scored = g.select(
             "query_id",
             "doc_id",
@@ -2363,10 +2372,11 @@ class SearchEngine:
             F.sum("idf").alias("idf_sum"),
             F.first("dl").cast("int").alias("dl"),
         )
+        # linear fold (see _vote_group_scores): when/otherwise doubles
+        # the tree per term
         score = F.lit(0.0)
         for i in range(len(ts)):
-            c = F.col(f"_c{i}")
-            score = F.when(c.isNotNull(), score + c).otherwise(score)
+            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
         return (
             g.select(
                 "doc_id",
@@ -3634,10 +3644,11 @@ class SearchEngine:
             g = contrib.groupBy("doc_id").agg(
                 *aggs, F.count(F.lit(1)).cast("int").alias("matched")
             )
+            # linear fold (see _vote_group_scores): when/otherwise
+            # doubles the tree per term
             score = F.lit(0.0)
             for i in range(len(ts)):
-                c = F.col(f"_c{i}")
-                score = F.when(c.isNotNull(), score + c).otherwise(score)
+                score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
             return g.select("doc_id", score.alias("score"), "matched")
         return contrib.groupBy("doc_id").agg(
             F.expr(
