@@ -282,6 +282,34 @@ def test_plain_queries_keep_the_fast_path(eng):
     ]
 
 
+# ----------------------------------------------- linear score-fold guard ----
+def test_wide_vote_group_plans_in_linear_time(spark, tmp_path_factory):
+    # regression guard for the O(2^n) fold: a 30-member wildcard vote
+    # group must plan AND serve in seconds. The exponential when/otherwise
+    # fold needed ~2^30 expression nodes here (hours of codegen
+    # subexpression elimination); the linear coalesce fold is instant.
+    import time
+
+    wh = str(tmp_path_factory.mktemp("r5c-wide-wh"))
+    catalog = Catalog(spark, wh)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j:02d}" for j in range(30) if (i + j) % 3))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    build_index(spark, catalog, docs, IndexConfig())
+    engine = SearchEngine(spark, catalog)
+    t0 = time.time()
+    out = engine.search_wildcard(["w*"], "OR", 10, max_expansions=30).collect()
+    elapsed = time.time() - t0
+    assert out, "the wide group must match"
+    # generous for throttled shared hosts; the exponential fold cannot
+    # finish in this bound at 30 slots
+    assert elapsed < 120, f"wide vote group took {elapsed:.0f}s"
+
+
 # ---------------------------------------------------------- time travel ----
 @pytest.fixture(scope="module")
 def tt(spark, tmp_path_factory):
